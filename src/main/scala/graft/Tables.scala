@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver's testdata tables (TESTDATA.md / FIXTURES.md §3).
+  *
+  * One parquet file per table under `/root/testdata/sf{0.001,0.01,0.1}`.
+  * All queries take
+  * the sf dir as a runtime argument so the same plan runs at any scale
+  * factor — nothing below hard-codes a path.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
+
+/** A group of named queries plus their DuckDB oracle SQL (driver contract:
+  * `SparkEntry.queries` / `SparkEntry.oracleSql`). Modules are merged in
+  * [[SparkEntry]].
+  *
+  * Conventions that keep the driver's hash-compare green:
+  *   - every output column is explicitly aliased, identically in the Spark
+  *     plan and the oracle SQL;
+  *   - every query ends in a total deterministic ORDER BY (ties broken by a
+  *     key column) in BOTH forms;
+  *   - double-valued aggregates are rounded to a fixed scale chosen so the
+  *     rounded value is exact (inputs have 2-decimal money columns), making
+  *     the result independent of floating-point summation order.
+  */
+trait QueryModule {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracles: Map[String, String]
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for all specs (one JVM-wide session; suites reuse it). */
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class SparkEntrySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs at sf0.001 and most return rows") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, TestSpark.sf)
+      val n = df.count()
+      withClue(s"query $name:") { assert(n >= 0) }
+    }
+  }
+
+  test("every oracle key has a query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("oracle coverage: queries without an oracle are known exceptions") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // Non-SQL-expressible ops (hash-dependent sketches etc.) are allowed
+    // to skip the DuckDB oracle; keep this list explicit and short.
+    val allowed = Set("dedup_minhash_lsh", "dedup_simhash", "sim_ann_lsh",
+      "mm_feature_extract")
+    assert((noOracle -- allowed).isEmpty,
+      s"queries missing an oracle: ${noOracle -- allowed}")
+  }
+}

@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+For each query result parquet written by graft.Verify, runs the matching
+oracle SQL from oracle_sql.json in DuckDB (with each testdata table
+registered as a view), sorts columns by name and rows by all columns, and
+compares values exactly. Reports per-query PASS/FAIL with first diffs.
+Dev tool only — not part of the shipped library.
+"""
+import sys, os, json, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+
+    n_pass = n_fail = n_skip = 0
+    for name in sorted(os.listdir(out_dir)):
+        qdir = os.path.join(out_dir, name)
+        if not os.path.isdir(qdir):
+            continue
+        got = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
+        if name not in oracles:
+            print(f"SKIP  {name:30s} rows={len(got.fetchall())} (no oracle, rows-only)")
+            n_skip += 1
+            continue
+        exp = con.sql(oracles[name])
+        gcols = sorted(got.columns)
+        ecols = sorted(exp.columns)
+        if [c.lower() for c in gcols] != [c.lower() for c in ecols]:
+            print(f"FAIL  {name:30s} SCHEMA got={gcols} exp={ecols}")
+            n_fail += 1
+            continue
+        grows = sorted([tuple(norm(v) for v in r) for r in
+                        got.select(*gcols).fetchall()])
+        erows = sorted([tuple(norm(v) for v in r) for r in
+                        exp.select(*ecols).fetchall()])
+        if grows == erows:
+            print(f"PASS  {name:30s} rows={len(grows)}")
+            n_pass += 1
+        else:
+            n_fail += 1
+            print(f"FAIL  {name:30s} rows got={len(grows)} exp={len(erows)} cols={gcols}")
+            diffs = 0
+            for i in range(max(len(grows), len(erows))):
+                g = grows[i] if i < len(grows) else None
+                e = erows[i] if i < len(erows) else None
+                if g != e:
+                    print(f"      [{i}] got={g}")
+                    print(f"      [{i}] exp={e}")
+                    diffs += 1
+                    if diffs >= 3:
+                        break
+    print(f"\n{n_pass} pass / {n_fail} fail / {n_skip} rows-only")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
