@@ -14,6 +14,7 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     Relational,
+    EventOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,226 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import graft.functions.PointInPolygon.classifyHq
+import graft.geo.Geo
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch twins of the reference's streaming pipelines, over the `events`
+  * table — same operator semantics (event-time tumbling windows, grouped
+  * counts, geo classification, trending-arrivals self-join; SURVEY.md
+  * §2.5-2.7) expressed Spark-first. The streaming forms live in
+  * [[graft.streaming]]; these batch forms are what the DuckDB oracle can
+  * check.
+  *
+  * Scale notes:
+  *   - window aggs shuffle once on (window, key) with map-side partial
+  *     aggregation — state per group is one count, no row buffering;
+  *   - the trend detector is expressed both as a self-join (reference
+  *     shape, `Task4.py:126-132`) and as a `lag()` analytic (one shuffle,
+  *     no second scan) — at high key cardinality the lag form wins; with
+  *     few hot keys the join form with AQE skew handling is safer;
+  *   - classification is a codegen'd native expression, so scan → classify
+  *     → aggregate is one whole-stage-codegen loop.
+  */
+object EventOps extends QueryModule {
+
+  /** Deterministic synthetic coordinates for `events` rows, landing in and
+    * around the two HQ quads. Pure integer-mod + IEEE double math so the
+    * oracle SQL reproduces bit-identical values. */
+  private def withCoords(df: DataFrame): DataFrame = df
+    .withColumn("lon", lit(-74.0150) + (col("event_id") % 97).cast("double") * lit(0.00006))
+    .withColumn("lat", lit(40.7130) + (col("event_id") % 101).cast("double") * lit(0.0001))
+
+  private val coordsSql =
+    """CAST(-74.0150 AS DOUBLE) + (event_id % 97) * CAST(0.00006 AS DOUBLE) AS lon,
+      |       CAST(40.7130 AS DOUBLE) + (event_id % 101) * CAST(0.0001 AS DOUBLE) AS lat""".stripMargin
+
+  /** Strict-interior containment for a convex clockwise polygon as a SQL
+    * conjunction of half-plane tests: for every directed edge a→b the
+    * point must lie strictly right, i.e. cross(b-a, p-a) < 0. Used only
+    * by the oracle; the Spark side runs the general ray-cast expression. */
+  private def convexContainsSql(poly: Array[Double]): String = {
+    val n = poly.length / 2
+    (0 until n).map { i =>
+      val ax = poly(2 * i); val ay = poly(2 * i + 1)
+      val bx = poly(2 * ((i + 1) % n)); val by = poly(2 * ((i + 1) % n) + 1)
+      s"(($bx - $ax) * (lat - $ay) - (($by - $ay) * (lon - ($ax)))) < 0"
+    }.mkString("(", " AND ", ")")
+  }
+
+  private val classifySql =
+    s"""CASE WHEN ${convexContainsSql(Geo.goldman)} THEN 'goldman'
+       |     WHEN ${convexContainsSql(Geo.citigroup)} THEN 'citigroup'
+       |     ELSE 'none' END AS hq""".stripMargin
+
+  /** Task2 twin: hourly event counts (1-hour tumbling event-time window). */
+  def hourlyCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(window($"ts", "1 hour"))
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("total_value"))
+      .select($"window.start".as("window_start"), $"n_events", $"total_value")
+      .orderBy($"window_start")
+  }
+
+  /** Task3/4 twin: 10-minute windows × event_type. */
+  def tenMinByType(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(window($"ts", "10 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("window_start"), $"event_type", $"n")
+      .orderBy($"window_start", $"event_type")
+  }
+
+  /** Task3 twin: geo-classified hourly counts via the native
+    * [[graft.functions.PointInPolygon]] expression. */
+  def classifyGeo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCoords(Tables.events(s, dir))
+      .withColumn("hq", classifyHq($"lon", $"lat"))
+      .groupBy(window($"ts", "1 hour"), $"hq")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("window_start"), $"hq", $"n")
+      .orderBy($"window_start", $"hq")
+  }
+
+  private def windowCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(window($"ts", "10 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("ws"), $"event_type", $"n")
+  }
+
+  /** Task4 twin, reference shape: trending windows via a theta self-join —
+    * count ≥ 3 and ≥ 2× the same-type window 10 minutes earlier
+    * (`Task4.py:126-132`; doubling edge `count - c1 >= c1` kept as
+    * `n >= 2*prev_n`). Catalyst extracts the equi-keys (type, ws = pws +
+    * 10 min) → hash join; AQE handles the hot-key skew. */
+  def trendJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = windowCounts(s, dir)
+    val prev = w.select($"ws".as("pws"), $"event_type".as("ptype"), $"n".as("prev_n"))
+    w.join(prev,
+        $"ws" === $"pws" + expr("INTERVAL 10 minutes") && $"event_type" === $"ptype")
+      .where($"n" >= 3 && $"n" >= $"prev_n" * 2)
+      .select($"ws".as("window_start"), $"event_type", $"n", $"prev_n")
+      .orderBy($"window_start", $"event_type")
+  }
+
+  /** Same trend semantics as one pass: `lag()` over (type, window) — no
+    * self-join, no second aggregation of the fact table. */
+  def trendLag(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byType = Window.partitionBy($"event_type").orderBy($"ws")
+    windowCounts(s, dir)
+      .withColumn("pws", lag($"ws", 1).over(byType))
+      .withColumn("prev_n", lag($"n", 1).over(byType))
+      .where($"pws" === $"ws" - expr("INTERVAL 10 minutes") &&
+             $"n" >= 3 && $"n" >= $"prev_n" * 2)
+      .select($"ws".as("window_start"), $"event_type", $"n", $"prev_n")
+      .orderBy($"window_start", $"event_type")
+  }
+
+  /** Sessionization: per-user sessions with a 30-minute inactivity gap
+    * (Spark `session_window`). The streaming form is identical code over
+    * `readStream`. */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("session_value"))
+      .select($"session_window.start".as("session_start"),
+              $"session_window.end".as("session_end"),
+              $"user_id", $"n_events", $"session_value")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  /** Keyed first-event extraction (streaming dedup-by-key analog):
+    * earliest event per (user_id, event_type), ties broken by event_id. */
+  def firstPerKey(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts".asc, $"event_id".asc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"user_id", $"event_type", $"event_id", $"ts", $"value")
+      .orderBy($"user_id", $"event_type")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_hourly_counts"  -> (hourlyCounts _),
+    "ev_10min_by_type"  -> (tenMinByType _),
+    "ev_classify_geo"   -> (classifyGeo _),
+    "ev_trend_join"     -> (trendJoin _),
+    "ev_trend_lag"      -> (trendLag _),
+    "ev_sessionize"     -> (sessionize _),
+    "ev_first_per_key"  -> (firstPerKey _),
+  )
+
+  private val trendOracle =
+    """WITH w AS (
+      |  SELECT time_bucket(INTERVAL '10 minutes', ts) AS ws, event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT a.ws AS window_start, a.event_type, a.n, b.n AS prev_n
+      |FROM w a JOIN w b
+      |  ON a.event_type = b.event_type AND a.ws = b.ws + INTERVAL '10 minutes'
+      |WHERE a.n >= 3 AND a.n >= 2 * b.n
+      |ORDER BY window_start, a.event_type""".stripMargin
+
+  override def oracles: Map[String, String] = Map(
+    "ev_hourly_counts" ->
+      """SELECT date_trunc('hour', ts) AS window_start,
+        |       count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin,
+    "ev_10min_by_type" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+        |       event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "ev_classify_geo" ->
+      s"""WITH pts AS (
+         |  SELECT ts,
+         |       $coordsSql
+         |  FROM events
+         |), cls AS (
+         |  SELECT ts,
+         |       $classifySql
+         |  FROM pts
+         |)
+         |SELECT date_trunc('hour', ts) AS window_start, hq, count(*) AS n
+         |FROM cls GROUP BY 1, 2 ORDER BY window_start, hq""".stripMargin,
+    "ev_trend_join" -> trendOracle,
+    "ev_trend_lag"  -> trendOracle,
+    "ev_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                   > INTERVAL '30 minutes'
+        |              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |), g AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                   ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM x
+        |)
+        |SELECT min(ts) AS session_start,
+        |       max(ts) + INTERVAL '30 minutes' AS session_end,
+        |       user_id, count(*) AS n_events, round(sum(value), 2) AS session_value
+        |FROM g GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
+    "ev_first_per_key" ->
+      """SELECT user_id, event_type, event_id, ts, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |                               ORDER BY ts ASC, event_id ASC) AS rn
+        |  FROM events
+        |)
+        |WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+  )
+}
