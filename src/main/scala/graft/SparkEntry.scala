@@ -15,6 +15,9 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     Relational,
     EventOps,
+    TextOps,
+    Dedup,
+    Similarity,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

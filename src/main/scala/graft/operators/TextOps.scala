@@ -1,0 +1,166 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the text half of
+  * the LLM-data-pipeline surface (BASELINE.json north star): token
+  * counting (whitespace + subword), quality scoring, marker-based
+  * language ID, and document fingerprinting (rolling polynomial hash +
+  * content digest).
+  *
+  * Everything is built from codegen'd higher-order functions
+  * (`transform`/`filter`/`aggregate` over `split(text)`) — no UDFs, no
+  * Python workers, one narrow projection per doc. At 100 TB this runs
+  * embarrassingly parallel with zero shuffles (all per-row), so the only
+  * scale knob is input split size.
+  *
+  * The arithmetic is integer or single-division double, written with the
+  * identical expression shape in the DuckDB oracles, so results are
+  * bit-deterministic across engines.
+  */
+object TextOps extends QueryModule {
+
+  private val tok = split(col("text"), " ")
+
+  /** Token counting: whitespace tokens, alpha runs via regex, and a
+    * BPE-ish subword estimate (ceil(len/4) pieces per token — the
+    * standard ~4-chars-per-token heuristic). */
+  def tokenStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(
+        $"doc_id",
+        size(tok).as("n_ws_tokens"),
+        size(regexp_extract_all($"text", lit("[a-z]+"), lit(0))).as("n_alpha_tokens"),
+        expr("aggregate(split(text, ' '), 0, (a, t) -> a + CAST((length(t) + 3) div 4 AS INT))")
+          .as("n_subword"))
+      .orderBy($"doc_id")
+  }
+
+  /** Quality scoring: type-token ratio, stopword ratio, length saturation,
+    * and a weighted composite — the usual pretraining-corpus filters. */
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("n_tokens", size(tok))
+      .withColumn("n_distinct", size(array_distinct(tok)))
+      .withColumn("n_stop", size(expr("filter(split(text, ' '), t -> t = 'the' OR t = 'a')")))
+      .select(
+        $"doc_id", $"n_tokens",
+        round($"n_distinct" / $"n_tokens", 6).as("ttr"),
+        round($"n_stop" / $"n_tokens", 6).as("stopword_ratio"),
+        round(lit(0.4) * ($"n_distinct" / $"n_tokens")
+            + lit(0.3) * (lit(1.0) - $"n_stop" / $"n_tokens")
+            + lit(0.3) * least($"n_tokens" / lit(50.0), lit(1.0)), 6).as("quality_score"))
+      .orderBy($"doc_id")
+  }
+
+  // Marker vocabularies for the language-ID heuristic. The testdata corpus
+  // is synthetic (one shared vocabulary regardless of the `lang` column),
+  // so these sets are stand-ins wired for determinism; on a real corpus
+  // they'd be per-language stopword/char-n-gram profiles. The operator
+  // shape (per-doc marker hit counts → argmax with fixed precedence) is
+  // the real deliverable.
+  private val enMarkers = Seq("the", "a", "row", "fast", "slow")
+  private val frMarkers = Seq("window", "query", "join", "agg", "sort")
+  private val deMarkers = Seq("data", "stream", "batch", "spark", "table")
+
+  private def hits(markers: Seq[String]) = {
+    val cond = markers.map(m => s"t = '$m'").mkString(" OR ")
+    expr(s"size(filter(split(text, ' '), t -> $cond))")
+  }
+
+  /** Language ID: marker-set hit counts with deterministic precedence
+    * (en ≥ fr ≥ de on ties). */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("en_hits", hits(enMarkers))
+      .withColumn("fr_hits", hits(frMarkers))
+      .withColumn("de_hits", hits(deMarkers))
+      .withColumn("lang_guess",
+        when($"en_hits" >= $"fr_hits" && $"en_hits" >= $"de_hits", "en")
+          .when($"fr_hits" >= $"de_hits", "fr")
+          .otherwise("de"))
+      .select($"doc_id", $"en_hits", $"fr_hits", $"de_hits", $"lang_guess")
+      .orderBy($"doc_id")
+  }
+
+  /** Fingerprinting: order-sensitive rolling polynomial hash over tokens
+    * (mod 1e9+7, overflow-free in 64-bit) + full-content md5. The rolling
+    * hash is the shift-resistant "document signature" used for cheap
+    * exact-ish dedup at scale; md5 is the content-addressed id. */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(
+        $"doc_id",
+        expr("""aggregate(
+                  transform(split(text, ' '), t -> CAST(length(t)*131 + ascii(t) AS BIGINT)),
+                  CAST(0 AS BIGINT),
+                  (a, b) -> (a*31 + b) % 1000000007)""").as("fp"),
+        md5(encode($"text", "UTF-8")).as("content_md5"))
+      .orderBy($"doc_id")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_stats" -> (tokenStats _),
+    "text_quality"     -> (quality _),
+    "text_langid"      -> (langId _),
+    "text_fingerprint" -> (fingerprint _),
+  )
+
+  private def hitsSql(markers: Seq[String]): String = {
+    val cond = markers.map(m => s"t = '$m'").mkString(" OR ")
+    s"len(list_filter(string_split(text, ' '), t -> $cond))"
+  }
+
+  override def oracles: Map[String, String] = Map(
+    "text_token_stats" ->
+      """SELECT doc_id,
+        |       len(string_split(text, ' ')) AS n_ws_tokens,
+        |       len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_tokens,
+        |       list_reduce(list_prepend(0, list_transform(string_split(text, ' '),
+        |                   t -> (length(t) + 3) // 4)),
+        |                   (a, b) -> a + b) AS n_subword
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         len(string_split(text, ' ')) AS n_tokens,
+        |         len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |         len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) AS n_stop
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_tokens,
+        |       round(n_distinct / n_tokens, 6) AS ttr,
+        |       round(n_stop / n_tokens, 6) AS stopword_ratio,
+        |       round(0.4 * (n_distinct / n_tokens)
+        |           + 0.3 * (1.0 - n_stop / n_tokens)
+        |           + 0.3 * least(n_tokens / 50.0, 1.0), 6) AS quality_score
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         ${hitsSql(enMarkers)} AS en_hits,
+         |         ${hitsSql(frMarkers)} AS fr_hits,
+         |         ${hitsSql(deMarkers)} AS de_hits
+         |  FROM documents
+         |)
+         |SELECT doc_id, en_hits, fr_hits, de_hits,
+         |       CASE WHEN en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
+         |            WHEN fr_hits >= de_hits THEN 'fr'
+         |            ELSE 'de' END AS lang_guess
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(text, ' '),
+        |                          t -> CAST(length(t)*131 + ascii(t) AS BIGINT))),
+        |           (a, b) -> (a*31 + b) % 1000000007) AS fp,
+        |       md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}
