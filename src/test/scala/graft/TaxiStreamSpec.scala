@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import graft.streaming.{TaxiJobs, TaxiPipelines}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end tests for the taxi pipelines against independently computed
+  * ground truth (SURVEY.md §5.3 — NOT the reference's golden files, which
+  * mix stale code versions and partial update-mode snapshots, §5.2).
+  */
+class TaxiStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val taxiData = "/root/reference/taxi-data"
+
+  /** True dropoff counts per hour-of-day (417,740 rows total). */
+  private val hourTruth = Map(
+    0 -> 7396L, 1 -> 5780L, 2 -> 3605L, 3 -> 2426L, 4 -> 2505L, 5 -> 3858L,
+    6 -> 10258L, 7 -> 19007L, 8 -> 23799L, 9 -> 24003L, 10 -> 21179L,
+    11 -> 20219L, 12 -> 20522L, 13 -> 20556L, 14 -> 21712L, 15 -> 22016L,
+    16 -> 18034L, 17 -> 19719L, 18 -> 25563L, 19 -> 28178L, 20 -> 27449L,
+    21 -> 27072L, 22 -> 24078L, 23 -> 18806L)
+
+  /** (dropoff hour → (goldman, citigroup)) spot truths. */
+  private val hqTruth = Map(7 -> (17L, 62L), 9 -> (39L, 60L), 10 -> (26L, 18L))
+
+  private def tmp(prefix: String): Path = Files.createTempDirectory(prefix)
+
+  private def stage(dst: Path, hours: Range): Unit =
+    hours.foreach { h =>
+      (0 until 60).foreach { m =>
+        val f = f"part-2015-12-01-$h%02d$m%02d.csv"
+        Files.copy(Paths.get(taxiData, f), dst.resolve(f))
+      }
+    }
+
+  // ------------------------------------------------------------------ batch
+
+  test("batch: hourly counts match ground truth for all 24 hours") {
+    val got = TaxiPipelines.hourlyCounts(
+        TaxiPipelines.scanGreen22(spark, taxiData, streaming = false))
+      .select(hour(col("window.start")).as("h"), col("count"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == hourTruth)
+    assert(got.values.sum == 417740L)
+  }
+
+  test("batch: per-HQ hourly counts match ground truth spot values") {
+    val got = TaxiPipelines.hourlyHqCounts(
+        TaxiPipelines.scanSplit24(spark, taxiData, streaming = false))
+      .select(hour(col("window.start")).as("h"), col("headquarters"), col("count"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    hqTruth.foreach { case (h, (g, c)) =>
+      assert(got((h, "goldman")) == g, s"goldman h$h")
+      assert(got((h, "citigroup")) == c, s"citigroup h$h")
+    }
+  }
+
+  // -------------------------------------------------------------- streaming
+
+  test("streaming task2: final golden files converge to ground truth") {
+    val out = tmp("t2out")
+    val q = TaxiJobs.task2(spark, taxiData, out.toString)
+    q.processAllAvailable(); q.stop()
+    // file for dropoff-hour h carries stamp (h+1)*360000 (h=23 → 24)
+    def body(h: Int): String =
+      Files.readString(out.resolve(s"output-${(h + 1) * 360000L}")).trim
+    Seq(0, 8, 14, 22, 23).foreach { h =>
+      assert(body(h) == hourTruth(h).toString, s"hour $h")
+    }
+  }
+
+  test("streaming task3: final golden files converge to ground truth") {
+    val out = tmp("t3out")
+    val q = TaxiJobs.task3(spark, taxiData, out.toString)
+    q.processAllAvailable(); q.stop()
+    hqTruth.foreach { case (h, (g, c)) =>
+      val body = Files.readString(out.resolve(s"output3-${(h + 1) * 360000L}"))
+      assert(body.contains(s"('citigroup', $c)"), s"h$h: $body")
+      assert(body.contains(s"('goldman', $g)"), s"h$h: $body")
+    }
+  }
+
+  test("streaming task4: chronological hour-08 batch fires the known trend") {
+    val in = tmp("t4in"); val out = tmp("t4out")
+    stage(in, 8 to 8) // dropoffs 08:00-08:59 → one micro-batch
+    val q = TaxiJobs.task4(spark, in.toString, out.toString)
+    q.processAllAvailable(); q.stop()
+    // [08:50,09:00) citigroup: 12 dropoffs vs 3 in [08:40,08:50) →
+    // fires (≥10, ≥2×3); window end 09:00 → ts 32400 → part-3240000
+    // (reference golden has the same firing with a partial count).
+    val f = out.resolve("part-3240000")
+    assert(Files.exists(f), s"missing; files=${out.toFile.list.toSeq}")
+    assert(Files.readString(f).trim == "(citigroup, (12, 32400, 3))")
+    // streaming batch output == batch-mode trend computation on same files
+    val expected = TaxiPipelines.trending(TaxiPipelines.tenMinHqCounts(
+        TaxiPipelines.scanSplit24(spark, in.toString, streaming = false)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    val gotFiles = out.toFile.list.toSeq.filter(_.startsWith("part-"))
+    assert(gotFiles.size == expected.map(_._3).size)
+  }
+
+  test("streaming task2: checkpoint recovery resumes without reprocessing") {
+    val in = tmp("ckin"); val out = tmp("ckout"); val ck = tmp("ck")
+    stage(in, 0 to 1)
+    val q1 = TaxiJobs.task2(spark, in.toString, out.toString, Some(ck.toString),
+      maxFilesPerTrigger = 60)
+    q1.processAllAvailable(); q1.stop()
+    assert(Files.readString(out.resolve("output-360000")).trim == "7396")
+    assert(Files.readString(out.resolve("output-720000")).trim == "5780")
+
+    stage(in, 2 to 2)
+    val q2 = TaxiJobs.task2(spark, in.toString, out.toString, Some(ck.toString),
+      maxFilesPerTrigger = 60)
+    q2.processAllAvailable()
+    val lastBatch = q2.lastProgress.batchId
+    q2.stop()
+    // recovered stream continues past the 2 committed batches
+    assert(lastBatch >= 2, s"batchId $lastBatch — checkpoint not recovered")
+    // new hour processed; previously final files untouched and correct
+    assert(Files.readString(out.resolve("output-1080000")).trim == "3605")
+    assert(Files.readString(out.resolve("output-360000")).trim == "7396")
+  }
+}
