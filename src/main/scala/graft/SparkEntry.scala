@@ -18,6 +18,7 @@ object SparkEntry {
     TextOps,
     Dedup,
     Similarity,
+    Multimodal,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

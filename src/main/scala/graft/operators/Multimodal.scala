@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column operators: treat media payloads as opaque `binary`
+  * columns with typed metadata, and run decode / feature-extract /
+  * frame-sample as partition-parallel transforms.
+  *
+  * The testdata has no real media, so the payload is the UTF-8 encoding
+  * of `documents.text` — which exercises the identical Spark plumbing
+  * (binary column, per-row metadata extraction, chunked feature
+  * extraction, stride sampling). The DECODE STEP IS A STUB: real image /
+  * audio decoders aren't in this environment; [[MultimodalStub.decode]]
+  * is a deterministic fake behind the same signature a JNI/Java decoder
+  * would have, and everything around it (schema, batching, partitioning)
+  * is real and tested.
+  *
+  * Scale notes: all ops are per-row / per-partition maps — no shuffle at
+  * any size; binary payloads stream through the scan without being
+  * assembled on the driver. For 100 TB of media the only knobs are input
+  * split size and `spark.sql.files.maxPartitionBytes` (large blobs →
+  * fewer rows per task, same plan).
+  */
+object Multimodal extends QueryModule {
+
+  /** Typed metadata over a binary column: length, digest, magic-bytes
+    * prefix — the catalog row a media lake keeps per blob. */
+  def binaryMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("payload", encode($"text", "UTF-8"))
+      .select(
+        $"doc_id",
+        octet_length($"payload").as("byte_len"),
+        md5($"payload").as("digest"),
+        hex(substring($"payload", 1, 8)).as("head_hex"))
+      .orderBy($"doc_id")
+  }
+
+  /** Stride sampling ("every Nth frame"): one output row per sampled
+    * offset — the frame-extraction shape for video/audio, here with a
+    * 16-byte stride over the payload. */
+  def frameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", $"text")
+      .withColumn("i", explode(expr("sequence(1, length(text), 16)")))
+      .select(
+        $"doc_id",
+        (($"i" - 1) / 16).cast("int").as("frame_no"),
+        expr("ascii(substring(text, i, 1))").as("frame_val"))
+      .orderBy($"doc_id", $"frame_no")
+  }
+
+  /** Feature extraction through the stubbed decoder: binary payload →
+    * fixed-width float vector, via `mapPartitions` (the batch-per-
+    * partition shape a real vectorized decoder wants). No oracle — the
+    * decoder is the stub; MultimodalSpec pins its behavior. */
+  def featureExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir)
+      .withColumn("payload", encode($"text", "UTF-8"))
+      .select($"doc_id", $"payload")
+      .as[(Long, Array[Byte])]
+    payloads.mapPartitions { it =>
+      // one decoder instance per partition — where a real decoder would
+      // allocate its native context once and reuse it across rows
+      val decoder = MultimodalStub
+      it.map { case (id, bytes) => (id, decoder.decode(bytes)) }
+    }.toDF("doc_id", "features")
+      .orderBy($"doc_id")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_binary_meta"     -> (binaryMeta _),
+    "mm_frame_sample"    -> (frameSample _),
+    "mm_feature_extract" -> (featureExtract _),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "mm_binary_meta" ->
+      """SELECT doc_id,
+        |       octet_length(encode(text)) AS byte_len,
+        |       md5(text) AS digest,
+        |       upper(to_hex(encode(substring(text, 1, 8)))) AS head_hex
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT doc_id,
+        |       CAST((i - 1) // 16 AS INT) AS frame_no,
+        |       ascii(substring(text, CAST(i AS INT), 1)) AS frame_val
+        |FROM documents, unnest(generate_series(1, length(text), 16)) AS t(i)
+        |ORDER BY doc_id, frame_no""".stripMargin,
+  )
+}
+
+/** STUB decoder — stands in for a real media decoder (libjpeg/ffmpeg
+  * style), which isn't available in this environment. Deterministic fake:
+  * 8 features, each the mean byte value of one eighth of the payload,
+  * scaled to [0, 1]. The signature (bytes in, fixed-width float vector
+  * out) is what a real implementation would keep. */
+object MultimodalStub {
+  val FEATURES = 8
+
+  def decode(bytes: Array[Byte]): Array[Float] = {
+    val n = bytes.length
+    Array.tabulate(FEATURES) { f =>
+      val lo = (n.toLong * f / FEATURES).toInt
+      val hi = (n.toLong * (f + 1) / FEATURES).toInt
+      if (hi <= lo) 0f
+      else {
+        var s = 0L
+        var i = lo
+        while (i < hi) { s += bytes(i) & 0xff; i += 1 }
+        (s.toDouble / (hi - lo) / 255.0).toFloat
+      }
+    }
+  }
+}
