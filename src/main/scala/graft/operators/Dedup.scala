@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryModule, Tables}
+import graft.functions.VectorDot.vectorDot
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -169,12 +170,12 @@ object Dedup extends QueryModule {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
       .withColumn("v", $"embedding".cast("array<double>"))
-      .withColumn("norm", sqrt(expr("aggregate(transform(v, x -> x * x), 0D, (a, b) -> a + b)")))
+      .withColumn("norm", sqrt(vectorDot($"v", $"v")))
       .select($"vec_id", $"v", $"norm")
     val a = e.select($"vec_id".as("vec_a"), $"v".as("va"), $"norm".as("norm_a"))
     val b = e.select($"vec_id".as("vec_b"), $"v".as("vb"), $"norm".as("norm_b"))
     a.join(b, $"vec_a" < $"vec_b")
-      .withColumn("dot", expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, b) -> a + b)"))
+      .withColumn("dot", vectorDot($"va", $"vb"))
       .withColumn("cos_sim", round($"dot" / ($"norm_a" * $"norm_b"), 6))
       .where($"cos_sim" >= 0.45)
       .select($"vec_a", $"vec_b", $"cos_sim")

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryModule, Tables}
 import graft.functions.ConstVectorDot.dotConst
+import graft.functions.VectorDot.vectorDot
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -21,9 +22,10 @@ import org.apache.spark.sql.functions._
   *   - LSH: signature computation is a per-row map (native
   *     [[graft.functions.ConstVectorDot]] projections); the bucket join
   *     shuffles by (table, bucket) only;
-  *   - all dot products run in whole-stage codegen — fold-based
-  *     (`aggregate(zip_with(...))`) for vector-vector, native constant
-  *     expression for vector-basis.
+  *   - all dot products run in whole-stage codegen — native
+  *     [[graft.functions.VectorDot]] for vector-vector, native constant
+  *     expression for vector-basis (both avoid the intermediate-array
+  *     allocation of an `aggregate(zip_with(...))` fold).
   */
 object Similarity extends QueryModule {
 
@@ -34,7 +36,7 @@ object Similarity extends QueryModule {
     import s.implicits._
     Tables.embeddings(s, dir)
       .withColumn("v", $"embedding".cast("array<double>"))
-      .withColumn("norm", sqrt(expr("aggregate(transform(v, x -> x * x), 0D, (a, b) -> a + b)")))
+      .withColumn("norm", sqrt(vectorDot($"v", $"v")))
       .select($"vec_id", $"v", $"norm")
   }
 
@@ -51,7 +53,7 @@ object Similarity extends QueryModule {
     broadcast(queriesOf(e))
       .join(e.select($"vec_id".as("neighbor_id"), $"v".as("nv"), $"norm".as("nnorm")),
             $"neighbor_id" =!= $"query_id")
-      .withColumn("dot", expr("aggregate(zip_with(qv, nv, (x, y) -> x * y), 0D, (a, b) -> a + b)"))
+      .withColumn("dot", vectorDot($"qv", $"nv"))
       .withColumn("cos", $"dot" / ($"qnorm" * $"nnorm"))
       .withColumn("rnk", row_number().over(byQuery))
       .where($"rnk" <= K)
@@ -72,8 +74,7 @@ object Similarity extends QueryModule {
     val cent = broadcast(e.filter($"vec_id" < NCENT)
       .select($"vec_id".as("cid"), $"v".as("cv"), $"norm".as("cnorm")))
     def cosTo(v: String, n: String) =
-      expr(s"aggregate(zip_with($v, cv, (x, y) -> x * y), 0D, (a, b) -> a + b)") /
-        (col(n) * $"cnorm")
+      vectorDot(col(v), $"cv") / (col(n) * $"cnorm")
 
     val assignW = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid".asc)
     val assign = e.join(cent)
@@ -93,7 +94,7 @@ object Similarity extends QueryModule {
     probes.join(assign.select($"cid", $"vec_id".as("neighbor_id"),
                               $"v".as("nv"), $"norm".as("nnorm")), "cid")
       .where($"neighbor_id" =!= $"query_id")
-      .withColumn("dot", expr("aggregate(zip_with(qv, nv, (x, y) -> x * y), 0D, (a, b) -> a + b)"))
+      .withColumn("dot", vectorDot($"qv", $"nv"))
       .withColumn("cos", $"dot" / ($"qnorm" * $"nnorm"))
       .withColumn("rnk", row_number().over(byQuery))
       .where($"rnk" <= K)
@@ -143,7 +144,7 @@ object Similarity extends QueryModule {
     val byQuery = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
     cand.join(vecs(s, dir).select($"vec_id".as("neighbor_id"), $"v".as("nv"), $"norm".as("nnorm")),
               "neighbor_id")
-      .withColumn("dot", expr("aggregate(zip_with(qv, nv, (x, y) -> x * y), 0D, (a, b) -> a + b)"))
+      .withColumn("dot", vectorDot($"qv", $"nv"))
       .withColumn("cos", $"dot" / ($"qnorm" * $"nnorm"))
       .withColumn("rnk", row_number().over(byQuery))
       .where($"rnk" <= K)
