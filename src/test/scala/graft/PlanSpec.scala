@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the properties that decide 100 TB viability
+  * (scan pushdown, column pruning, broadcast vs shuffle joins, native
+  * expressions inside codegen) must not silently regress. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Formatted explain (full PushedFilters / ReadSchema, untruncated). */
+  private def formatted(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, TestSpark.sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  /** Final adaptive plan, materialized by running the query. */
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, TestSpark.sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filter_project pushes filters and prunes columns at the scan") {
+    val p = formatted("rel_filter_project")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"), p)
+    assert(p.contains("LessThan(l_quantity,24.0)"), p)
+    // pruned read: the 11-column table reaches the scan as 6 columns
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_returnflag"), readSchema)
+    assert(!readSchema.contains("l_tax"), readSchema)
+    assert(readSchema.contains("l_shipdate"), readSchema)
+  }
+
+  test("revenue_by_nation broadcasts dimensions, shuffles facts") {
+    val p = formatted("rel_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // partial aggregation before the exchange (map-side combine)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("classify runs the native expression inside whole-stage codegen") {
+    val p = executedPlan("ev_classify_geo")
+    assert(p.contains("point_in_polygon"), p)
+    assert(p.contains("*("), p) // '*(n)' = WholeStageCodegen stage
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+
+  test("brute-force topk broadcasts the query side") {
+    val p = executedPlan("sim_topk_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("vector_dot"), p)
+    assert(p.contains("*("), p) // '*(n)' = WholeStageCodegen stage
+  }
+
+  test("events scan prunes columns for windowed count") {
+    val p = formatted("ev_10min_by_type")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("props"), readSchema)
+    assert(!readSchema.contains("value"), readSchema)
+  }
+
+  test("text quality is a single-pass scan (only the presentation sort shuffles)") {
+    val p = formatted("text_quality")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"$exchanges Exchanges:\n$p") // range-partition sort only
+    assert(!p.contains("hashpartitioning"), p)
+  }
+}
