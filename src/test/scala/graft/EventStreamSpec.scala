@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+import graft.streaming.EventStreamOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stream == batch equivalence for the watermarked window agg and the
+  * custom keyed-state operator, driven by a real multi-batch file stream
+  * (events split into 4 time-ranged parquet files, 1 file per trigger,
+  * arbitrary pickup order). */
+class EventStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** events staged as 4 range-partitioned parquet files, with modification
+    * times set so the file source picks them up in chronological order —
+    * an out-of-order feed would (correctly) drop whole late files once the
+    * watermark passes them, making the expected set order-dependent. */
+  private lazy val stagedDir: String = {
+    val dir = Files.createTempDirectory("evstream").toString
+    Tables.events(spark, TestSpark.sf)
+      .repartitionByRange(4, col("ts"))
+      .write.mode("overwrite").parquet(dir)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      // range partition i holds the i-th time slice; stamp mtimes ascending
+      Files.setLastModifiedTime(f.toPath,
+        java.nio.file.attribute.FileTime.fromMillis(1000L * (i + 1)))
+    }
+    dir
+  }
+
+  private def streamOf(dir: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+  }
+
+  test("watermarked 10-min agg: append mode emits exactly the closed windows") {
+    val q = EventStreamOps.watermarkedTenMin(streamOf(stagedDir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wm_out")
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("wm_out").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    val batch = Tables.events(spark, TestSpark.sf)
+    val maxTs = batch.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val watermark = new java.sql.Timestamp(maxTs.getTime - 30 * 60 * 1000)
+    val expected = batch
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type")).count()
+      .where(col("window.end") <= lit(watermark))
+      .select(col("window.start"), col("event_type"), col("count"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    assert(got == expected,
+      s"emitted ${got.size} windows, expected ${expected.size}")
+    assert(got.nonEmpty)
+  }
+
+  test("mapGroupsWithState running counts converge to batch per-user counts") {
+    val q = EventStreamOps.runningUserCounts(streamOf(stagedDir))
+      .writeStream.outputMode(EventStreamOps.runningCountsMode)
+      .format("memory").queryName("uc_out")
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    // update mode re-emits a user on every batch that touches it; the
+    // final (max) value per user is the converged running count
+    val got = spark.table("uc_out").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).max).toMap
+    val expected = Tables.events(spark, TestSpark.sf)
+      .groupBy(col("user_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+}
