@@ -19,6 +19,7 @@ object SparkEntry {
     Dedup,
     Similarity,
     Multimodal,
+    Sketches,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -40,8 +40,8 @@ class SparkEntrySpec extends AnyFunSuite {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // Non-SQL-expressible ops (hash-dependent sketches etc.) are allowed
     // to skip the DuckDB oracle; keep this list explicit and short.
-    val allowed = Set("dedup_minhash_lsh", "dedup_simhash", "sim_ann_lsh",
-      "mm_feature_extract")
+    val allowed = Set("dedup_simhash", "sim_ann_lsh",
+      "mm_feature_extract", "sketch_approx_distinct")
     assert((noOracle -- allowed).isEmpty,
       s"queries missing an oracle: ${noOracle -- allowed}")
   }
