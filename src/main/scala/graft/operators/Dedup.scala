@@ -95,16 +95,19 @@ object Dedup extends QueryModule {
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = shingled(s, dir)
-    // x = shingle → [0, P) via murmur3; signature = K column-wise mins
+    // x = shingle → [0, P) via murmur3; signature = K column-wise mins in
+    // one imperative buffer ([[graft.functions.MinHashSketch]]) instead
+    // of K generated min() aggregates
     val ex = docs.select($"doc_id", explode($"shingles").as("sh"))
       .withColumn("x", pmod(hash($"sh").cast("long"), lit(P)))
-    val minCols = (0 until K).map(k =>
-      min(pmod(lit(hashA(k)) * $"x" + lit(hashB(k)), lit(P))).as(s"m$k"))
-    val sig = ex.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+    val sig = ex.groupBy($"doc_id")
+      .agg(graft.functions.SketchAggregates
+        .minhashSketch($"x", hashA, hashB, P).as("sig"))
     // LSH banding: band value = hash of its ROWS signature slots
     val bandCols = (0 until BANDS).map { b =>
       struct(lit(b).as("band"),
-             hash((0 until ROWS).map(r => col(s"m${b * ROWS + r}")): _*).as("bv"))
+             hash((0 until ROWS).map(r =>
+               element_at($"sig", b * ROWS + r + 1)): _*).as("bv"))
     }
     val bands = sig.select($"doc_id", explode(array(bandCols: _*)).as("bb"))
       .select($"doc_id", $"bb.band".as("band"), $"bb.bv".as("bv"))
@@ -140,13 +143,8 @@ object Dedup extends QueryModule {
     val toks = shingled(s, dir)
       .select($"doc_id", explode($"shingles").as("t"))
       .withColumn("x", xxhash64($"t"))
-    val bitSums = (0 until 64).map(i =>
-      sum(when(shiftright($"x", i).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1)).as(s"s$i"))
-    val sig = toks.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .withColumn("simhash",
-        (0 until 64).map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce(_ + _))
-      .select($"doc_id", $"simhash")
+    val sig = toks.groupBy($"doc_id")
+      .agg(graft.functions.SketchAggregates.simhashSketch($"x").as("simhash"))
     val blocks = sig.select($"doc_id", $"simhash", explode(array(
       (0 until 8).map(blk =>
         struct(lit(blk).as("blk"),

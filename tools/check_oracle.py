@@ -44,7 +44,7 @@ def main(sf_dir, out_dir):
         exp = con.sql(oracles[name])
         gcols = sorted(got.columns)
         ecols = sorted(exp.columns)
-        if [c.lower() for c in gcols] != [c.lower() for c in ecols]:
+        if gcols != ecols:
             print(f"FAIL  {name:30s} SCHEMA got={gcols} exp={ecols}")
             n_fail += 1
             continue
