@@ -129,26 +129,29 @@ object Dedup extends QueryModule {
 
   // ----------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash near-dup: per-doc signed bit sums over 3-gram shingle
-    * hashes (xxhash64); pairs within hamming distance ≤ 3. Blocking: 8
-    * blocks of 8 bits — any pair at distance ≤ 3 shares at least five
-    * identical blocks (pigeonhole), so the equi-join on (block, value) is
-    * exact, not approximate. Shingles, not tokens: this corpus draws from
-    * a tiny shared vocabulary, so token-level signatures collide en masse
-    * while shingle-level ones separate cleanly. No DuckDB oracle
-    * (xxhash64-dependent); cross-checked in DedupSpec against the Jaccard
-    * ground truth. */
+  /** 60-bit SimHash near-dup: per-doc signed bit sums over 3-gram shingle
+    * hashes; pairs within hamming distance ≤ 3. Blocking: 6 blocks of 10
+    * bits — any pair at distance ≤ 3 shares at least three identical
+    * blocks (pigeonhole), so the equi-join on (block, value) is exact,
+    * not approximate. Shingles, not tokens: this corpus draws from a tiny
+    * shared vocabulary, so token-level signatures collide en masse while
+    * shingle-level ones separate cleanly.
+    *
+    * The shingle hash is the top 60 bits of md5 (15 hex chars → long):
+    * unlike xxhash64, md5 is reproducible in DuckDB, so the whole
+    * operator is oracle-checked end-to-end. Also cross-checked in
+    * DedupSpec against the Jaccard ground truth. */
   def simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val toks = shingled(s, dir)
       .select($"doc_id", explode($"shingles").as("t"))
-      .withColumn("x", xxhash64($"t"))
+      .withColumn("x", conv(substring(md5($"t"), 1, 15), 16, 10).cast("long"))
     val sig = toks.groupBy($"doc_id")
       .agg(graft.functions.SketchAggregates.simhashSketch($"x").as("simhash"))
     val blocks = sig.select($"doc_id", $"simhash", explode(array(
-      (0 until 8).map(blk =>
+      (0 until 6).map(blk =>
         struct(lit(blk).as("blk"),
-               shiftright($"simhash", 8 * blk).bitwiseAND(lit(0xffL)).as("bv"))): _*)).as("bb"))
+               shiftright($"simhash", 10 * blk).bitwiseAND(lit(0x3ffL)).as("bv"))): _*)).as("bb"))
       .select($"doc_id", $"simhash", $"bb.blk".as("blk"), $"bb.bv".as("bv"))
     blocks.as("a").join(blocks.as("b"),
         $"a.blk" === $"b.blk" && $"a.bv" === $"b.bv" && $"a.doc_id" < $"b.doc_id")
@@ -211,13 +214,46 @@ object Dedup extends QueryModule {
     "dedup_ngram_jaccard" -> jaccardOracle,
     // minhash+LSH verifies candidates with exact jaccard, so its output
     // equals the exact computation (deterministically, on this data).
+    // DedupSpec separately asserts the containment direction (LSH ⊆ exact)
+    // and full recall on this corpus, so a banding miss would surface as a
+    // recall-assert failure, not a mystery hash mismatch.
     "dedup_minhash_lsh" -> jaccardOracle,
+    // Full SimHash rebuild in SQL: same md5-derived 60-bit shingle hashes,
+    // same signed bit sums (tie s=0 → bit 0), same hamming ≤ 3 cut.
+    "dedup_simhash" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |d AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(tok) - 2, 1)),
+        |         i -> array_to_string(tok[i:i+2], ' '))) AS shingles
+        |  FROM t
+        |), e AS (
+        |  SELECT doc_id, unnest(shingles) AS sh FROM d
+        |), h AS (
+        |  SELECT doc_id, CAST(CAST(('0x' || substr(md5(sh), 1, 15)) AS UBIGINT) AS BIGINT) AS x
+        |  FROM e
+        |), bitsums AS (
+        |  SELECT doc_id, b, sum(CASE WHEN ((x >> b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h, unnest(generate_series(0, 59)) AS g(b)
+        |  GROUP BY doc_id, b
+        |), sig AS (
+        |  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bitsums GROUP BY doc_id
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // Explicit dot/sqrt/divide (not list_cosine_similarity) = the exact
+    // operation sequence of the Spark side → bit-identical doubles before
+    // the shared round(…, 6).
     "dedup_embcos" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |e AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e0)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |       round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+        |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.45
         |ORDER BY vec_a, vec_b""".stripMargin,
   )
 }

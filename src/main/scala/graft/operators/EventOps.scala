@@ -199,6 +199,10 @@ object EventOps extends QueryModule {
     "ev_sessionize" ->
       """WITH x AS (
         |  SELECT user_id, event_id, ts, value,
+        |         -- > (not >=): Spark's session_window MERGES a gap equal to
+        |         -- exactly the timeout (sessions touch → one session; split
+        |         -- only when gap > timeout). Pinned by SessionizeSpec's
+        |         -- exact-30-minute-gap fixture.
         |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |                   > INTERVAL '30 minutes'
         |              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL

@@ -56,8 +56,11 @@ object Multimodal extends QueryModule {
 
   /** Feature extraction through the stubbed decoder: binary payload →
     * fixed-width float vector, via `mapPartitions` (the batch-per-
-    * partition shape a real vectorized decoder wants). No oracle — the
-    * decoder is the stub; MultimodalSpec pins its behavior. */
+    * partition shape a real vectorized decoder wants). Output is exploded
+    * to one `(doc_id, feature_idx, feature)` row per feature — scalar
+    * rows, so the driver's row-hash compare (which can't sort on array
+    * cells) applies, and the stub's integer-sum/double-divide/float-round
+    * arithmetic is reproduced exactly by the DuckDB oracle. */
   def featureExtract(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val payloads = Tables.documents(s, dir)
@@ -70,13 +73,34 @@ object Multimodal extends QueryModule {
       val decoder = MultimodalStub
       it.map { case (id, bytes) => (id, decoder.decode(bytes)) }
     }.toDF("doc_id", "features")
-      .orderBy($"doc_id")
+      .select($"doc_id", posexplode($"features").as(Seq("feature_idx", "feature")))
+      .orderBy($"doc_id", $"feature_idx")
+  }
+
+  /** Resize through the stubbed decoder: payload downsampled to a fixed
+    * 32-bucket thumbnail (floor of the mean byte per bucket) — the
+    * image-resize shape over opaque binary, pure integer math so the
+    * oracle matches exactly. Same mapPartitions batching as
+    * [[featureExtract]]. */
+  def resize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir)
+      .withColumn("payload", encode($"text", "UTF-8"))
+      .select($"doc_id", $"payload")
+      .as[(Long, Array[Byte])]
+    payloads.mapPartitions { it =>
+      val decoder = MultimodalStub
+      it.map { case (id, bytes) => (id, decoder.resize(bytes, 32)) }
+    }.toDF("doc_id", "pixels")
+      .select($"doc_id", posexplode($"pixels").as(Seq("pixel_idx", "pixel")))
+      .orderBy($"doc_id", $"pixel_idx")
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta"     -> (binaryMeta _),
     "mm_frame_sample"    -> (frameSample _),
     "mm_feature_extract" -> (featureExtract _),
+    "mm_resize"          -> (resize _),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -92,6 +116,39 @@ object Multimodal extends QueryModule {
         |       ascii(substring(text, CAST(i AS INT), 1)) AS frame_val
         |FROM documents, unnest(generate_series(1, length(text), 16)) AS t(i)
         |ORDER BY doc_id, frame_no""".stripMargin,
+    // The stub decoder, re-expressed: payload bytes are the ASCII codes of
+    // `text` (all-ASCII corpus); feature f = float32 of
+    // sum(bytes[lo, hi)) / (hi - lo) / 255.0 with lo = n*f/8, hi = n*(f+1)/8.
+    // Integer sums + two double divides + one final float round — the
+    // exact IEEE sequence of MultimodalStub.decode, so values match bitwise.
+    "mm_feature_extract" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |fb AS (
+        |  SELECT doc_id, f AS feature_idx,
+        |         sum(ascii(substring(text, CAST(i AS INT), 1))) AS s,
+        |         count(*) AS cnt
+        |  FROM d,
+        |       unnest(generate_series(0, 7)) AS g1(f),
+        |       unnest(generate_series((n * f) // 8 + 1, (n * (f + 1)) // 8)) AS g2(i)
+        |  GROUP BY doc_id, f
+        |)
+        |SELECT doc_id, CAST(feature_idx AS INT) AS feature_idx,
+        |       CAST(CAST(s AS DOUBLE) / cnt / 255.0 AS REAL) AS feature
+        |FROM fb ORDER BY doc_id, feature_idx""".stripMargin,
+    "mm_resize" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |fb AS (
+        |  SELECT doc_id, b AS pixel_idx,
+        |         sum(ascii(substring(text, CAST(i AS INT), 1))) AS s,
+        |         count(*) AS cnt
+        |  FROM d,
+        |       unnest(generate_series(0, 31)) AS g1(b),
+        |       unnest(generate_series((n * b) // 32 + 1, (n * (b + 1)) // 32)) AS g2(i)
+        |  GROUP BY doc_id, b
+        |)
+        |SELECT doc_id, CAST(pixel_idx AS INT) AS pixel_idx,
+        |       CAST(s // cnt AS INT) AS pixel
+        |FROM fb ORDER BY doc_id, pixel_idx""".stripMargin,
   )
 }
 
@@ -114,6 +171,23 @@ object MultimodalStub {
         var i = lo
         while (i < hi) { s += bytes(i) & 0xff; i += 1 }
         (s.toDouble / (hi - lo) / 255.0).toFloat
+      }
+    }
+  }
+
+  /** Downsample to `width` buckets: floor of the mean byte per bucket.
+    * Pure integer math (sum / count) → engine-exact. */
+  def resize(bytes: Array[Byte], width: Int): Array[Int] = {
+    val n = bytes.length
+    Array.tabulate(width) { b =>
+      val lo = (n.toLong * b / width).toInt
+      val hi = (n.toLong * (b + 1) / width).toInt
+      if (hi <= lo) 0
+      else {
+        var s = 0L
+        var i = lo
+        while (i < hi) { s += bytes(i) & 0xff; i += 1 }
+        (s / (hi - lo)).toInt
       }
     }
   }

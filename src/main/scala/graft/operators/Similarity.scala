@@ -44,20 +44,26 @@ object Similarity extends QueryModule {
     e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
 
-  /** Exact top-k: every 50th vector queries the full corpus. */
+  /** Exact top-k: every 50th vector queries the full corpus.
+    *
+    * Ranking runs on the ROUNDED score (then neighbor_id): the oracle's
+    * floating-point cosine is engine-reproducible (same sequential dot /
+    * sqrt / divide sequence), but ranking on unrounded doubles would make
+    * the gate hostage to any future last-ulp divergence on near-ties —
+    * round(…, 6) first makes the order robust by construction. */
   def topkBruteForce(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = vecs(s, dir)
     val byQuery = Window.partitionBy($"query_id")
-      .orderBy($"cos".desc, $"neighbor_id".asc)
+      .orderBy($"score".desc, $"neighbor_id".asc)
     broadcast(queriesOf(e))
       .join(e.select($"vec_id".as("neighbor_id"), $"v".as("nv"), $"norm".as("nnorm")),
             $"neighbor_id" =!= $"query_id")
       .withColumn("dot", vectorDot($"qv", $"nv"))
-      .withColumn("cos", $"dot" / ($"qnorm" * $"nnorm"))
+      .withColumn("score", round($"dot" / ($"qnorm" * $"nnorm"), 6))
       .withColumn("rnk", row_number().over(byQuery))
       .where($"rnk" <= K)
-      .select($"query_id", $"neighbor_id", $"rnk", round($"cos", 6).as("score"))
+      .select($"query_id", $"neighbor_id", $"rnk", $"score")
       .orderBy($"query_id", $"rnk")
   }
 
@@ -74,7 +80,7 @@ object Similarity extends QueryModule {
     val cent = broadcast(e.filter($"vec_id" < NCENT)
       .select($"vec_id".as("cid"), $"v".as("cv"), $"norm".as("cnorm")))
     def cosTo(v: String, n: String) =
-      vectorDot(col(v), $"cv") / (col(n) * $"cnorm")
+      round(vectorDot(col(v), $"cv") / (col(n) * $"cnorm"), 6)
 
     val assignW = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid".asc)
     val assign = e.join(cent)
@@ -90,36 +96,40 @@ object Similarity extends QueryModule {
       .where($"prn" <= NPROBE)
       .select($"query_id", $"qv", $"qnorm", $"cid")
 
-    val byQuery = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
+    val byQuery = Window.partitionBy($"query_id").orderBy($"score".desc, $"neighbor_id".asc)
     probes.join(assign.select($"cid", $"vec_id".as("neighbor_id"),
                               $"v".as("nv"), $"norm".as("nnorm")), "cid")
       .where($"neighbor_id" =!= $"query_id")
       .withColumn("dot", vectorDot($"qv", $"nv"))
-      .withColumn("cos", $"dot" / ($"qnorm" * $"nnorm"))
+      .withColumn("score", round($"dot" / ($"qnorm" * $"nnorm"), 6))
       .withColumn("rnk", row_number().over(byQuery))
       .where($"rnk" <= K)
-      .select($"query_id", $"neighbor_id", $"rnk", round($"cos", 6).as("score"))
+      .select($"query_id", $"neighbor_id", $"rnk", $"score")
       .orderBy($"query_id", $"rnk")
   }
 
   // Random-hyperplane LSH: 4 tables × 6-bit signatures. Plane components
-  // come from a fixed-seed LCG → identical across runs/engines.
+  // come from a fixed-seed LCG → identical across runs/engines. Components
+  // are exact rationals k/1000 (k integer), so the oracle SQL can rebuild
+  // the very same doubles from the integer matrix (k / 1000.0).
   private val TABLES = 4
   private val BITS = 6
   private val DIM = 64
   private def lcg(x: Long): Long =
     (x * 6364136223846793005L + 1442695040888963407L) & 0x7fffffffffffffffL
-  private[operators] val planes: Array[Array[Double]] =
+  private[operators] val planeInts: Array[Array[Int]] =
     Array.tabulate(TABLES * BITS) { h =>
-      Array.tabulate(DIM) { d => (lcg(h.toLong * DIM + d + 7) % 2001 - 1000) / 1000.0 }
+      Array.tabulate(DIM) { d => (lcg(h.toLong * DIM + d + 7) % 2001 - 1000).toInt }
     }
+  private[operators] val planes: Array[Array[Double]] =
+    planeInts.map(_.map(_ / 1000.0))
 
   /** LSH-bucketed ANN: candidates share a (table, bucket) signature with
     * the query in any of the 4 tables; exact cosine ranks candidates.
     * Recall depends on neighbor angular gap — cross-checked against
-    * [[topkBruteForce]] in SimilaritySpec. No oracle (signature
-    * construction is not worth porting to SQL; the verified exact and IVF
-    * variants cover correctness). */
+    * [[topkBruteForce]] in SimilaritySpec, and fully oracle-checked: the
+    * plane constants are inlined into the oracle SQL, so DuckDB rebuilds
+    * the identical signatures. */
   def topkLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = vecs(s, dir)
@@ -141,14 +151,14 @@ object Similarity extends QueryModule {
       .select($"query_id", $"qv", $"qnorm", $"neighbor_id")
       .distinct()
 
-    val byQuery = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
+    val byQuery = Window.partitionBy($"query_id").orderBy($"score".desc, $"neighbor_id".asc)
     cand.join(vecs(s, dir).select($"vec_id".as("neighbor_id"), $"v".as("nv"), $"norm".as("nnorm")),
               "neighbor_id")
       .withColumn("dot", vectorDot($"qv", $"nv"))
-      .withColumn("cos", $"dot" / ($"qnorm" * $"nnorm"))
+      .withColumn("score", round($"dot" / ($"qnorm" * $"nnorm"), 6))
       .withColumn("rnk", row_number().over(byQuery))
       .where($"rnk" <= K)
-      .select($"query_id", $"neighbor_id", $"rnk", round($"cos", 6).as("score"))
+      .select($"query_id", $"neighbor_id", $"rnk", $"score")
       .orderBy($"query_id", $"rnk")
   }
 
@@ -158,47 +168,97 @@ object Similarity extends QueryModule {
     "sim_ann_lsh"         -> (topkLsh _),
   )
 
+  // Shared oracle preamble: vectors as doubles with precomputed norms.
+  // Cosine = list_dot_product(a, b) / (nrm_a * nrm_b) is the exact
+  // operation sequence of the Spark side (sequential dot, sqrt, multiply,
+  // divide — all IEEE-deterministic), so scores are bit-identical before
+  // rounding; ranking then runs on round(score, 6) in both engines.
+  private val vecCte =
+    """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |e AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e0)""".stripMargin
+
+  /** The LSH plane matrix as SQL VALUES rows `(h, plane DOUBLE[])`. */
+  private def planeSqlValues: String =
+    planeInts.zipWithIndex.map { case (row, h) =>
+      s"($h, list_transform([${row.mkString(",")}], k -> k / 1000.0))"
+    }.mkString(",\n")
+
   override def oracles: Map[String, String] = Map(
     "sim_topk_bruteforce" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      s"""$vecCte
          |SELECT query_id, neighbor_id, rnk, score FROM (
          |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |         round(list_dot_product(q.v, n.v) / (q.nrm * n.nrm), 6) AS score,
          |         row_number() OVER (PARTITION BY q.vec_id
-         |             ORDER BY list_cosine_similarity(q.v, n.v) DESC, n.vec_id ASC) AS rnk,
-         |         round(list_cosine_similarity(q.v, n.v), 6) AS score
+         |             ORDER BY round(list_dot_product(q.v, n.v) / (q.nrm * n.nrm), 6) DESC,
+         |                      n.vec_id ASC) AS rnk
          |  FROM e q JOIN e n ON q.vec_id % 50 = 0 AND n.vec_id <> q.vec_id
          |)
          |WHERE rnk <= $K
          |ORDER BY query_id, rnk""".stripMargin,
     "sim_topk_ivf" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $NCENT),
+      s"""$vecCte,
+         |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e WHERE vec_id < $NCENT),
          |assign AS (
          |  SELECT vec_id, cid FROM (
          |    SELECT e.vec_id, c.cid,
          |           row_number() OVER (PARTITION BY e.vec_id
-         |               ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS rn
+         |               ORDER BY round(list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm), 6) DESC,
+         |                        c.cid ASC) AS rn
          |    FROM e CROSS JOIN c)
          |  WHERE rn = 1
          |),
-         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM e WHERE vec_id % 50 = 0),
          |probes AS (
          |  SELECT query_id, cid FROM (
          |    SELECT q.query_id, c.cid,
          |           row_number() OVER (PARTITION BY q.query_id
-         |               ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid ASC) AS rn
+         |               ORDER BY round(list_dot_product(q.qv, c.cv) / (q.qnrm * c.cnrm), 6) DESC,
+         |                        c.cid ASC) AS rn
          |    FROM q CROSS JOIN c)
          |  WHERE rn <= $NPROBE
          |)
          |SELECT query_id, neighbor_id, rnk, score FROM (
          |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |         round(list_dot_product(q.qv, e.v) / (q.qnrm * e.nrm), 6) AS score,
          |         row_number() OVER (PARTITION BY p.query_id
-         |             ORDER BY list_cosine_similarity(q.qv, e.v) DESC, a.vec_id ASC) AS rnk,
-         |         round(list_cosine_similarity(q.qv, e.v), 6) AS score
+         |             ORDER BY round(list_dot_product(q.qv, e.v) / (q.qnrm * e.nrm), 6) DESC,
+         |                      a.vec_id ASC) AS rnk
          |  FROM probes p
          |  JOIN assign a ON p.cid = a.cid
          |  JOIN e ON e.vec_id = a.vec_id AND e.vec_id <> p.query_id
          |  JOIN q ON q.query_id = p.query_id
+         |)
+         |WHERE rnk <= $K
+         |ORDER BY query_id, rnk""".stripMargin,
+    "sim_ann_lsh" ->
+      s"""$vecCte,
+         |pl AS (SELECT * FROM (VALUES
+         |$planeSqlValues
+         |) AS t(h, p)),
+         |bits AS (
+         |  SELECT e.vec_id, pl.h,
+         |         CASE WHEN list_dot_product(e.v, pl.p) > 0 THEN 1 ELSE 0 END AS bit
+         |  FROM e CROSS JOIN pl
+         |),
+         |buckets AS (
+         |  SELECT vec_id, h // $BITS AS tbl, sum(bit * (1 << (h % $BITS))) AS bucket
+         |  FROM bits GROUP BY 1, 2
+         |),
+         |cand AS (
+         |  SELECT DISTINCT qb.vec_id AS query_id, n.vec_id AS neighbor_id
+         |  FROM buckets qb JOIN buckets n ON qb.tbl = n.tbl AND qb.bucket = n.bucket
+         |  WHERE qb.vec_id % 50 = 0 AND n.vec_id <> qb.vec_id
+         |)
+         |SELECT query_id, neighbor_id, rnk, score FROM (
+         |  SELECT c.query_id, c.neighbor_id,
+         |         round(list_dot_product(q.v, n.v) / (q.nrm * n.nrm), 6) AS score,
+         |         row_number() OVER (PARTITION BY c.query_id
+         |             ORDER BY round(list_dot_product(q.v, n.v) / (q.nrm * n.nrm), 6) DESC,
+         |                      c.neighbor_id ASC) AS rnk
+         |  FROM cand c
+         |  JOIN e q ON q.vec_id = c.query_id
+         |  JOIN e n ON n.vec_id = c.neighbor_id
          |)
          |WHERE rnk <= $K
          |ORDER BY query_id, rnk""".stripMargin,

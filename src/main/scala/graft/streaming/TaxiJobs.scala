@@ -105,7 +105,9 @@ object TaxiJobs {
           val body = rows.sortBy(_._1)
             .map { case (hq, n, t, p) => s"($hq, ($n, $t, $p))" }
             .mkString("\n")
-          write(output, s"part-${ts * 100L}", body)
+          // Midnight mapping per the reference: `(24 if ts == 0 else ts) * 100`
+          // (`Task4.py:136-137`) — a window ending at 00:00 stamps part-2400.
+          write(output, s"part-${(if (ts == 0) 24L else ts.toLong) * 100L}", body)
           rows.foreach { case (hq, n, t, p) =>
             println(s"The number of arrivals to $hq has doubled from $p to $n at $t!")
           }

@@ -17,11 +17,24 @@ class DedupSpec extends AnyFunSuite {
     assert(exactPairs.nonEmpty)
   }
 
-  test("minhash+LSH output equals exact jaccard output") {
-    // Candidate generation is approximate but the exact-jaccard verify
-    // makes false positives impossible; this asserts no false negatives
-    // on this dataset either (8 bands × 4 rows vs j ≈ 0.9 planted pairs).
-    assert(pairs(Dedup.minhashLsh(spark, TestSpark.sf)) == exactPairs)
+  test("minhash+LSH: precision direction — never invents a pair") {
+    // Guaranteed by construction: candidates are verified with exact
+    // jaccard, so false positives are impossible at ANY recall level.
+    val lsh = pairs(Dedup.minhashLsh(spark, TestSpark.sf))
+    val invented = lsh -- exactPairs
+    assert(invented.isEmpty, s"LSH emitted non-dup pairs: $invented")
+  }
+
+  test("minhash+LSH: recall direction — full recall on this corpus") {
+    // NOT guaranteed in general (8 bands × 4 rows has its S-curve knee
+    // near j ≈ 0.6; a j = 0.8 pair can in principle miss all bands), but
+    // deterministic per dataset, and on this corpus the planted pairs sit
+    // at j ≈ 0.9+ where band-miss probability is negligible — this assert
+    // is what licenses reusing the exact-jaccard SQL as the LSH oracle.
+    // If it ever fails the oracle must switch to a containment check, not
+    // the operator to a weaker one.
+    val missed = exactPairs -- pairs(Dedup.minhashLsh(spark, TestSpark.sf))
+    assert(missed.isEmpty, s"LSH missed near-dup pairs: $missed")
   }
 
   test("simhash pairs are a subset of jaccard near-dups (≥ 0.5)") {

@@ -17,16 +17,29 @@ class MultimodalSpec extends AnyFunSuite {
       Seq.fill(MultimodalStub.FEATURES)(0f))
   }
 
-  test("featureExtract: one fixed-width vector per doc, matches local decode") {
+  test("featureExtract: FEATURES rows per doc, matches local decode") {
     val rows = Multimodal.featureExtract(spark, TestSpark.sf).collect()
-    assert(rows.length == 500)
-    rows.foreach { r =>
-      assert(r.getSeq[Float](1).size == MultimodalStub.FEATURES, s"doc ${r.getLong(0)}")
-    }
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getFloat(2)).toMap
+    val nDocs = graft.Tables.documents(spark, TestSpark.sf).count()
+    assert(rows.size == nDocs * MultimodalStub.FEATURES)
     // spot-check doc 0 against a driver-side decode of the same payload
     val text0 = graft.Tables.documents(spark, TestSpark.sf)
       .filter("doc_id = 0").collect().head.getAs[String]("text")
     val expected = MultimodalStub.decode(text0.getBytes("UTF-8")).toSeq
-    assert(rows.find(_.getLong(0) == 0L).get.getSeq[Float](1) == expected)
+    expected.zipWithIndex.foreach { case (v, i) =>
+      assert(rows((0L, i)) == v, s"feature $i")
+    }
+  }
+
+  test("resize: fixed 32-bucket thumbnail, floor-mean integer math") {
+    val local = MultimodalStub.resize("abcdefgh".getBytes("UTF-8"), 4)
+    assert(local.toSeq == Seq((97 + 98) / 2, (99 + 100) / 2, (101 + 102) / 2, (103 + 104) / 2))
+    val rows = Multimodal.resize(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val text0 = graft.Tables.documents(spark, TestSpark.sf)
+      .filter("doc_id = 0").collect().head.getAs[String]("text")
+    MultimodalStub.resize(text0.getBytes("UTF-8"), 32).zipWithIndex.foreach {
+      case (v, i) => assert(rows((0L, i)) == v, s"pixel $i")
+    }
   }
 }

@@ -38,10 +38,13 @@ class SparkEntrySpec extends AnyFunSuite {
 
   test("oracle coverage: queries without an oracle are known exceptions") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // Non-SQL-expressible ops (hash-dependent sketches etc.) are allowed
-    // to skip the DuckDB oracle; keep this list explicit and short.
-    val allowed = Set("dedup_simhash", "sim_ann_lsh",
-      "mm_feature_extract", "sketch_approx_distinct")
+    // Only HLL remains oracle-less: its estimate is implementation-defined
+    // (DuckDB's approx_count_distinct uses a different sketch), so the
+    // gate is SketchSpec's 5%-of-exact error bound instead. Everything
+    // else — including simhash (md5-based hashes), ANN-LSH (plane
+    // constants inlined into the SQL), and the stubbed multimodal decode —
+    // is rebuilt exactly in DuckDB.
+    val allowed = Set("sketch_approx_distinct")
     assert((noOracle -- allowed).isEmpty,
       s"queries missing an oracle: ${noOracle -- allowed}")
   }
