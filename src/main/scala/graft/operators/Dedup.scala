@@ -29,16 +29,55 @@ object Dedup extends QueryModule {
 
   // ---------------------------------------------------------------- shingles
 
+  /** text → distinct 3-token shingles, first-occurrence order. One tight
+    * JVM loop instead of the equivalent
+    * `array_distinct(transform(sequence(...), i -> concat_ws(slice(...))))`
+    * expression tree, whose per-shingle array allocations measured ~2.3 s
+    * per evaluation at sf0.1 (vs ~0.3 s for this UDF). Semantics match
+    * the oracle's `list_distinct(list_transform(...))` exactly, including
+    * the short-doc edge (< 3 tokens → one short shingle). */
+  private val shingleGen = udf { text: String =>
+    val toks = text.split(" ")
+    val n = math.max(toks.length - 2, 1)
+    val seen = new java.util.LinkedHashSet[String]
+    var i = 0
+    while (i < n) {
+      val sb = new java.lang.StringBuilder
+      val hi = math.min(i + 3, toks.length)
+      var j = i
+      while (j < hi) { if (j > i) sb.append(' '); sb.append(toks(j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+
   /** doc_id, shingles (distinct 3-token n-grams), n_sh. */
   private def shingled(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
-      .withColumn("tok", split($"text", " "))
-      .withColumn("shingles",
-        expr("""array_distinct(transform(sequence(1, greatest(size(tok) - 2, 1)),
-                i -> concat_ws(' ', slice(tok, i, 3))))"""))
+      .withColumn("shingles", shingleGen($"text"))
       .select($"doc_id", $"shingles", size($"shingles").as("n_sh"))
   }
+
+  /** The exploded shingle relation `(doc_id, n_sh, sh)` behind an explicit
+    * repartition on `key`. The repartition is not for balance — it pins a
+    * single exchange that every downstream branch (frequency agg, prefix
+    * index, per-doc array rebuild) reuses via Spark's ReuseExchange, so
+    * the shingle UDF runs ONCE per query instead of once per branch. */
+  private def explodedShingles(s: SparkSession, dir: String, key: String): DataFrame = {
+    import s.implicits._
+    shingled(s, dir)
+      .select($"doc_id", $"n_sh", explode($"shingles").as("sh"))
+      .repartition(col(key))
+  }
+
+  /** Per-doc shingle arrays rebuilt from the exploded relation (one
+    * `collect_list` shuffle) — cheaper than re-running the shingle UDF,
+    * and partitioned by doc_id, which is what the verify joins consume. */
+  private def docArrays(e: DataFrame): DataFrame =
+    e.groupBy(col("doc_id"))
+      .agg(collect_list(col("sh")).as("shingles"), first(col("n_sh")).as("n_sh"))
 
   private val jaccardThreshold = 0.8
 
@@ -56,16 +95,46 @@ object Dedup extends QueryModule {
 
   // --------------------------------------------------------- n-gram jaccard
 
-  /** Near-dup pairs with 3-gram Jaccard ≥ 0.8, via inverted shingle index
-    * (explode → equi-join on shingle → count = |A∩B|; |A∪B| from the
-    * per-doc shingle counts). */
+  /** Near-dup pairs with 3-gram Jaccard ≥ 0.8, via a PREFIX-FILTERED
+    * inverted shingle index (AllPairs/PPJoin-style, exact):
+    *
+    *   1. global document frequency per shingle → a rare-first canonical
+    *      order (df asc, shingle asc);
+    *   2. each doc indexes only its first `n − ceil(t·n) + 1` shingles in
+    *      that order. J(A,B) ≥ t implies |A∩B| ≥ t·max(|A|,|B|), so two
+    *      qualifying docs MUST collide inside their prefixes — no false
+    *      negatives;
+    *   3. candidate pairs (prefix collision + size filter t·|A| ≤ |B| ≤
+    *      |A|/t) are verified with an exact `array_intersect`.
+    *
+    * Scale rationale: a plain inverted-index self-join generates ~m²/2
+    * rows for every shingle shared by m docs — on a corpus with a tiny
+    * shared vocabulary (this one, and most web text) the hot shingles
+    * dominate the shuffle. The prefix filter keeps only low-df shingles
+    * in the index (at t = 0.8 that's ~20% of each doc, skewed rare), which
+    * drops candidate volume by orders of magnitude while provably keeping
+    * the output identical — measured 13.8 s → ~1 s at sf0.1. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = shingled(s, dir).select($"doc_id", $"n_sh", explode($"shingles").as("sh"))
-    e.as("a").join(e.as("b"), $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-               $"a.n_sh".as("na"), $"b.n_sh".as("nb"))
-      .agg(count(lit(1)).as("inter"))
+    val e = explodedShingles(s, dir, "sh")
+    val df = e.groupBy($"sh").agg(count(lit(1)).as("df"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"df".asc, $"sh".asc)
+    val prefix = e.join(df, "sh") // both sides already hash-partitioned on sh
+      .withColumn("rn", row_number().over(byRarity))
+      .where($"rn" <= $"n_sh" - ceil($"n_sh" * lit(jaccardThreshold)) + 1)
+      .select($"doc_id", $"n_sh", $"sh")
+    val cand = prefix.as("a").join(prefix.as("b"),
+        $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id" &&
+        $"a.n_sh" >= $"b.n_sh" * jaccardThreshold &&
+        $"b.n_sh" >= $"a.n_sh" * jaccardThreshold)
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    val sh = docArrays(e)
+    cand
+      .join(sh.select($"doc_id".as("doc_a"), $"shingles".as("sa"), $"n_sh".as("na")), "doc_a")
+      .join(sh.select($"doc_id".as("doc_b"), $"shingles".as("sb"), $"n_sh".as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect($"sa", $"sb")))
       .withColumn("jaccard", round($"inter" / ($"na" + $"nb" - $"inter"), 6))
       .where($"jaccard" >= jaccardThreshold)
       .select($"doc_a", $"doc_b", $"jaccard")
@@ -94,12 +163,14 @@ object Dedup extends QueryModule {
     * stage: explode→signature agg, band equi-join, verify join. */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = shingled(s, dir)
+    // exploded relation partitioned by doc_id: the signature agg AND the
+    // per-doc array rebuild both consume it shuffle-free, and ReuseExchange
+    // runs the shingle UDF once for the whole query
+    val e = explodedShingles(s, dir, "doc_id")
     // x = shingle → [0, P) via murmur3; signature = K column-wise mins in
     // one imperative buffer ([[graft.functions.MinHashSketch]]) instead
     // of K generated min() aggregates
-    val ex = docs.select($"doc_id", explode($"shingles").as("sh"))
-      .withColumn("x", pmod(hash($"sh").cast("long"), lit(P)))
+    val ex = e.withColumn("x", pmod(hash($"sh").cast("long"), lit(P)))
     val sig = ex.groupBy($"doc_id")
       .agg(graft.functions.SketchAggregates
         .minhashSketch($"x", hashA, hashB, P).as("sig"))
@@ -116,7 +187,7 @@ object Dedup extends QueryModule {
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
     // exact verify on candidates only
-    val sh = docs.select($"doc_id", $"shingles", $"n_sh")
+    val sh = docArrays(e)
     cand
       .join(sh.select($"doc_id".as("doc_a"), $"shingles".as("sa"), $"n_sh".as("na")), "doc_a")
       .join(sh.select($"doc_id".as("doc_b"), $"shingles".as("sb"), $"n_sh".as("nb")), "doc_b")
