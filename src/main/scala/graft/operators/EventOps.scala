@@ -139,6 +139,39 @@ object EventOps extends QueryModule {
       .orderBy($"user_id", $"session_start")
   }
 
+  /** As-of join: each `purchase` event picks the most recent `click` by
+    * the same user at or before the purchase timestamp (the classic
+    * trade-quote / attribution pattern; oracled by DuckDB's native
+    * `ASOF JOIN`).
+    *
+    * Spark has no asof operator, so this is the idiomatic distributed
+    * form: tag both sides, UNION them, and carry the latest left-side row
+    * forward with a running `last(…, ignoreNulls)` over (user, time) —
+    * ONE shuffle on the join key, linear work, no state blowup. The naive
+    * alternative (`p JOIN c ON same user AND c.ts <= p.ts` + max) is a
+    * non-equi join Catalyst can only nested-loop, and it materializes
+    * every (purchase × earlier-click) pair before aggregating — quadratic
+    * per hot user at 100 TB. Ties: a click at exactly the purchase ts
+    * counts (side orders clicks first), matching ASOF's `>=`. */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    def side(tpe: String, tag: Int) =
+      ev.where($"event_type" === tpe)
+        .select($"user_id", $"ts", lit(tag).as("side"), $"event_id")
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, $"side".asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    side("click", 0).unionByName(side("purchase", 1))
+      .withColumn("click_ts", last(when($"side" === 0, $"ts"), ignoreNulls = true).over(w))
+      .withColumn("click_id", last(when($"side" === 0, $"event_id"), ignoreNulls = true).over(w))
+      .where($"side" === 1 && $"click_ts".isNotNull)
+      .select($"event_id".as("purchase_id"), $"user_id",
+              $"ts".as("purchase_ts"), $"click_id", $"click_ts",
+              (unix_micros($"ts") - unix_micros($"click_ts")).as("gap_us"))
+      .orderBy($"purchase_id")
+  }
+
   /** Keyed first-event extraction (streaming dedup-by-key analog):
     * earliest event per (user_id, event_type), ties broken by event_id. */
   def firstPerKey(s: SparkSession, dir: String): DataFrame = {
@@ -159,6 +192,7 @@ object EventOps extends QueryModule {
     "ev_trend_join"     -> (trendJoin _),
     "ev_trend_lag"      -> (trendLag _),
     "ev_sessionize"     -> (sessionize _),
+    "ev_asof_join"      -> (asofJoin _),
     "ev_first_per_key"  -> (firstPerKey _),
   )
 
@@ -218,6 +252,16 @@ object EventOps extends QueryModule {
         |       user_id, count(*) AS n_events, round(sum(value), 2) AS session_value
         |FROM g GROUP BY user_id, session_id
         |ORDER BY user_id, session_start""".stripMargin,
+    // DuckDB's native ASOF JOIN — (user_id, ts) is unique in the data, so
+    // the greatest-ts-≤ match is well-defined on both engines.
+    "ev_asof_join" ->
+      """WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+        |       c.event_id AS click_id, c.ts AS click_ts,
+        |       date_diff('microsecond', c.ts, p.ts) AS gap_us
+        |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_id""".stripMargin,
     "ev_first_per_key" ->
       """SELECT user_id, event_type, event_id, ts, value FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type

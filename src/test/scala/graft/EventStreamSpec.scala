@@ -79,4 +79,33 @@ class EventStreamSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected)
   }
+
+  test("flatMapGroupsWithState sessionize == batch session_window on closed sessions") {
+    val q = EventStreamOps.sessionizeStream(streamOf(stagedDir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_stream")
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    // compare on (start, end, user, n); value sums can differ at ulp by
+    // accumulation order and are covered by StreamingOpsSpec's fixture
+    val got = spark.table("sess_stream").collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getLong(3))).toSet
+
+    val batch = graft.operators.EventOps.sessionize(spark, TestSpark.sf)
+    val maxTs = Tables.events(spark, TestSpark.sf)
+      .agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val watermark = new java.sql.Timestamp(maxTs.getTime - 30 * 60 * 1000)
+    val expected = batch
+      .where(col("session_end") <= lit(watermark))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getLong(3))).toSet
+
+    val extra = got -- expected
+    val missing = expected -- got
+    assert(extra.isEmpty && missing.isEmpty,
+      s"got ${got.size} closed sessions, expected ${expected.size}; " +
+      s"extra=${extra.take(3)} missing=${missing.take(3)}")
+    assert(got.nonEmpty)
+  }
 }

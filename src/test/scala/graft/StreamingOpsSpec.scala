@@ -1,0 +1,105 @@
+package graft
+
+import java.sql.Timestamp
+import graft.streaming.EventStreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+/** MemoryStream-driven specs for the added streaming operators: batch
+  * boundaries and watermark advancement are controlled explicitly, so
+  * the asserts pin exact cross-batch state behavior. */
+class StreamingOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("dropDuplicatesWithinWatermark: cross-batch duplicate suppressed") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreamOps.dedupWithinWatermark(in.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      in.addData(
+        Ev(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
+        Ev(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0), // same-batch dup
+        Ev(2, ts("2024-01-01 00:01:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      in.addData(
+        Ev(1, ts("2024-01-01 00:02:00"), 7, "click", 1.0), // cross-batch dup
+        Ev(3, ts("2024-01-01 00:03:00"), 8, "view", 2.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionize: closes on watermark, merges on touch") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreamOps.sessionizeStream(in.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      in.addData(
+        Ev(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
+        Ev(2, ts("2024-01-01 00:30:00"), 7, "click", 2.0), // touch → same session
+        Ev(3, ts("2024-01-01 00:05:00"), 8, "view", 4.0))
+      q.processAllAvailable()
+      // gap > 30 min for user 7 → new open session; old one closes once
+      // the watermark (max ts − 30 min) passes 00:30 + 30 min
+      in.addData(Ev(4, ts("2024-01-01 02:00:00"), 7, "click", 8.0))
+      q.processAllAvailable()
+      // push the watermark far ahead so every session times out
+      in.addData(Ev(5, ts("2024-01-01 09:00:00"), 9, "click", 0.5))
+      q.processAllAvailable()
+
+      val got = spark.table("sess_out").collect()
+        .map(r => (r.getLong(2), r.getTimestamp(0).toString,
+                   r.getTimestamp(1).toString, r.getLong(3), r.getDouble(4)))
+        .toSet
+      assert(got == Set(
+        (7L, "2024-01-01 00:00:00.0", "2024-01-01 01:00:00.0", 2L, 3.0),
+        (7L, "2024-01-01 02:00:00.0", "2024-01-01 02:30:00.0", 1L, 8.0),
+        (8L, "2024-01-01 00:05:00.0", "2024-01-01 00:35:00.0", 1L, 4.0)))
+      // user 9's session is still open (nothing advanced the watermark past it)
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join matches the batch join on the same data") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = EventStreamOps.attributionJoin(clicks.toDF(), purchases.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    try {
+      val c = Seq(
+        Ev(10, ts("2024-01-01 00:00:00"), 7, "click", 0),
+        Ev(11, ts("2024-01-01 00:20:00"), 7, "click", 0),
+        Ev(12, ts("2024-01-01 00:20:00"), 8, "click", 0),
+        Ev(13, ts("2024-01-01 01:00:00"), 7, "click", 0))
+      val p = Seq(
+        Ev(20, ts("2024-01-01 00:25:00"), 7, "purchase", 0), // ← clicks 10, 11
+        Ev(21, ts("2024-01-01 00:55:00"), 8, "click", 0),
+        Ev(22, ts("2024-01-01 01:05:00"), 7, "purchase", 0)) // ← click 13
+      clicks.addData(c: _*)
+      purchases.addData(p: _*)
+      q.processAllAvailable()
+
+      val got = spark.table("attr_out").collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toSet
+      val batch = EventStreamOps.attributionJoin(c.toDF(), p.toDF()).collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toSet
+      assert(got == batch)
+      assert(got == Set((20L, 10L), (20L, 11L), (22L, 13L)))
+    } finally q.stop()
+  }
+}
