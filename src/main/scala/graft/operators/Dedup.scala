@@ -37,19 +37,26 @@ object Dedup extends QueryModule {
     * the oracle's `list_distinct(list_transform(...))` exactly, including
     * the short-doc edge (< 3 tokens → one short shingle). */
   private val shingleGen = udf { text: String =>
-    val toks = text.split(" ")
-    val n = math.max(toks.length - 2, 1)
-    val seen = new java.util.LinkedHashSet[String]
-    var i = 0
-    while (i < n) {
-      val sb = new java.lang.StringBuilder
-      val hi = math.min(i + 3, toks.length)
-      var j = i
-      while (j < hi) { if (j > i) sb.append(' '); sb.append(toks(j)); j += 1 }
-      seen.add(sb.toString)
-      i += 1
+    // split(" ", -1) keeps trailing empty tokens (Scala's 1-arg split drops
+    // them) and null input returns null — both matching Spark SQL split()
+    // and the oracle's string_split, so a doc ending in a space (or a null
+    // doc) can't silently diverge from the DuckDB side.
+    if (text == null) null
+    else {
+      val toks = text.split(" ", -1)
+      val n = math.max(toks.length - 2, 1)
+      val seen = new java.util.LinkedHashSet[String]
+      var i = 0
+      while (i < n) {
+        val sb = new java.lang.StringBuilder
+        val hi = math.min(i + 3, toks.length)
+        var j = i
+        while (j < hi) { if (j > i) sb.append(' '); sb.append(toks(j)); j += 1 }
+        seen.add(sb.toString)
+        i += 1
+      }
+      seen.toArray(new Array[String](seen.size))
     }
-    seen.toArray(new Array[String](seen.size))
   }
 
   /** doc_id, shingles (distinct 3-token n-grams), n_sh. */

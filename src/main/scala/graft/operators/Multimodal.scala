@@ -121,10 +121,16 @@ object Multimodal extends QueryModule {
     // sum(bytes[lo, hi)) / (hi - lo) / 255.0 with lo = n*f/8, hi = n*(f+1)/8.
     // Integer sums + two double divides + one final float round — the
     // exact IEEE sequence of MultimodalStub.decode, so values match bitwise.
+    // The (doc_id, feature_idx) grid is built with an explicit cross join
+    // and the byte sums LEFT JOINed onto it: an empty bucket (doc shorter
+    // than 8 chars → hi <= lo) then still yields a grid row with COALESCEd
+    // 0, exactly like the stub's explicit 0f branch — a bare generate_series
+    // over bucket offsets would silently drop that group instead.
     "mm_feature_extract" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |grid AS (SELECT doc_id, f FROM d, unnest(generate_series(0, 7)) AS g0(f)),
         |fb AS (
-        |  SELECT doc_id, f AS feature_idx,
+        |  SELECT doc_id, f,
         |         sum(ascii(substring(text, CAST(i AS INT), 1))) AS s,
         |         count(*) AS cnt
         |  FROM d,
@@ -132,13 +138,16 @@ object Multimodal extends QueryModule {
         |       unnest(generate_series((n * f) // 8 + 1, (n * (f + 1)) // 8)) AS g2(i)
         |  GROUP BY doc_id, f
         |)
-        |SELECT doc_id, CAST(feature_idx AS INT) AS feature_idx,
-        |       CAST(CAST(s AS DOUBLE) / cnt / 255.0 AS REAL) AS feature
-        |FROM fb ORDER BY doc_id, feature_idx""".stripMargin,
+        |SELECT g.doc_id, CAST(g.f AS INT) AS feature_idx,
+        |       COALESCE(CAST(CAST(fb.s AS DOUBLE) / fb.cnt / 255.0 AS REAL),
+        |                CAST(0 AS REAL)) AS feature
+        |FROM grid g LEFT JOIN fb ON g.doc_id = fb.doc_id AND g.f = fb.f
+        |ORDER BY g.doc_id, feature_idx""".stripMargin,
     "mm_resize" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |grid AS (SELECT doc_id, b FROM d, unnest(generate_series(0, 31)) AS g0(b)),
         |fb AS (
-        |  SELECT doc_id, b AS pixel_idx,
+        |  SELECT doc_id, b,
         |         sum(ascii(substring(text, CAST(i AS INT), 1))) AS s,
         |         count(*) AS cnt
         |  FROM d,
@@ -146,9 +155,10 @@ object Multimodal extends QueryModule {
         |       unnest(generate_series((n * b) // 32 + 1, (n * (b + 1)) // 32)) AS g2(i)
         |  GROUP BY doc_id, b
         |)
-        |SELECT doc_id, CAST(pixel_idx AS INT) AS pixel_idx,
-        |       CAST(s // cnt AS INT) AS pixel
-        |FROM fb ORDER BY doc_id, pixel_idx""".stripMargin,
+        |SELECT g.doc_id, CAST(g.b AS INT) AS pixel_idx,
+        |       COALESCE(CAST(fb.s // fb.cnt AS INT), 0) AS pixel
+        |FROM grid g LEFT JOIN fb ON g.doc_id = fb.doc_id AND g.b = fb.b
+        |ORDER BY g.doc_id, pixel_idx""".stripMargin,
   )
 }
 

@@ -138,9 +138,14 @@ object EventStreamOps {
           var sessions = state.getOption.map(_.sessions).getOrElse(Nil)
           if (!state.hasTimedOut) {
             // iterator order within a micro-batch is arbitrary; insertion
-            // handles any order, sorting just keeps merges single-pass
+            // handles any order, sorting just keeps merges single-pass.
+            // Rows older than the watermark are dropped (tsUs >= wmUs):
+            // flatMapGroupsWithState delivers them to the state function,
+            // but a built-in stateful operator would discard them — without
+            // this, a too-late event could open a second session overlapping
+            // one already emitted in append mode.
             rows.toArray.sortBy(_._3).foreach { case (_, _, tsUs, v) =>
-              sessions = addEvent(sessions, tsUs, v)
+              if (tsUs >= wmUs) sessions = addEvent(sessions, tsUs, v)
             }
           }
           val (closed, open) = sessions.partition(_.lastUs + GapUs <= wmUs)

@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.EventOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Batch event-operator contracts that the DuckDB oracle comparison
+  * silently relies on. */
+class EventOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** asofJoin data contract: the oracle (DuckDB ASOF JOIN) picks an
+    * UNSPECIFIED row among clicks tied on (user_id, ts), while the Spark
+    * side deterministically keeps the last by event_id — so engine
+    * agreement requires that ties not exist. Assert (user_id, ts) is
+    * unique per event_type at both the smoke and oracle scale factors, so
+    * a future testdata change that introduces ties fails loudly here
+    * instead of as a flaky hash mismatch. */
+  test("asof join precondition: (user_id, ts) unique per event_type") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val dup = Tables.events(spark, dir)
+        .where(col("event_type").isin("click", "purchase"))
+        .groupBy(col("event_type"), col("user_id"), col("ts"))
+        .count()
+        .where(col("count") > 1)
+        .count()
+      withClue(s"$dir: duplicate (event_type, user_id, ts) keys:") {
+        assert(dup === 0L)
+      }
+    }
+  }
+
+  test("trend join and trend lag agree (same semantics, two plans)") {
+    val a = EventOps.trendJoin(spark, TestSpark.sf).collect().toSeq
+    val b = EventOps.trendLag(spark, TestSpark.sf).collect().toSeq
+    assert(a === b)
+  }
+}
