@@ -12,15 +12,30 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm-up: JIT/codegen paths and parquet footers, so the first timed
-    // query doesn't absorb ~4s of one-time session cost.
+    // Warm-up: parquet footers at the bench SF, then every query once at
+    // the smallest SF. Whole-stage-codegen classes are cached by generated
+    // source, so the sf0.001 run compiles each query's codegen + JITs its
+    // hot loops — the timed sf run then measures the engine, not one-time
+    // compilation (~3-4s of which otherwise lands on the first queries).
     Tables.names.foreach { t =>
       try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try { fn(spark, warmDir).count(); spark.catalog.clearCache() }
+        catch { case _: Throwable => () }
+      }
+    // clearCache between queries: several operators persist() small derived
+    // relations consumed by multiple join branches; dropping them once the
+    // query finishes keeps 74 query runs from accumulating cache blocks
+    // (GC/memory-manager pressure measurably drags later queries otherwise).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

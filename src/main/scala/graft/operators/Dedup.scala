@@ -125,22 +125,37 @@ object Dedup extends QueryModule {
     import s.implicits._
     val e = explodedShingles(s, dir, "sh")
     val df = e.groupBy($"sh").agg(count(lit(1)).as("df"))
-    val byRarity = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"df".asc, $"sh".asc)
-    val prefix = e.join(df, "sh") // both sides already hash-partitioned on sh
-      .withColumn("rn", row_number().over(byRarity))
-      .where($"rn" <= $"n_sh" - ceil($"n_sh" * lit(jaccardThreshold)) + 1)
-      .select($"doc_id", $"n_sh", $"sh")
+    // One doc-level groupBy produces BOTH the full shingle array (for the
+    // exact verify) and the rare-first prefix: sort_array on (df, sh)
+    // structs IS the canonical rarity order (struct ordering = field 1
+    // then field 2), so the prefix is a slice — no row_number window, no
+    // extra shuffle+sort of the exploded relation.
+    // persist: docs feeds FOUR consumers (two self-join sides, two verify
+    // joins). Self-join aliasing re-keys the expression ids, so plain
+    // exchange reuse does NOT collapse the duplicates — without the cache
+    // the whole scan→shingle-UDF→df-agg subtree executes four times
+    // (verified via explain: 8 parquet scans). The relation is one row per
+    // doc — caching it is orders of magnitude smaller than the input.
+    val docs = e.join(df, "sh") // both sides already hash-partitioned on sh
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"df", $"sh"))).as("byRarity"),
+           first($"n_sh").as("n_sh"))
+      .withColumn("shingles", transform($"byRarity", _.getField("sh")))
+      .withColumn("plen",
+        ($"n_sh" - ceil($"n_sh" * lit(jaccardThreshold)) + 1).cast("int"))
+      .select($"doc_id", $"n_sh", $"shingles", $"plen")
+      .persist()
+    val prefix = docs
+      .select($"doc_id", $"n_sh", explode(slice($"shingles", lit(1), $"plen")).as("sh"))
     val cand = prefix.as("a").join(prefix.as("b"),
         $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id" &&
         $"a.n_sh" >= $"b.n_sh" * jaccardThreshold &&
         $"b.n_sh" >= $"a.n_sh" * jaccardThreshold)
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
-    val sh = docArrays(e)
     cand
-      .join(sh.select($"doc_id".as("doc_a"), $"shingles".as("sa"), $"n_sh".as("na")), "doc_a")
-      .join(sh.select($"doc_id".as("doc_b"), $"shingles".as("sb"), $"n_sh".as("nb")), "doc_b")
+      .join(docs.select($"doc_id".as("doc_a"), $"shingles".as("sa"), $"n_sh".as("na")), "doc_a")
+      .join(docs.select($"doc_id".as("doc_b"), $"shingles".as("sb"), $"n_sh".as("nb")), "doc_b")
       .withColumn("inter", size(array_intersect($"sa", $"sb")))
       .withColumn("jaccard", round($"inter" / ($"na" + $"nb" - $"inter"), 6))
       .where($"jaccard" >= jaccardThreshold)
@@ -187,14 +202,17 @@ object Dedup extends QueryModule {
              hash((0 until ROWS).map(r =>
                element_at($"sig", b * ROWS + r + 1)): _*).as("bv"))
     }
+    // persist: bands self-joins against itself and the signature subtree
+    // (scan → shingle UDF → minhash agg) would otherwise run once per side
     val bands = sig.select($"doc_id", explode(array(bandCols: _*)).as("bb"))
       .select($"doc_id", $"bb.band".as("band"), $"bb.bv".as("bv"))
+      .persist()
     val cand = bands.as("a").join(bands.as("b"),
         $"a.band" === $"b.band" && $"a.bv" === $"b.bv" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
-    // exact verify on candidates only
-    val sh = docArrays(e)
+    // exact verify on candidates only (persisted: consumed by both sides)
+    val sh = docArrays(e).persist()
     cand
       .join(sh.select($"doc_id".as("doc_a"), $"shingles".as("sa"), $"n_sh".as("na")), "doc_a")
       .join(sh.select($"doc_id".as("doc_b"), $"shingles".as("sb"), $"n_sh".as("nb")), "doc_b")
@@ -226,11 +244,14 @@ object Dedup extends QueryModule {
       .withColumn("x", conv(substring(md5($"t"), 1, 15), 16, 10).cast("long"))
     val sig = toks.groupBy($"doc_id")
       .agg(graft.functions.SketchAggregates.simhashSketch($"x").as("simhash"))
+    // persist: self-joined below — without it the md5 + signed-bit-sum
+    // signature subtree runs once per join side
     val blocks = sig.select($"doc_id", $"simhash", explode(array(
       (0 until 6).map(blk =>
         struct(lit(blk).as("blk"),
                shiftright($"simhash", 10 * blk).bitwiseAND(lit(0x3ffL)).as("bv"))): _*)).as("bb"))
       .select($"doc_id", $"simhash", $"bb.blk".as("blk"), $"bb.bv".as("bv"))
+      .persist()
     blocks.as("a").join(blocks.as("b"),
         $"a.blk" === $"b.blk" && $"a.bv" === $"b.bv" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
@@ -244,20 +265,62 @@ object Dedup extends QueryModule {
 
   /** Embedding-cosine near-dup pairs (cos ≥ 0.45 on this corpus — it has
     * no planted high-cosine dups, max ≈ 0.51). Brute-force upper triangle
-    * as the exact baseline; ANN variants live in [[Similarity]]. */
+    * as the exact baseline; ANN variants live in [[Similarity]].
+    *
+    * Shape: the corpus is broadcast once as primitive double arrays and
+    * each distributed row scans only ids greater than its own — the same
+    * upper-triangle work as a theta self-join, but without materializing
+    * n²/2 joined rows (the BroadcastNestedLoopJoin version copies both
+    * 64-element arrays into an UnsafeRow per pair before the dot product;
+    * measured ~10× this). Arithmetic is the exact IEEE sequence of the
+    * oracle: sequential dot, sqrt norms, multiply-then-divide, HALF_UP
+    * round to 6 — bit-identical before the threshold cut. Brute force
+    * inherently requires the corpus to fit in executor memory (64-dim
+    * doubles: ~0.5 GB per million vectors); past that, the LSH/IVF paths
+    * in [[Similarity]] are the scale route. */
   def embeddingCosine(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
       .withColumn("v", $"embedding".cast("array<double>"))
-      .withColumn("norm", sqrt(vectorDot($"v", $"v")))
-      .select($"vec_id", $"v", $"norm")
-    val a = e.select($"vec_id".as("vec_a"), $"v".as("va"), $"norm".as("norm_a"))
-    val b = e.select($"vec_id".as("vec_b"), $"v".as("vb"), $"norm".as("norm_b"))
-    a.join(b, $"vec_a" < $"vec_b")
-      .withColumn("dot", vectorDot($"va", $"vb"))
-      .withColumn("cos_sim", round($"dot" / ($"norm_a" * $"norm_b"), 6))
-      .where($"cos_sim" >= 0.45)
-      .select($"vec_a", $"vec_b", $"cos_sim")
+      .select($"vec_id", $"v")
+      .as[(Long, Array[Double])]
+    val corpus = e.collect().sortBy(_._1)
+    val ids = corpus.map(_._1)
+    val mat = corpus.map(_._2)
+    val norms = mat.map { v =>
+      var acc = 0.0; var i = 0
+      while (i < v.length) { acc += v(i) * v(i); i += 1 }
+      math.sqrt(acc)
+    }
+    val bc = s.sparkContext.broadcast((ids, mat, norms))
+    val thr = 0.45
+    e.mapPartitions { it =>
+      val (ids, mat, norms) = bc.value
+      it.flatMap { case (idA, va) =>
+        var accA = 0.0
+        var d = 0
+        while (d < va.length) { accA += va(d) * va(d); d += 1 }
+        val normA = math.sqrt(accA)
+        // first index with id > idA (ids are sorted, unique)
+        var lo = java.util.Arrays.binarySearch(ids, idA) match {
+          case neg if neg < 0 => -neg - 1
+          case pos            => pos + 1
+        }
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        while (lo < ids.length) {
+          val vb = mat(lo)
+          val n = math.min(va.length, vb.length)
+          var dot = 0.0
+          var i = 0
+          while (i < n) { dot += va(i) * vb(i); i += 1 }
+          val cos = java.math.BigDecimal.valueOf(dot / (normA * norms(lo)))
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          if (cos >= thr) out += ((idA, ids(lo), cos))
+          lo += 1
+        }
+        out.result()
+      }
+    }.toDF("vec_a", "vec_b", "cos_sim")
       .orderBy($"vec_a", $"vec_b")
   }
 

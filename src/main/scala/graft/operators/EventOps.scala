@@ -102,7 +102,10 @@ object EventOps extends QueryModule {
     * 10 min) → hash join; AQE handles the hot-key skew. */
   def trendJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = windowCounts(s, dir)
+    // persisted: the self-join consumes the window agg from both sides,
+    // and aliasing blocks exchange reuse — without the cache the events
+    // scan + aggregation runs twice
+    val w = windowCounts(s, dir).persist()
     val prev = w.select($"ws".as("pws"), $"event_type".as("ptype"), $"n".as("prev_n"))
     w.join(prev,
         $"ws" === $"pws" + expr("INTERVAL 10 minutes") && $"event_type" === $"ptype")

@@ -31,13 +31,17 @@ object Similarity extends QueryModule {
 
   private val K = 5 // neighbors returned per query
 
-  /** vec_id, v (double), norm. */
+  /** vec_id, v (double), norm — persisted: every query consumes this
+    * relation from 2-4 branches (queries side, corpus side, centroid /
+    * bucket derivations), and self-join aliasing blocks exchange reuse,
+    * so without the cache each branch would rescan + redo the norms. */
   private def vecs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.embeddings(s, dir)
       .withColumn("v", $"embedding".cast("array<double>"))
       .withColumn("norm", sqrt(vectorDot($"v", $"v")))
       .select($"vec_id", $"v", $"norm")
+      .persist()
   }
 
   private def queriesOf(e: DataFrame): DataFrame =
@@ -142,6 +146,7 @@ object Similarity extends QueryModule {
     }
     val buckets = withBits.select($"vec_id", explode(array(tableCols: _*)).as("tb"))
       .select($"vec_id", $"tb.tbl".as("tbl"), $"tb.bucket".as("bucket"))
+      .persist() // consumed by the query side and the corpus side of the bucket join
 
     val qb = buckets.join(queriesOf(e), $"vec_id" === $"query_id")
       .select($"query_id", $"qv", $"qnorm", $"tbl", $"bucket")
@@ -152,7 +157,7 @@ object Similarity extends QueryModule {
       .distinct()
 
     val byQuery = Window.partitionBy($"query_id").orderBy($"score".desc, $"neighbor_id".asc)
-    cand.join(vecs(s, dir).select($"vec_id".as("neighbor_id"), $"v".as("nv"), $"norm".as("nnorm")),
+    cand.join(e.select($"vec_id".as("neighbor_id"), $"v".as("nv"), $"norm".as("nnorm")),
               "neighbor_id")
       .withColumn("dot", vectorDot($"qv", $"nv"))
       .withColumn("score", round($"dot" / ($"qnorm" * $"nnorm"), 6))
