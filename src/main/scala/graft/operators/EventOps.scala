@@ -175,6 +175,32 @@ object EventOps extends QueryModule {
       .orderBy($"purchase_id")
   }
 
+  /** Interval (range) join — the batch twin of
+    * [[graft.streaming.EventStreamOps.attributionJoin]]: every purchase
+    * counts the same user's clicks in the preceding 10 minutes, keeping
+    * zero-click purchases via the left join.
+    *
+    * Scale: the equi key (user_id) makes this a hash join with the time
+    * range as residual predicate — NOT a nested loop; state per key is
+    * bounded by the range width. A range join with no equi key would need
+    * time-bucket blocking (join on overlapping buckets, dedup) — not
+    * required here. */
+  def intervalJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val p = ev.where($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts".as("p_ts"))
+    val c = ev.where($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("click_id"))
+    p.join(c,
+        $"user_id" === $"c_user" &&
+        $"c_ts" >= $"p_ts" - expr("INTERVAL 10 MINUTES") && $"c_ts" <= $"p_ts",
+        "left")
+      .groupBy($"purchase_id", $"user_id")
+      .agg(count($"click_id").as("n_clicks"))
+      .orderBy($"purchase_id")
+  }
+
   /** Keyed first-event extraction (streaming dedup-by-key analog):
     * earliest event per (user_id, event_type), ties broken by event_id. */
   def firstPerKey(s: SparkSession, dir: String): DataFrame = {
@@ -196,6 +222,7 @@ object EventOps extends QueryModule {
     "ev_trend_lag"      -> (trendLag _),
     "ev_sessionize"     -> (sessionize _),
     "ev_asof_join"      -> (asofJoin _),
+    "ev_interval_join"  -> (intervalJoin _),
     "ev_first_per_key"  -> (firstPerKey _),
   )
 
@@ -264,6 +291,15 @@ object EventOps extends QueryModule {
         |       c.event_id AS click_id, c.ts AS click_ts,
         |       date_diff('microsecond', c.ts, p.ts) AS gap_us
         |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_id""".stripMargin,
+    "ev_interval_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT p.event_id AS purchase_id, p.user_id, count(c.event_id) AS n_clicks
+        |FROM p LEFT JOIN c
+        |  ON c.user_id = p.user_id
+        | AND c.ts >= p.ts - INTERVAL '10 minutes' AND c.ts <= p.ts
+        |GROUP BY 1, 2
         |ORDER BY purchase_id""".stripMargin,
     "ev_first_per_key" ->
       """SELECT user_id, event_type, event_id, ts, value FROM (

@@ -166,6 +166,96 @@ object Relational extends QueryModule {
       .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
   }
 
+  /** Full cube over (status, priority) — all four grouping sets in one
+    * pass (Catalyst plans a single Expand + hash agg; at scale this is one
+    * shuffle carrying each input row once per grouping set). */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), round(sum($"o_totalprice"), 2).as("total_price"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  /** Pivot: order counts as a (priority × status) cross-tab. Pivot values
+    * are pinned explicitly — at scale an unpinned pivot first runs a
+    * distinct scan to discover them. Missing cells surface as count 0
+    * (Spark pivot yields null there; the oracle's FILTERed counts 0). */
+  def pivotStatus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select($"o_orderpriority",
+        coalesce($"F", lit(0L)).as("f_orders"),
+        coalesce($"O", lit(0L)).as("o_orders"),
+        coalesce($"P", lit(0L)).as("p_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Set difference: BUILDING-segment customers that never placed an
+    * URGENT order, via EXCEPT (distinct set semantics → Catalyst plans a
+    * left-anti join under the hood; included alongside [[antiJoin]] to
+    * cover the set-operator surface). */
+  def exceptCustomers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val building = Tables.customer(s, dir)
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    val urgent = Tables.orders(s, dir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey".as("c_custkey"))
+    building.except(urgent)
+      .orderBy($"c_custkey")
+  }
+
+  /** Correlated scalar subquery through the SQL front end: each
+    * customer's most expensive order(s). Catalyst de-correlates the
+    * `= (SELECT max(...))` into an aggregate + join — the plan a hand-
+    * written window-max would produce, demonstrating that the SQL and
+    * DataFrame surfaces share one optimizer. Equality on max is exact
+    * (no float summation), so the oracle comparison is deterministic. */
+  def maxOrderPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+    s.sql(
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice
+        |FROM graft_orders o
+        |WHERE o_totalprice = (SELECT max(i.o_totalprice)
+        |                      FROM graft_orders i
+        |                      WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+  }
+
+  /** Bloom-filter pre-filtered semi join: build a bloom filter over the
+    * URGENT order keys (`DataFrameStatFunctions.bloomFilter`), broadcast
+    * it, and prune lineitem MAP-SIDE before the exact semi join verifies
+    * survivors. The result is identical to the plain semi join (false
+    * positives are removed by the verify join; a bloom filter has no
+    * false negatives) — what changes is the shuffle: at 100 TB the fact
+    * table's shuffle volume drops to the bloom's selectivity, which is
+    * the manual form of Spark's runtime row-level filtering. */
+  def bloomSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val urgent = Tables.orders(s, dir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey")
+    // size the filter from the build side's count: one cheap agg job over
+    // a filtered dimension scan (at scale: a metadata-only count if the
+    // build side is pre-aggregated)
+    val nKeys = math.max(urgent.count(), 1L)
+    val bloom = urgent.stat.bloomFilter("o_orderkey", nKeys, 0.01)
+    val bc = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    Tables.lineitem(s, dir)
+      .filter(mightContain($"l_orderkey"))
+      .join(urgent, $"l_orderkey" === $"o_orderkey", "left_semi")
+      .groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_items"),
+           round(sum($"l_extendedprice"), 2).as("gross"))
+      .orderBy($"l_orderkey")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_pricing_summary"  -> (pricingSummary _),
     "rel_filter_project"   -> (filterProject _),
@@ -177,6 +267,11 @@ object Relational extends QueryModule {
     "rel_union_accounts"   -> (unionAccounts _),
     "rel_analytic_windows" -> (analyticWindows _),
     "rel_rollup_agg"       -> (rollupAgg _),
+    "rel_cube_agg"         -> (cubeAgg _),
+    "rel_pivot"            -> (pivotStatus _),
+    "rel_except"           -> (exceptCustomers _),
+    "rel_scalar_subquery"  -> (maxOrderPerCustomer _),
+    "rel_bloom_semi_join"  -> (bloomSemiJoin _),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -259,5 +354,39 @@ object Relational extends QueryModule {
         |FROM orders
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "rel_cube_agg" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "rel_pivot" ->
+      """SELECT o_orderpriority,
+        |       count(*) FILTER (WHERE o_orderstatus = 'F') AS f_orders,
+        |       count(*) FILTER (WHERE o_orderstatus = 'O') AS o_orders,
+        |       count(*) FILTER (WHERE o_orderstatus = 'P') AS p_orders
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "rel_except" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY c_custkey""".stripMargin,
+    "rel_scalar_subquery" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice
+        |FROM orders o
+        |WHERE o_totalprice = (SELECT max(i.o_totalprice)
+        |                      FROM orders i
+        |                      WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // the bloom pre-filter is a pure optimization: result == plain semi join
+    "rel_bloom_semi_join" ->
+      """SELECT l_orderkey, count(*) AS n_items, round(sum(l_extendedprice), 2) AS gross
+        |FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin,
   )
 }

@@ -167,10 +167,29 @@ object Similarity extends QueryModule {
       .orderBy($"query_id", $"rnk")
   }
 
+  /** documents ⋈ embeddings (doc_id = vec_id): the metadata-to-vector
+    * join every embedding pipeline runs, aggregated per label cluster.
+    * Both tables hash-partition on the shared id — at 100 TB this is THE
+    * candidate for co-bucketing both tables on the id at rest, turning
+    * the shuffle into a zip. avg is a single division over an exact
+    * integer sum, so round(…, 6) is engine-stable. */
+  def labelProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir).select($"doc_id", $"n_chars", $"lang")
+    val e = Tables.embeddings(s, dir).select($"vec_id", $"label")
+    d.join(e, $"doc_id" === $"vec_id")
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg($"n_chars"), 6).as("avg_chars"),
+           countDistinct($"lang").as("n_langs"))
+      .orderBy($"label")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (topkBruteForce _),
     "sim_topk_ivf"        -> (topkIvf _),
     "sim_ann_lsh"         -> (topkLsh _),
+    "sim_label_profile"   -> (labelProfile _),
   )
 
   // Shared oracle preamble: vectors as doubles with precomputed norms.
@@ -267,5 +286,12 @@ object Similarity extends QueryModule {
          |)
          |WHERE rnk <= $K
          |ORDER BY query_id, rnk""".stripMargin,
+    "sim_label_profile" ->
+      """SELECT label, count(*) AS n_docs,
+        |       round(avg(n_chars), 6) AS avg_chars,
+        |       count(DISTINCT lang) AS n_langs
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |GROUP BY label
+        |ORDER BY label""".stripMargin,
   )
 }

@@ -60,10 +60,28 @@ object Sketches extends QueryModule {
       .orderBy(col("event_type"))
   }
 
+  /** Heavy hitters: top-10 users by event volume (exact groupBy + top-k;
+    * the orderBy+limit plans as TakeOrderedAndProject — per-partition
+    * heaps, no global sort). At 100 TB the same query runs unchanged; the
+    * approximate alternative (count-min + candidate verify) only matters
+    * when the KEY cardinality itself can't be aggregated, which a
+    * (user_id → count) map rarely hits. Ties broken by user_id so the cut
+    * at k is deterministic. */
+  def topkFreq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct($"event_type").as("n_types"))
+      .orderBy($"n_events".desc, $"user_id".asc)
+      .limit(10)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_approx_distinct" -> (approxDistinct _),
     "sketch_quantiles"       -> (quantiles _),
     "sketch_summary_stats"   -> (summaryStats _),
+    "sketch_topk_freq"       -> (topkFreq _),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -80,5 +98,12 @@ object Sketches extends QueryModule {
         |       round(min(value), 2) AS value_min,
         |       round(max(value), 2) AS value_max
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "sketch_topk_freq" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       count(DISTINCT event_type) AS n_types
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY n_events DESC, user_id ASC
+        |LIMIT 10""".stripMargin,
   )
 }

@@ -105,11 +105,32 @@ object TextOps extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Corpus-wide top-20 token bigrams — the n-gram frequency profile a
+    * contamination / boilerplate scan runs over a pretraining corpus.
+    * Per-doc bigram generation is a codegen'd `transform`; the global
+    * count is one partial-aggregated shuffle on the bigram, and the top-k
+    * is a TakeOrderedAndProject (no global sort). Ties broken
+    * lexicographically so the cut at k is deterministic. */
+  def ngramFreq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("toks", tok)
+      .where(size($"toks") >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+        .as("bigram"))
+      .groupBy($"bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"bigram".asc)
+      .limit(20)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_stats" -> (tokenStats _),
     "text_quality"     -> (quality _),
     "text_langid"      -> (langId _),
     "text_fingerprint" -> (fingerprint _),
+    "text_ngram_freq"  -> (ngramFreq _),
   )
 
   private def hitsSql(markers: Seq[String]): String = {
@@ -162,5 +183,17 @@ object TextOps extends QueryModule {
         |           (a, b) -> (a*31 + b) % 1000000007) AS fp,
         |       md5(text) AS content_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_ngram_freq" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+        |                i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        |  FROM t
+        |)
+        |SELECT bigram, count(*) AS n
+        |FROM bg GROUP BY bigram
+        |ORDER BY n DESC, bigram ASC
+        |LIMIT 20""".stripMargin,
   )
 }
