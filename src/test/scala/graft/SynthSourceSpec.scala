@@ -1,0 +1,71 @@
+package graft
+
+import graft.sources.SynthScan
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SynthSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val fmt = "graft.sources.SynthProvider"
+
+  private def synth(rows: Long = 1000L): DataFrame =
+    spark.read.format(fmt).option("rows", rows).option("partitions", 8).load()
+
+  private def scanOf(df: DataFrame): SynthScan = {
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }
+    assert(scans.nonEmpty, "no BatchScanExec in plan")
+    scans.head.asInstanceOf[SynthScan]
+  }
+
+  test("batch read is deterministic and complete") {
+    val df = synth(1000)
+    assert(df.count() === 1000L)
+    val again = synth(1000).orderBy("doc_id").collect()
+    assert(synth(1000).orderBy("doc_id").collect() === again)
+    assert(df.rdd.getNumPartitions === 8)
+  }
+
+  test("doc_id range filters reach partition planning") {
+    val df = synth(1000).where(col("doc_id") >= 100 && col("doc_id") < 250)
+    assert(scanOf(df).plannedRange === (100L, 250L))
+    assert(df.count() === 150L)
+    // an equality pin collapses the range to one row
+    val one = synth(1000).where(col("doc_id") === 42)
+    assert(scanOf(one).plannedRange === (42L, 43L))
+    assert(one.count() === 1L)
+  }
+
+  test("non-pushable predicates stay post-scan and still apply") {
+    val df = synth(200).where(col("lang") === "en" && col("doc_id") < 100)
+    assert(scanOf(df).plannedRange === (0L, 100L)) // range pushed
+    val rows = df.select("doc_id").collect().map(_.getLong(0))
+    assert(rows.nonEmpty && rows.forall(id => id % 4 == 0)) // langOf: id % 4 == 0 → "en"
+  }
+
+  test("column pruning reaches the reader (SELECT doc_id reads 1 column)") {
+    val df = synth(100).select("doc_id")
+    assert(scanOf(df).readSchema().fieldNames.toSeq === Seq("doc_id"))
+    assert(df.collect().map(_.getLong(0)).sorted === (0L until 100L).toArray)
+  }
+
+  test("micro-batch stream drains to the full table in rowsPerBatch steps") {
+    import spark.implicits._
+    val q = spark.readStream.format(fmt)
+      .option("rows", 350).option("partitions", 4).option("rowsPerBatch", 100)
+      .load()
+      .groupBy($"lang").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("synth_counts")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val total = spark.sql("SELECT sum(n) FROM synth_counts").collect().head.getLong(0)
+      assert(total === 350L)
+      // 350 rows at 100/batch → at least 4 micro-batches
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 4)
+    } finally q.stop()
+  }
+}
