@@ -175,6 +175,28 @@ object EventOps extends QueryModule {
       .orderBy($"purchase_id")
   }
 
+  /** The same as-of semantics through the custom whole-operator path:
+    * [[graft.plans.AsofJoin]] (logical node → planner strategy →
+    * [[graft.plans.AsofJoinExec]] physical merge). One exchange per side
+    * on user_id + partition-local sorted merge with O(1) state — the plan
+    * a native engine would run, vs [[asofJoin]]'s union + running-window
+    * composition. Both are oracle-checked against DuckDB's ASOF JOIN.
+    * The custom exec is left-outer; the `click_ts IS NOT NULL` filter
+    * matches the oracle's inner ASOF. */
+  def asofNative(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val p = ev.where($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts".as("purchase_ts"))
+    val c = ev.where($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("click_ts"), $"event_id".as("click_id"))
+    graft.plans.Asof.join(p, c, Seq("user_id"), Seq("c_user"), "purchase_ts", "click_ts")
+      .where($"click_ts".isNotNull)
+      .select($"purchase_id", $"user_id", $"purchase_ts", $"click_id", $"click_ts",
+              (unix_micros($"purchase_ts") - unix_micros($"click_ts")).as("gap_us"))
+      .orderBy($"purchase_id")
+  }
+
   /** Interval (range) join — the batch twin of
     * [[graft.streaming.EventStreamOps.attributionJoin]]: every purchase
     * counts the same user's clicks in the preceding 10 minutes, keeping
@@ -222,6 +244,7 @@ object EventOps extends QueryModule {
     "ev_trend_lag"      -> (trendLag _),
     "ev_sessionize"     -> (sessionize _),
     "ev_asof_join"      -> (asofJoin _),
+    "ev_asof_native"    -> (asofNative _),
     "ev_interval_join"  -> (intervalJoin _),
     "ev_first_per_key"  -> (firstPerKey _),
   )
@@ -285,6 +308,17 @@ object EventOps extends QueryModule {
     // DuckDB's native ASOF JOIN — (user_id, ts) is unique in the data, so
     // the greatest-ts-≤ match is well-defined on both engines.
     "ev_asof_join" ->
+      """WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+        |       c.event_id AS click_id, c.ts AS click_ts,
+        |       date_diff('microsecond', c.ts, p.ts) AS gap_us
+        |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_id""".stripMargin,
+    // identical oracle to ev_asof_join — the two Spark plans (window
+    // composition vs custom merge operator) must agree with DuckDB and
+    // hence with each other
+    "ev_asof_native" ->
       """WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
         |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
         |SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,

@@ -61,6 +61,7 @@ object GraftFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => FoldPointInPolygon)
+    e.injectPlannerStrategy(_ => AsofJoinStrategy)
     GraftFunctions.all.foreach(e.injectFunction)
   }
 }

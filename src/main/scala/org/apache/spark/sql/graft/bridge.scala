@@ -15,4 +15,18 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object bridge {
   def columnOf(e: Expression): Column = ExpressionUtils.column(e)
   def exprOf(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Analyzed logical plan of a DataFrame (for composing custom logical
+    * nodes, e.g. [[graft.plans.AsofJoin]]). */
+  def planOf(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
+  /** DataFrame over a custom logical plan (`Dataset.ofRows` is
+    * `private[sql]` in Spark 4). */
+  def dfOf(spark: org.apache.spark.sql.SparkSession,
+           plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -1,0 +1,63 @@
+package graft
+
+import java.sql.Timestamp
+import graft.operators.EventOps
+import graft.plans.{Asof, AsofJoinExec}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsofJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("handcrafted fixture: latest reference at-or-before each probe, nulls when none") {
+    import spark.implicits._
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "t1"),
+      (1L, ts("2024-01-01 10:05:00"), "t2"),
+      (2L, ts("2024-01-01 09:00:00"), "t3"), // before any quote for key 2
+      (3L, ts("2024-01-01 12:00:00"), "t4")  // key with no quotes at all
+    ).toDF("k", "t", "trade")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 09:59:00"), 101.0),
+      (1L, ts("2024-01-01 10:05:00"), 102.0), // exact tie: counts (<=)
+      (1L, ts("2024-01-01 10:06:00"), 103.0), // after t2: never matched
+      (2L, ts("2024-01-01 09:30:00"), 201.0)
+    ).toDF("qk", "qt", "price")
+    val out = Asof.join(trades, quotes, Seq("k"), Seq("qk"), "t", "qt")
+      .select($"trade", $"price")
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1)))
+      .toMap
+    assert(out === Map("t1" -> 101.0, "t2" -> 102.0, "t3" -> null, "t4" -> null))
+  }
+
+  test("plans as AsofJoinExec (no window machinery) with one exchange per side") {
+    val ev = Tables.events(spark, TestSpark.sf)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), col("ts").as("pt"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("ct"))
+    val df = Asof.join(p, c, Seq("user_id"), Seq("cu"), "pt", "ct")
+    df.collect() // finalize any adaptive plan
+    // AQE wraps subtrees in QueryStageExec LEAF nodes — flatten through them
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec        => p +: flatten(q.plan)
+      case other                    => other +: other.children.flatMap(flatten)
+    }
+    val nodes = flatten(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[AsofJoinExec]),
+      s"no AsofJoinExec in:\n${df.queryExecution.executedPlan}")
+    assert(nodes.exists(_.getClass.getSimpleName == "SortExec"),
+      "expected EnsureRequirements sorts")
+  }
+
+  test("custom operator agrees with the union+window composition on real events") {
+    val native = EventOps.asofNative(spark, TestSpark.sf).collect().toSeq
+    val window = EventOps.asofJoin(spark, TestSpark.sf).collect().toSeq
+    assert(native === window)
+  }
+}
