@@ -128,6 +128,21 @@ object EventOps extends QueryModule {
       .orderBy($"window_start", $"event_type")
   }
 
+  /** Sliding windows: 10-minute windows advancing every 5 — each event
+    * lands in exactly duration/slide = 2 windows. Spark plans this as one
+    * Expand (2 rows per input) + hash agg: state is per (window × type),
+    * NOT per event, so at 100 TB the shuffle carries the pre-aggregated
+    * partials like any tumbling agg — the only scale knob is the
+    * windows-per-event ratio. */
+  def slidingWindows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(window($"ts", "10 minutes", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("window_start"), $"event_type", $"n")
+      .orderBy($"window_start", $"event_type")
+  }
+
   /** Sessionization: per-user sessions with a 30-minute inactivity gap
     * (Spark `session_window`). The streaming form is identical code over
     * `readStream`. */
@@ -242,6 +257,7 @@ object EventOps extends QueryModule {
     "ev_classify_geo"   -> (classifyGeo _),
     "ev_trend_join"     -> (trendJoin _),
     "ev_trend_lag"      -> (trendLag _),
+    "ev_sliding_windows"-> (slidingWindows _),
     "ev_sessionize"     -> (sessionize _),
     "ev_asof_join"      -> (asofJoin _),
     "ev_asof_native"    -> (asofNative _),
@@ -283,6 +299,19 @@ object EventOps extends QueryModule {
          |FROM cls GROUP BY 1, 2 ORDER BY window_start, hq""".stripMargin,
     "ev_trend_join" -> trendOracle,
     "ev_trend_lag"  -> trendOracle,
+    // duration 10 / slide 5 ⇒ every event belongs to exactly the two
+    // windows starting at bucket5(ts) and bucket5(ts) - 5 min
+    "ev_sliding_windows" ->
+      """WITH w AS (
+        |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS b, event_type FROM events
+        |), x AS (
+        |  SELECT b AS ws, event_type FROM w
+        |  UNION ALL
+        |  SELECT b - INTERVAL '5 minutes' AS ws, event_type FROM w
+        |)
+        |SELECT ws AS window_start, event_type, count(*) AS n
+        |FROM x GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
     "ev_sessionize" ->
       """WITH x AS (
         |  SELECT user_id, event_id, ts, value,

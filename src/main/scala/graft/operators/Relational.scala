@@ -256,6 +256,30 @@ object Relational extends QueryModule {
       .orderBy($"l_orderkey")
   }
 
+  /** Skew-mitigating salted join: the fact side derives a deterministic
+    * salt (l_linenumber mod S), the dimension side is replicated S ways
+    * with an exploded salt column, and the join key becomes (key, salt) —
+    * splitting any hot key's rows across S reducers. The result is
+    * provably identical to the unsalted join (each fact row matches
+    * exactly its one replicated partner), which the shared oracle checks.
+    * This is the manual fallback for skew AQE can't fix (a single key
+    * larger than one executor); S multiplies the dimension shuffle, so it
+    * stays small. */
+  def saltedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val S = 4
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_extendedprice",
+              ($"l_linenumber" % S).cast("int").as("salt"))
+    val o = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderpriority")
+      .withColumn("salt", explode(array((0 until S).map(lit(_)): _*)))
+    li.join(o, li("l_orderkey") === o("o_orderkey") && li("salt") === o("salt"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), round(sum($"l_extendedprice"), 2).as("gross"))
+      .orderBy($"o_orderpriority")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_pricing_summary"  -> (pricingSummary _),
     "rel_filter_project"   -> (filterProject _),
@@ -272,6 +296,7 @@ object Relational extends QueryModule {
     "rel_except"           -> (exceptCustomers _),
     "rel_scalar_subquery"  -> (maxOrderPerCustomer _),
     "rel_bloom_semi_join"  -> (bloomSemiJoin _),
+    "rel_salted_join"      -> (saltedJoin _),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -380,6 +405,13 @@ object Relational extends QueryModule {
         |                      FROM orders i
         |                      WHERE i.o_custkey = o.o_custkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // salting is a pure optimization: result == the plain unsalted join
+    "rel_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |       round(sum(l_extendedprice), 2) AS gross
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     // the bloom pre-filter is a pure optimization: result == plain semi join
     "rel_bloom_semi_join" ->
       """SELECT l_orderkey, count(*) AS n_items, round(sum(l_extendedprice), 2) AS gross

@@ -77,11 +77,52 @@ object Sketches extends QueryModule {
       .limit(10)
   }
 
+  // Count-min sketch parameters: d=4 rows × w=64 buckets, universal hashes
+  // h_j(u) = ((a_j·u + b_j) mod P) mod w with fixed-seed LCG constants —
+  // fully deterministic, so unlike most sketches the ESTIMATES themselves
+  // are oracle-checkable (DuckDB rebuilds the identical counter matrix).
+  private val CmsP = 2147483647L
+  private val CmsW = 64
+  private val CmsD = 4
+  private def lcg(x: Long): Long =
+    (x * 6364136223846793005L + 1442695040888963407L) & 0x7fffffffffffffffL
+  private val cmsA = Array.tabulate(CmsD)(j => (lcg(3 * j + 5) % (CmsP - 1)) + 1)
+  private val cmsB = Array.tabulate(CmsD)(j => lcg(3 * j + 6) % CmsP)
+
+  /** Count-min frequency estimates for the probe keys (user_id < 10), next
+    * to their exact counts. The relational formulation IS the distributed
+    * CMS build: groupBy (row, bucket) = the d×w counter matrix, sharded
+    * and map-side combined; the probe join is a broadcast of d·w = 256
+    * rows. At 100 TB the matrix size is CONSTANT — that is the point of
+    * the sketch — while the exact count's state grows with key
+    * cardinality. Estimate = min over rows, always ≥ exact (one-sided
+    * error), SketchSpec asserts the bound. */
+  def cmsFreq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def bucket(j: Int, c: org.apache.spark.sql.Column) =
+      (c * cmsA(j) + cmsB(j)) % CmsP % CmsW
+    def probes(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
+      df.select(cols :+ explode(array((0 until CmsD).map(j =>
+          struct(lit(j).as("j"), bucket(j, col("user_id")).as("bkt"))): _*)).as("jb"): _*)
+        .withColumn("j", $"jb.j").withColumn("bkt", $"jb.bkt").drop("jb")
+    val counters = probes(Tables.events(s, dir).select($"user_id"), $"user_id")
+      .groupBy($"j", $"bkt").agg(count(lit(1)).as("cnt"))
+    val exact = Tables.events(s, dir).where($"user_id" < 10)
+      .groupBy($"user_id").agg(count(lit(1)).as("exact_n"))
+    probes(exact, $"user_id", $"exact_n")
+      .join(counters, Seq("j", "bkt"))
+      .groupBy($"user_id", $"exact_n")
+      .agg(min($"cnt").as("cms_n"))
+      .select($"user_id", $"exact_n", $"cms_n")
+      .orderBy($"user_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_approx_distinct" -> (approxDistinct _),
     "sketch_quantiles"       -> (quantiles _),
     "sketch_summary_stats"   -> (summaryStats _),
     "sketch_topk_freq"       -> (topkFreq _),
+    "sketch_cms_freq"        -> (cmsFreq _),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -105,5 +146,26 @@ object Sketches extends QueryModule {
         |GROUP BY user_id
         |ORDER BY n_events DESC, user_id ASC
         |LIMIT 10""".stripMargin,
+    "sketch_cms_freq" ->
+      s"""WITH h AS (SELECT * FROM (VALUES
+         |  ${(0 until CmsD).map(j => s"($j, ${cmsA(j)}, ${cmsB(j)})").mkString(", ")}
+         |) AS t(j, a, b)),
+         |r AS (
+         |  SELECT e.user_id, h.j,
+         |         ((e.user_id * h.a + h.b) % $CmsP) % $CmsW AS bkt
+         |  FROM events e CROSS JOIN h
+         |),
+         |counters AS (SELECT j, bkt, count(*) AS cnt FROM r GROUP BY 1, 2),
+         |exact AS (SELECT user_id, count(*) AS exact_n FROM events
+         |          WHERE user_id < 10 GROUP BY 1),
+         |probes AS (
+         |  SELECT x.user_id, x.exact_n, h.j,
+         |         ((x.user_id * h.a + h.b) % $CmsP) % $CmsW AS bkt
+         |  FROM exact x CROSS JOIN h
+         |)
+         |SELECT p.user_id, p.exact_n, min(c.cnt) AS cms_n
+         |FROM probes p JOIN counters c ON p.j = c.j AND p.bkt = c.bkt
+         |GROUP BY 1, 2
+         |ORDER BY user_id""".stripMargin,
   )
 }

@@ -24,6 +24,20 @@ class RelationalSpec extends AnyFunSuite {
     assert(viaBloom === plain)
   }
 
+  /** Salting is a shuffle-shape change only — every fact row matches
+    * exactly one of the S replicated dimension rows. */
+  test("salted join == plain join") {
+    import spark.implicits._
+    val salted = Relational.saltedJoin(spark, TestSpark.sf).collect().toSeq
+    val plain = Tables.lineitem(spark, TestSpark.sf)
+      .join(Tables.orders(spark, TestSpark.sf), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), round(sum($"l_extendedprice"), 2).as("gross"))
+      .orderBy($"o_orderpriority")
+      .collect().toSeq
+    assert(salted === plain)
+  }
+
   test("cube emits all four grouping sets") {
     import spark.implicits._
     val cube = Relational.cubeAgg(spark, TestSpark.sf)

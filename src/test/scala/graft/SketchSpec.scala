@@ -17,6 +17,20 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("count-min estimates are one-sided: cms_n >= exact_n, within CMS error bound") {
+    val rows = Sketches.cmsFreq(spark, TestSpark.sf).collect()
+    assert(rows.length === 10)
+    val total = Tables.events(spark, TestSpark.sf).count().toDouble
+    rows.foreach { r =>
+      val exact = r.getLong(1); val cms = r.getLong(2)
+      assert(cms >= exact, s"user ${r.getLong(0)}: CMS undercounted ($cms < $exact)")
+      // standard CMS guarantee: overcount <= e/w * total with prob 1-1/2^d;
+      // generous 2x slack keeps the assert stable across SFs
+      assert(cms - exact <= 2 * math.E / 64 * total + 1,
+        s"user ${r.getLong(0)}: overcount ${cms - exact} beyond bound")
+    }
+  }
+
   test("percentile_approx tracks exact percentile within 5% of the p50") {
     import org.apache.spark.sql.functions._
     val df = Tables.events(spark, TestSpark.sf)
