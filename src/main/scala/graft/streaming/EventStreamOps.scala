@@ -45,6 +45,19 @@ object EventStreamOps {
       .select(col("window.start").as("window_start"), col("event_type"),
               col("count").as("n"))
 
+  /** Sliding-window variant (10-minute windows every 5): the streaming
+    * form of [[graft.operators.EventOps.slidingWindows]]. State holds
+    * duration/slide = 2 open windows per (grid slot × type) until the
+    * watermark closes them — sliding multiplies state by that ratio, not
+    * by input volume. */
+  def watermarkedSliding(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .count()
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("count").as("n"))
+
   case class UserCount(user_id: Long, n: Long)
 
   /** Running per-user event counts via explicit keyed state. */

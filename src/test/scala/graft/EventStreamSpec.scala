@@ -63,6 +63,29 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("watermarked sliding agg: closed 10/5-min windows match the batch plan") {
+    val q = EventStreamOps.watermarkedSliding(streamOf(stagedDir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("slide_out")
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("slide_out").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    val batch = Tables.events(spark, TestSpark.sf)
+    val maxTs = batch.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val watermark = new java.sql.Timestamp(maxTs.getTime - 30 * 60 * 1000)
+    val expected = batch
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type")).count()
+      .where(col("window.end") <= lit(watermark))
+      .select(col("window.start"), col("event_type"), col("count"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("mapGroupsWithState running counts converge to batch per-user counts") {
     val q = EventStreamOps.runningUserCounts(streamOf(stagedDir))
       .writeStream.outputMode(EventStreamOps.runningCountsMode)

@@ -62,6 +62,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!readSchema.contains("value"), readSchema)
   }
 
+  /** Simple-mode explain: one line per node including arguments. */
+  private def simple(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, TestSpark.sf)
+    df.queryExecution.explainString(ExplainMode.fromString("simple"))
+  }
+
+  test("asof native: custom exec with one hash exchange per side") {
+    val p = simple("ev_asof_native")
+    assert(p.contains("AsofJoin"), p)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 2, s"$hashExchanges hash exchanges:\n$p")
+    assert(p.contains("Sort ["), p) // EnsureRequirements-planted (key, time) sorts
+  }
+
+  test("bloom semi join prunes the fact side map-side, below the semi join") {
+    val p = simple("rel_bloom_semi_join")
+    assert(p.contains("LeftSemi"), p)
+    // the mightContain UDF filter must sit on the fact side BELOW the
+    // join: in the indented tree its Filter line comes after (deeper
+    // than) the join line
+    val lines = p.linesIterator.toVector
+    val joinLine = lines.indexWhere(_.contains("LeftSemi"))
+    val udfFilter = lines.indexWhere(l => l.contains("Filter") && l.contains("UDF"))
+    assert(joinLine >= 0, p)
+    assert(udfFilter > joinLine, s"UDF filter at $udfFilter, join at $joinLine:\n$p")
+  }
+
   test("text quality is a single-pass scan (only the presentation sort shuffles)") {
     val p = formatted("text_quality")
     val exchanges = "Exchange".r.findAllIn(p).size
