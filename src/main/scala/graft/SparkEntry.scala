@@ -20,6 +20,7 @@ object SparkEntry {
     Similarity,
     Multimodal,
     Sketches,
+    Pipelines,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
