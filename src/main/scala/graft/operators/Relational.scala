@@ -274,6 +274,11 @@ object Relational extends QueryModule {
     val o = Tables.orders(s, dir)
       .select($"o_orderkey", $"o_orderpriority")
       .withColumn("salt", explode(array((0 until S).map(lit(_)): _*)))
+      // shuffle_hash hint: salting only matters when the dimension is too
+      // big to broadcast (otherwise there is no reducer to skew) — force
+      // the shuffle join the scenario presumes so the (key, salt)
+      // partitioning is actually exercised at test scale too
+      .hint("shuffle_hash")
     li.join(o, li("l_orderkey") === o("o_orderkey") && li("salt") === o("salt"))
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n_items"), round(sum($"l_extendedprice"), 2).as("gross"))
