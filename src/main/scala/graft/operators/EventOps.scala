@@ -238,6 +238,24 @@ object EventOps extends QueryModule {
       .orderBy($"purchase_id")
   }
 
+  /** Semi-structured payload parsing: the `props` JSON column through
+    * `from_json` with an explicit schema (typed, codegen'd, no inference
+    * pass — at 100 TB schema inference means a full extra scan), then a
+    * per-type profile of the extracted field. Malformed rows surface as
+    * nulls (PERMISSIVE), excluded from min/max by SQL semantics in both
+    * engines. */
+  def jsonProps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .withColumn("k",
+        from_json($"props", org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+          .getField("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"k").as("k_sum"),
+           min($"k").as("k_min"), max($"k").as("k_max"))
+      .orderBy($"event_type")
+  }
+
   /** Keyed first-event extraction (streaming dedup-by-key analog):
     * earliest event per (user_id, event_type), ties broken by event_id. */
   def firstPerKey(s: SparkSession, dir: String): DataFrame = {
@@ -263,6 +281,7 @@ object EventOps extends QueryModule {
     "ev_asof_native"    -> (asofNative _),
     "ev_interval_join"  -> (intervalJoin _),
     "ev_first_per_key"  -> (firstPerKey _),
+    "ev_json_props"     -> (jsonProps _),
   )
 
   private val trendOracle =
@@ -364,6 +383,12 @@ object EventOps extends QueryModule {
         | AND c.ts >= p.ts - INTERVAL '10 minutes' AND c.ts <= p.ts
         |GROUP BY 1, 2
         |ORDER BY purchase_id""".stripMargin,
+    "ev_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |       sum(CAST(props->>'$.k' AS BIGINT)) AS k_sum,
+        |       min(CAST(props->>'$.k' AS BIGINT)) AS k_min,
+        |       max(CAST(props->>'$.k' AS BIGINT)) AS k_max
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "ev_first_per_key" ->
       """SELECT user_id, event_type, event_id, ts, value FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
