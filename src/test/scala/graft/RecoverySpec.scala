@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+import graft.streaming.EventStreamOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Checkpoint recovery for the CUSTOM stateful operator: the
+  * flatMapGroupsWithState sessionizer is stopped mid-stream and restarted
+  * from its checkpoint; the parquet-sink output across both runs must
+  * equal the batch `session_window` result on closed sessions, with no
+  * duplicate emissions (sink idempotence via the commit log).
+  *
+  * This is the recovery guarantee the reference relies on for Task4
+  * (SURVEY §2.2 K4 — its shipped `checkpoint/` proves 4 committed
+  * batches); here it covers custom session state, not just built-in agg
+  * state (TaxiStreamSpec covers that path). */
+class RecoverySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** events sorted into 4 time-ranged parquet slices, written as separate
+    * files with ascending mtimes so the file source replays them in
+    * chronological order. */
+  private def stage(dir: String, slice: Int): Unit = {
+    val staged = Tables.events(spark, TestSpark.sf)
+      .withColumn("sl", ntile(4).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("ts"))))
+      .where(col("sl") === slice + 1).drop("sl")
+    val tmp = Files.createTempDirectory(s"slice$slice").toString
+    staged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.startsWith("part-")).get
+    val dst = new java.io.File(dir, f"slice-$slice%02d.parquet")
+    Files.copy(part.toPath, dst.toPath)
+    Files.setLastModifiedTime(dst.toPath,
+      java.nio.file.attribute.FileTime.fromMillis(1000L * (slice + 1)))
+  }
+
+  private def run(in: String, out: String, cp: String): Unit = {
+    val schema = Tables.events(spark, TestSpark.sf).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = EventStreamOps.sessionizeStream(stream)
+      .writeStream.outputMode("append")
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", cp)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("sessionizer restarts from checkpoint; file-sink output == batch, exactly once") {
+    val in = Files.createTempDirectory("rec_in").toString
+    val out = Files.createTempDirectory("rec_out").toString
+    val cp = Files.createTempDirectory("rec_cp").toString
+
+    // run 1 sees only the first two time slices, then stops
+    stage(in, 0); stage(in, 1)
+    run(in, out, cp)
+    // run 2 resumes from the checkpoint and drains the rest
+    stage(in, 2); stage(in, 3)
+    run(in, out, cp)
+
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))
+    // exactly-once: no session emitted twice across the restart
+    assert(got.length === got.distinct.length, "duplicate emissions after restart")
+
+    val maxTs = Tables.events(spark, TestSpark.sf)
+      .agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val watermark = new java.sql.Timestamp(maxTs.getTime - 30 * 60 * 1000)
+    val expected = graft.operators.EventOps.sessionize(spark, TestSpark.sf)
+      .where(col("session_end") <= lit(watermark))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSet === expected.toSet,
+      s"got ${got.length} sessions, expected ${expected.length}")
+    assert(got.nonEmpty)
+  }
+}
