@@ -79,13 +79,6 @@ object Dedup extends QueryModule {
       .repartition(col(key))
   }
 
-  /** Per-doc shingle arrays rebuilt from the exploded relation (one
-    * `collect_list` shuffle) — cheaper than re-running the shingle UDF,
-    * and partitioned by doc_id, which is what the verify joins consume. */
-  private def docArrays(e: DataFrame): DataFrame =
-    e.groupBy(col("doc_id"))
-      .agg(collect_list(col("sh")).as("shingles"), first(col("n_sh")).as("n_sh"))
-
   private val jaccardThreshold = 0.8
 
   // ------------------------------------------------------------------- exact
@@ -185,37 +178,38 @@ object Dedup extends QueryModule {
     * stage: explode→signature agg, band equi-join, verify join. */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // exploded relation partitioned by doc_id: the signature agg AND the
-    // per-doc array rebuild both consume it shuffle-free, and ReuseExchange
-    // runs the shingle UDF once for the whole query
-    val e = explodedShingles(s, dir, "doc_id")
-    // x = shingle → [0, P) via murmur3; signature = K column-wise mins in
-    // one imperative buffer ([[graft.functions.MinHashSketch]]) instead
-    // of K generated min() aggregates
-    val ex = e.withColumn("x", pmod(hash($"sh").cast("long"), lit(P)))
-    val sig = ex.groupBy($"doc_id")
+    // ONE doc-level aggregation produces both the minhash signature and
+    // the shingle array the exact verify needs — the shingle UDF, the
+    // explode, and the doc_id shuffle all run once. x = shingle → [0, P)
+    // via murmur3; signature = K column-wise mins in one imperative
+    // buffer ([[graft.functions.SketchAggregates.minhashSketch]]) instead
+    // of K generated min() aggregates. Persisted: bands and both verify
+    // sides consume it, and self-join aliasing defeats exchange reuse.
+    val e = shingled(s, dir)
+      .select($"doc_id", $"n_sh", explode($"shingles").as("sh"))
+      .withColumn("x", pmod(hash($"sh").cast("long"), lit(P)))
+    val docs = e.groupBy($"doc_id")
       .agg(graft.functions.SketchAggregates
-        .minhashSketch($"x", hashA, hashB, P).as("sig"))
+             .minhashSketch($"x", hashA, hashB, P).as("sig"),
+           collect_list($"sh").as("shingles"),
+           first($"n_sh").as("n_sh"))
+      .persist()
     // LSH banding: band value = hash of its ROWS signature slots
     val bandCols = (0 until BANDS).map { b =>
       struct(lit(b).as("band"),
              hash((0 until ROWS).map(r =>
                element_at($"sig", b * ROWS + r + 1)): _*).as("bv"))
     }
-    // persist: bands self-joins against itself and the signature subtree
-    // (scan → shingle UDF → minhash agg) would otherwise run once per side
-    val bands = sig.select($"doc_id", explode(array(bandCols: _*)).as("bb"))
+    val bands = docs.select($"doc_id", explode(array(bandCols: _*)).as("bb"))
       .select($"doc_id", $"bb.band".as("band"), $"bb.bv".as("bv"))
-      .persist()
     val cand = bands.as("a").join(bands.as("b"),
         $"a.band" === $"b.band" && $"a.bv" === $"b.bv" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
-    // exact verify on candidates only (persisted: consumed by both sides)
-    val sh = docArrays(e).persist()
+    // exact verify on candidates only, reusing the persisted doc arrays
     cand
-      .join(sh.select($"doc_id".as("doc_a"), $"shingles".as("sa"), $"n_sh".as("na")), "doc_a")
-      .join(sh.select($"doc_id".as("doc_b"), $"shingles".as("sb"), $"n_sh".as("nb")), "doc_b")
+      .join(docs.select($"doc_id".as("doc_a"), $"shingles".as("sa"), $"n_sh".as("na")), "doc_a")
+      .join(docs.select($"doc_id".as("doc_b"), $"shingles".as("sb"), $"n_sh".as("nb")), "doc_b")
       .withColumn("inter", size(array_intersect($"sa", $"sb")))
       .withColumn("jaccard", round($"inter" / ($"na" + $"nb" - $"inter"), 6))
       .where($"jaccard" >= jaccardThreshold)
