@@ -69,9 +69,9 @@ object Dedup extends QueryModule {
 
   /** The exploded shingle relation `(doc_id, n_sh, sh)` behind an explicit
     * repartition on `key`. The repartition is not for balance — it pins a
-    * single exchange that every downstream branch (frequency agg, prefix
-    * index, per-doc array rebuild) reuses via Spark's ReuseExchange, so
-    * the shingle UDF runs ONCE per query instead of once per branch. */
+    * single exchange that the downstream branches (frequency agg and the
+    * df join in [[ngramJaccard]]) reuse via Spark's ReuseExchange, so the
+    * shingle UDF runs ONCE per query instead of once per branch. */
   private def explodedShingles(s: SparkSession, dir: String, key: String): DataFrame = {
     import s.implicits._
     shingled(s, dir)
