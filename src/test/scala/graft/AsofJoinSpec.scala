@@ -55,6 +55,37 @@ class AsofJoinSpec extends AnyFunSuite {
       "expected EnsureRequirements sorts")
   }
 
+  test("fuzz: custom operator agrees with a driver-side reference on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // unique (key, ts) per side — the tie contract EventOpsSpec pins
+    val probes = rnd.shuffle((0 until 400).map { i =>
+      (i.toLong, rnd.nextInt(20).toLong, ts("2024-01-01 00:00:00").getTime + rnd.nextInt(100000) * 1000L)
+    }.distinctBy(r => (r._2, r._3)).toVector)
+      .map { case (id, k, ms) => (id, k, new Timestamp(ms)) }
+    val refs = rnd.shuffle((1000 until 1300).map { i =>
+      (i.toLong, rnd.nextInt(20).toLong, ts("2024-01-01 00:00:00").getTime + rnd.nextInt(100000) * 1000L)
+    }.distinctBy(r => (r._2, r._3)).toVector)
+      .map { case (id, k, ms) => (id, k, new Timestamp(ms)) }
+
+    val pDf = probes.toDF("pid", "k", "pt")
+    val rDf = refs.toDF("rid", "rk", "rt")
+    val got = Asof.join(pDf, rDf, Seq("k"), Seq("rk"), "pt", "rt")
+      .select(col("pid"), col("rid"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+
+    val byKey = refs.groupBy(_._2)
+    val expected = probes.map { case (pid, k, pt) =>
+      val best = byKey.getOrElse(k, Vector.empty)
+        .filter(!_._3.after(pt))
+        .sortBy(_._3.getTime)
+        .lastOption.map(_._1).getOrElse(-1L)
+      pid -> best
+    }.toMap
+    assert(got === expected)
+  }
+
   test("custom operator agrees with the union+window composition on real events") {
     val native = EventOps.asofNative(spark, TestSpark.sf).collect().toSeq
     val window = EventOps.asofJoin(spark, TestSpark.sf).collect().toSeq

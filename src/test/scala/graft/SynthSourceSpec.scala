@@ -52,6 +52,21 @@ class SynthSourceSpec extends AnyFunSuite {
     assert(df.collect().map(_.getLong(0)).sorted === (0L until 100L).toArray)
   }
 
+  test("collector sink: two-phase commit aggregates all tasks, partitioning-invariant") {
+    import graft.sources.CollectorSink
+    val ev = Tables.events(spark, TestSpark.sf).select(col("event_id"), col("user_id"))
+    ev.repartition(8).write.format("graft.sources.CollectorSinkProvider")
+      .option("name", "t8").mode("append").save()
+    ev.coalesce(1).write.format("graft.sources.CollectorSinkProvider")
+      .option("name", "t1").mode("append").save()
+    val n = ev.count()
+    val (rows8, sum8) = CollectorSink.results("t8")
+    val (rows1, sum1) = CollectorSink.results("t1")
+    assert(rows8 === n && rows1 === n)
+    // xor-folded checksum must not depend on task layout or row order
+    assert(sum8 === sum1)
+  }
+
   test("micro-batch stream drains to the full table in rowsPerBatch steps") {
     import spark.implicits._
     val q = spark.readStream.format(fmt)
