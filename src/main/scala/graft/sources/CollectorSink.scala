@@ -5,6 +5,7 @@ import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -53,7 +54,8 @@ class CollectorTable(sinkName: String, writeSchema: StructType)
   override def name(): String = s"graft_collector($sinkName)"
   override def schema(): StructType = writeSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+                    TableCapability.TRUNCATE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -70,8 +72,30 @@ class CollectorTable(sinkName: String, writeSchema: StructType)
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit = ()
         }
+
+        // streaming: one commit per epoch; totals ACCUMULATE across epochs
+        // (re-delivered epochs would double-count — a real sink dedupes on
+        // epochId; specs drive distinct epochs only)
+        override def toStreaming: StreamingWrite = new StreamingWrite {
+          override def createStreamingWriterFactory(pi: PhysicalWriteInfo): StreamingDataWriterFactory =
+            new CollectorStreamingWriterFactory(writeSchema.fields.headOption.map(_.dataType))
+          override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+            val rows = messages.map(_.asInstanceOf[CollectorCommit].rows).sum
+            val sum = messages.map(_.asInstanceOf[CollectorCommit].checksum)
+              .foldLeft(0L)(_ ^ _)
+            val (r0, s0) = CollectorSink.results.getOrElse(sinkName, (0L, 0L))
+            CollectorSink.results.put(sinkName, (r0 + rows, s0 ^ sum))
+          }
+          override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+        }
       }
     }
+}
+
+class CollectorStreamingWriterFactory(firstColType: Option[org.apache.spark.sql.types.DataType])
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new CollectorWriterFactory(firstColType).createWriter(partitionId, taskId)
 }
 
 class CollectorWriterFactory(firstColType: Option[org.apache.spark.sql.types.DataType])

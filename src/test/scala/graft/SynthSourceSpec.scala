@@ -67,6 +67,28 @@ class SynthSourceSpec extends AnyFunSuite {
     assert(sum8 === sum1)
   }
 
+  test("synth stream → collector streaming sink: per-epoch commits total the table") {
+    import graft.sources.CollectorSink
+    CollectorSink.results.remove("stream1")
+    val q = spark.readStream.format(fmt)
+      .option("rows", 250).option("partitions", 4).option("rowsPerBatch", 100)
+      .load()
+      .select(col("doc_id"))
+      .writeStream.format("graft.sources.CollectorSinkProvider")
+      .option("name", "stream1")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("collector_cp").toString)
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    val (rows, sum) = CollectorSink.results("stream1")
+    assert(rows === 250L)
+    // checksum equals a batch write of the same projection
+    val batchDf = synth(250).select(col("doc_id"))
+    batchDf.write.format("graft.sources.CollectorSinkProvider")
+      .option("name", "batch1").mode("append").save()
+    assert(sum === CollectorSink.results("batch1")._2)
+  }
+
   test("micro-batch stream drains to the full table in rowsPerBatch steps") {
     import spark.implicits._
     val q = spark.readStream.format(fmt)
