@@ -256,6 +256,45 @@ object EventOps extends QueryModule {
       .orderBy($"event_type")
   }
 
+  /** Time-series similarity search (the distributed top-k pattern of the
+    * EDBT'19/ICDE'21 similarity-search literature, sized to this corpus):
+    * each user's activity becomes a fixed 24-dim hourly profile, and the
+    * top-20 closest user pairs by Euclidean distance are returned.
+    *
+    * Oracle-stability engineering: bucket sums are rounded at an
+    * exactness-preserving scale BEFORE the distance (so both engines fold
+    * identical doubles), the distance is an explicitly SEQUENTIAL fold
+    * (`aggregate`, mirrored by `list_reduce` in the oracle — list_sum
+    * could re-associate), and ranking runs on the rounded distance with
+    * id tie-breaks.
+    *
+    * Scale: profiles are one groupBy (agg state = 24 doubles/user); the
+    * pair join is the brute-force baseline — at real cardinality the
+    * LSH/IVF bucketing of [[Similarity]] applies unchanged to profile
+    * vectors. */
+  def tsSimilarity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val prof = ev.groupBy($"user_id", hour($"ts").as("h"))
+      .agg(round(sum($"value"), 2).as("v"))
+    val grid = ev.select($"user_id").distinct()
+      .crossJoin(s.range(0, 24).select($"id".cast("int").as("h")))
+    val vecs = grid.join(prof, Seq("user_id", "h"), "left")
+      .withColumn("v", coalesce($"v", lit(0.0)))
+      .groupBy($"user_id")
+      .agg(transform(sort_array(collect_list(struct($"h", $"v"))),
+                     _.getField("v")).as("vec"))
+      .persist() // both sides of the pair join
+    val a = vecs.select($"user_id".as("user_a"), $"vec".as("va"))
+    val b = vecs.select($"user_id".as("user_b"), $"vec".as("vb"))
+    a.join(b, $"user_a" < $"user_b")
+      .withColumn("dist", round(sqrt(expr(
+        "aggregate(zip_with(va, vb, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)")), 6))
+      .select($"user_a", $"user_b", $"dist")
+      .orderBy($"dist".asc, $"user_a".asc, $"user_b".asc)
+      .limit(20)
+  }
+
   /** Keyed first-event extraction (streaming dedup-by-key analog):
     * earliest event per (user_id, event_type), ties broken by event_id. */
   def firstPerKey(s: SparkSession, dir: String): DataFrame = {
@@ -282,6 +321,7 @@ object EventOps extends QueryModule {
     "ev_interval_join"  -> (intervalJoin _),
     "ev_first_per_key"  -> (firstPerKey _),
     "ev_json_props"     -> (jsonProps _),
+    "ev_ts_similarity"  -> (tsSimilarity _),
   )
 
   private val trendOracle =
@@ -383,6 +423,30 @@ object EventOps extends QueryModule {
         | AND c.ts >= p.ts - INTERVAL '10 minutes' AND c.ts <= p.ts
         |GROUP BY 1, 2
         |ORDER BY purchase_id""".stripMargin,
+    "ev_ts_similarity" ->
+      """WITH prof AS (
+        |  SELECT user_id, CAST(extract(hour FROM ts) AS INT) AS h,
+        |         round(sum(value), 2) AS v
+        |  FROM events GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT u.user_id, g.h
+        |  FROM (SELECT DISTINCT user_id FROM events) u,
+        |       unnest(generate_series(0, 23)) AS g(h)
+        |), vecs AS (
+        |  SELECT f.user_id, list(f.v ORDER BY f.h) AS vec
+        |  FROM (SELECT g.user_id, g.h, COALESCE(p.v, 0.0) AS v
+        |        FROM grid g LEFT JOIN prof p
+        |          ON g.user_id = p.user_id AND g.h = p.h) f
+        |  GROUP BY 1
+        |)
+        |SELECT a.user_id AS user_a, b.user_id AS user_b,
+        |       round(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(generate_series(1, 24),
+        |             i -> (a.vec[i] - b.vec[i]) * (a.vec[i] - b.vec[i]))),
+        |           (acc, x) -> acc + x)), 6) AS dist
+        |FROM vecs a JOIN vecs b ON a.user_id < b.user_id
+        |ORDER BY dist ASC, user_a ASC, user_b ASC
+        |LIMIT 20""".stripMargin,
     "ev_json_props" ->
       """SELECT event_type, count(*) AS n,
         |       sum(CAST(props->>'$.k' AS BIGINT)) AS k_sum,
