@@ -256,6 +256,48 @@ object EventOps extends QueryModule {
       .orderBy($"event_type")
   }
 
+  /** Funnel analysis — sequential pattern matching (view → click →
+    * purchase, each step strictly after the previous user's FIRST
+    * occurrence of the prior step): the MATCH_RECOGNIZE-shaped analytics
+    * staple, composed from per-step min-timestamp aggregations + equi
+    * joins. Each stage is one groupBy on user_id (same partitioning
+    * reused across stages); counts are exact, no floats anywhere. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val v = ev.where($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val c = ev.where($"event_type" === "click").join(v, "user_id")
+      .where($"ts" > $"t1")
+      .groupBy($"user_id").agg(min($"ts").as("t2"))
+    val p = ev.where($"event_type" === "purchase").join(c, "user_id")
+      .where($"ts" > $"t2")
+      .groupBy($"user_id").agg(min($"ts").as("t3"))
+    v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("step"), $"n_users")
+      .unionByName(c.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_click").as("step"), $"n_users"))
+      .unionByName(p.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_purchase").as("step"), $"n_users"))
+      .orderBy($"step")
+  }
+
+  /** Cohort retention: users grouped by first-activity day; for each
+    * (cohort, day offset ≤ 7), how many distinct cohort members were
+    * active. Two shuffles (first-day agg, retention agg) regardless of
+    * input size. */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val first = ev.groupBy($"user_id").agg(to_date(min($"ts")).as("cohort"))
+    ev.select($"user_id", to_date($"ts").as("d")).distinct()
+      .join(first, "user_id")
+      .withColumn("day_offset", datediff($"d", $"cohort"))
+      .where($"day_offset" <= 7)
+      .groupBy($"cohort", $"day_offset")
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort", $"day_offset")
+  }
+
   /** Time-series similarity search (the distributed top-k pattern of the
     * EDBT'19/ICDE'21 similarity-search literature, sized to this corpus):
     * each user's activity becomes a fixed 24-dim hourly profile, and the
@@ -322,6 +364,8 @@ object EventOps extends QueryModule {
     "ev_first_per_key"  -> (firstPerKey _),
     "ev_json_props"     -> (jsonProps _),
     "ev_ts_similarity"  -> (tsSimilarity _),
+    "ev_funnel"         -> (funnel _),
+    "ev_retention"      -> (retention _),
   )
 
   private val trendOracle =
@@ -423,6 +467,32 @@ object EventOps extends QueryModule {
         | AND c.ts >= p.ts - INTERVAL '10 minutes' AND c.ts <= p.ts
         |GROUP BY 1, 2
         |ORDER BY purchase_id""".stripMargin,
+    "ev_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |      JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        |      WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |      JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+        |      WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT step, n_users FROM (
+        |  SELECT '1_view' AS step, count(*) AS n_users FROM v
+        |  UNION ALL SELECT '2_click', count(*) FROM c
+        |  UNION ALL SELECT '3_purchase', count(*) FROM p
+        |) ORDER BY step""".stripMargin,
+    "ev_retention" ->
+      """WITH first AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS cohort FROM events GROUP BY 1
+        |), act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        |)
+        |SELECT f.cohort, date_diff('day', f.cohort, a.d) AS day_offset,
+        |       count(DISTINCT a.user_id) AS n_users
+        |FROM act a JOIN first f ON a.user_id = f.user_id
+        |WHERE date_diff('day', f.cohort, a.d) <= 7
+        |GROUP BY 1, 2
+        |ORDER BY cohort, day_offset""".stripMargin,
     "ev_ts_similarity" ->
       """WITH prof AS (
         |  SELECT user_id, CAST(extract(hour FROM ts) AS INT) AS h,
