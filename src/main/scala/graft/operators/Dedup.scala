@@ -36,34 +36,15 @@ object Dedup extends QueryModule {
     * per evaluation at sf0.1 (vs ~0.3 s for this UDF). Semantics match
     * the oracle's `list_distinct(list_transform(...))` exactly, including
     * the short-doc edge (< 3 tokens → one short shingle). */
-  private val shingleGen = udf { text: String =>
-    // split(" ", -1) keeps trailing empty tokens (Scala's 1-arg split drops
-    // them) and null input returns null — both matching Spark SQL split()
-    // and the oracle's string_split, so a doc ending in a space (or a null
-    // doc) can't silently diverge from the DuckDB side.
-    if (text == null) null
-    else {
-      val toks = text.split(" ", -1)
-      val n = math.max(toks.length - 2, 1)
-      val seen = new java.util.LinkedHashSet[String]
-      var i = 0
-      while (i < n) {
-        val sb = new java.lang.StringBuilder
-        val hi = math.min(i + 3, toks.length)
-        var j = i
-        while (j < hi) { if (j > i) sb.append(' '); sb.append(toks(j)); j += 1 }
-        seen.add(sb.toString)
-        i += 1
-      }
-      seen.toArray(new Array[String](seen.size))
-    }
-  }
-
-  /** doc_id, shingles (distinct 3-token n-grams), n_sh. */
+  /** doc_id, shingles (distinct 3-token n-grams), n_sh — via the native
+    * [[graft.functions.ShingleArray]] expression (codegen'd; the earlier
+    * Scala-UDF form paid encoder conversions per row and broke the
+    * whole-stage span; the pure-expression-tree form before THAT measured
+    * ~8× slower still). */
   private def shingled(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
-      .withColumn("shingles", shingleGen($"text"))
+      .withColumn("shingles", graft.functions.ShingleArray.shingleArray($"text"))
       .select($"doc_id", $"shingles", size($"shingles").as("n_sh"))
   }
 
