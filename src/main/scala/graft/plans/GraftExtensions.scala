@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{PointInPolygon, VectorDot}
+import graft.functions.{PointInPolygon, ShingleArray, VectorDot}
 import graft.geo.Geo
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
@@ -40,7 +40,10 @@ object GraftFunctions {
       (es: Seq[Expression]) => VectorDot(es(0), es(1))),
     (FunctionIdentifier("classify_hq"),
       new ExpressionInfo(classOf[PointInPolygon].getName, "classify_hq"),
-      (es: Seq[Expression]) => classifyExpr(es(0), es(1))))
+      (es: Seq[Expression]) => classifyExpr(es(0), es(1))),
+    (FunctionIdentifier("shingle_array"),
+      new ExpressionInfo(classOf[ShingleArray].getName, "shingle_array"),
+      (es: Seq[Expression]) => ShingleArray(es(0))))
 
   /** Register on an existing session (temp function registry). */
   def register(spark: SparkSession): Unit =

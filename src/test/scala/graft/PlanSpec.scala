@@ -89,6 +89,12 @@ class PlanSpec extends AnyFunSuite {
     assert(udfFilter > joinLine, s"UDF filter at $udfFilter, join at $joinLine:\n$p")
   }
 
+  test("shingle generation runs as the native expression, not a UDF") {
+    val p = simple("dedup_simhash")
+    assert(p.contains("shingle_array"), p)
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+  }
+
   test("text quality is a single-pass scan (only the presentation sort shuffles)") {
     val p = formatted("text_quality")
     val exchanges = "Exchange".r.findAllIn(p).size

@@ -91,6 +91,27 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  // ---------------------------------------------------------------- shingles
+
+  /** Plain-Scala reference for the native ShingleArray expression. */
+  private def shinglesRef(text: String): Seq[String] = {
+    val toks = text.split(" ", -1)
+    val n = math.max(toks.length - 2, 1)
+    (0 until n).map(i => toks.slice(i, math.min(i + 3, toks.length)).mkString(" ")).distinct
+  }
+
+  test("native ShingleArray matches the reference on arbitrary token strings") {
+    val tokGen = Gen.listOf(Gen.oneOf("a", "bb", "ccc", "", "d e")) // incl. empties
+    check(forAll(tokGen) { toks =>
+      val text = toks.mkString(" ")
+      val got = graft.functions.ShingleArray
+        .compute(org.apache.spark.unsafe.types.UTF8String.fromString(text))
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+      got == shinglesRef(text)
+    })
+  }
+
   // ------------------------------------------------------------------- trend
 
   /** Direct reference implementation of the Task4 doubling rule over a
