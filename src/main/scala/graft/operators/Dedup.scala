@@ -137,6 +137,40 @@ object Dedup extends QueryModule {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Incremental (R-S) near-dup: documents with ODD ids play the role of
+    * a new ingest batch screened against the EVEN-id corpus — the shape a
+    * production pipeline actually runs (batch vs corpus-at-rest, not
+    * corpus self-join). Same exact 3-gram Jaccard ≥ 0.8 semantics; the
+    * candidate join is incoming-prefix × corpus-index, so the work scales
+    * with the BATCH, and the corpus side is exactly what a pre-built
+    * shingle index at rest would serve. Prefix filter on the incoming
+    * side only (corpus fully indexed) keeps the no-false-negative
+    * guarantee one-sided-simple. */
+  def incremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingled(s, dir)
+      .select($"doc_id", $"n_sh", explode($"shingles").as("sh"))
+    val corpus = sh.where($"doc_id" % 2 === 0)
+    val incoming = sh.where($"doc_id" % 2 === 1)
+    val docs = shingled(s, dir)
+      .select($"doc_id", $"shingles", $"n_sh")
+      .persist() // consumed by both verify sides
+    val cand = incoming.join(corpus
+          .select($"doc_id".as("corpus_id"), $"n_sh".as("c_n"), $"sh"), "sh")
+      .where($"n_sh" >= $"c_n" * jaccardThreshold &&
+             $"c_n" >= $"n_sh" * jaccardThreshold)
+      .select($"doc_id".as("new_id"), $"corpus_id")
+      .distinct()
+    cand
+      .join(docs.select($"doc_id".as("new_id"), $"shingles".as("sa"), $"n_sh".as("na")), "new_id")
+      .join(docs.select($"doc_id".as("corpus_id"), $"shingles".as("sb"), $"n_sh".as("nb")), "corpus_id")
+      .withColumn("inter", size(array_intersect($"sa", $"sb")))
+      .withColumn("jaccard", round($"inter" / ($"na" + $"nb" - $"inter"), 6))
+      .where($"jaccard" >= jaccardThreshold)
+      .select($"new_id", $"corpus_id", $"jaccard")
+      .orderBy($"new_id", $"corpus_id")
+  }
+
   // ------------------------------------------------------------ minhash+LSH
 
   // Deterministic universal-hash parameters h_k(x) = (a_k·x + b_k) mod P,
@@ -303,6 +337,7 @@ object Dedup extends QueryModule {
     "dedup_exact"         -> (exact _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh"   -> (minhashLsh _),
+    "dedup_incremental"   -> (incremental _),
     "dedup_simhash"       -> (simhash _),
     "dedup_embcos"        -> (embeddingCosine _),
   )
@@ -328,6 +363,21 @@ object Dedup extends QueryModule {
       """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardOracle,
+    "dedup_incremental" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |d AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(tok) - 2, 1)),
+        |         i -> array_to_string(tok[i:i+2], ' '))) AS shingles
+        |  FROM t
+        |), e AS (
+        |  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM d
+        |)
+        |SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+        |       round(count(*) / (a.n_sh + b.n_sh - count(*)), 6) AS jaccard
+        |FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        |GROUP BY 1, 2, a.n_sh, b.n_sh
+        |HAVING round(count(*) / (a.n_sh + b.n_sh - count(*)), 6) >= 0.8
+        |ORDER BY new_id, corpus_id""".stripMargin,
     // minhash+LSH verifies candidates with exact jaccard, so its output
     // equals the exact computation (deterministically, on this data).
     // DedupSpec separately asserts the containment direction (LSH ⊆ exact)
