@@ -171,6 +171,39 @@ object Dedup extends QueryModule {
       .orderBy($"new_id", $"corpus_id")
   }
 
+  /** Near-dup CLUSTERS: connected components over the Jaccard pair graph
+    * by min-label propagation — the step production dedup runs after pair
+    * generation (keep one doc per component). Iterative Pregel-style
+    * loop: each round every doc takes the min component label among
+    * itself and its neighbors, until a round changes nothing; converges
+    * in ≤ graph-diameter rounds (clusters here are tiny). The driver sees
+    * only the convergence counter — per-round work is two distributed
+    * joins, which is exactly how GraphX/GraphFrames label propagation
+    * schedules at scale. Singletons keep their own id, so the output is
+    * a total doc → component map. */
+  def clusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = ngramJaccard(s, dir).select($"doc_a", $"doc_b")
+    val edges = pairs
+      .unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .persist()
+    var labels = Tables.documents(s, dir)
+      .select($"doc_id", $"doc_id".as("component"))
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges.join(labels, edges("doc_b") === labels("doc_id"))
+        .groupBy(edges("doc_a").as("nid"))
+        .agg(min($"component").as("nmin"))
+      val updated = labels.join(neighborMin, labels("doc_id") === neighborMin("nid"), "left")
+        .select($"doc_id", $"component",
+                least($"component", coalesce($"nmin", $"component")).as("next"))
+        .persist()
+      changed = updated.where($"next" < $"component").count()
+      labels = updated.select($"doc_id", $"next".as("component"))
+    }
+    labels.orderBy($"doc_id")
+  }
+
   // ------------------------------------------------------------ minhash+LSH
 
   // Deterministic universal-hash parameters h_k(x) = (a_k·x + b_k) mod P,
@@ -338,6 +371,7 @@ object Dedup extends QueryModule {
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh"   -> (minhashLsh _),
     "dedup_incremental"   -> (incremental _),
+    "dedup_clusters"      -> (clusters _),
     "dedup_simhash"       -> (simhash _),
     "dedup_embcos"        -> (embeddingCosine _),
   )
@@ -363,6 +397,32 @@ object Dedup extends QueryModule {
       """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardOracle,
+    // transitive closure by recursive CTE = the declarative twin of the
+    // Spark side's label-propagation fixpoint
+    "dedup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |d AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(tok) - 2, 1)),
+        |         i -> array_to_string(tok[i:i+2], ' '))) AS shingles
+        |  FROM t
+        |), e AS (
+        |  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM d
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, a.n_sh, b.n_sh
+        |  HAVING round(count(*) / (a.n_sh + b.n_sh - count(*)), 6) >= 0.8
+        |), edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION ALL
+        |  SELECT doc_b, doc_a FROM pairs
+        |), reach AS (
+        |  SELECT doc_id AS a, doc_id AS b FROM documents
+        |  UNION
+        |  SELECT r.a, g.b FROM reach r JOIN edges g ON r.b = g.a
+        |)
+        |SELECT a AS doc_id, min(b) AS component
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
     "dedup_incremental" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
         |d AS (
