@@ -256,6 +256,25 @@ object EventOps extends QueryModule {
       .orderBy($"event_type")
   }
 
+  /** Threshold outlier detection: events whose value exceeds their type's
+    * p99, counted per type. The per-type threshold is an exact
+    * interpolated percentile rounded at 6 (identical doubles in both
+    * engines), broadcast-joined back to the fact scan — the standard
+    * two-pass anomaly screen; at scale pass 1 is a tiny agg and pass 2 is
+    * a map-side filter. */
+  def outliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val thr = ev.groupBy($"event_type")
+      .agg(round(expr("percentile(value, 0.99)"), 6).as("p99"))
+    ev.join(broadcast(thr), "event_type")
+      .where($"value" > $"p99")
+      .groupBy($"event_type")
+      .agg(first($"p99").as("p99"), count(lit(1)).as("n_outliers"),
+           round(max($"value"), 6).as("max_value"))
+      .orderBy($"event_type")
+  }
+
   /** Funnel analysis — sequential pattern matching (view → click →
     * purchase, each step strictly after the previous user's FIRST
     * occurrence of the prior step): the MATCH_RECOGNIZE-shaped analytics
@@ -366,6 +385,7 @@ object EventOps extends QueryModule {
     "ev_ts_similarity"  -> (tsSimilarity _),
     "ev_funnel"         -> (funnel _),
     "ev_retention"      -> (retention _),
+    "ev_outliers"       -> (outliers _),
   )
 
   private val trendOracle =
@@ -467,6 +487,17 @@ object EventOps extends QueryModule {
         | AND c.ts >= p.ts - INTERVAL '10 minutes' AND c.ts <= p.ts
         |GROUP BY 1, 2
         |ORDER BY purchase_id""".stripMargin,
+    "ev_outliers" ->
+      """WITH thr AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.99), 6) AS p99
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT e.event_type, t.p99, count(*) AS n_outliers,
+        |       round(max(e.value), 6) AS max_value
+        |FROM events e JOIN thr t ON e.event_type = t.event_type
+        |WHERE e.value > t.p99
+        |GROUP BY 1, 2
+        |ORDER BY 1""".stripMargin,
     "ev_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
         |           WHERE event_type = 'view' GROUP BY 1),

@@ -42,7 +42,8 @@ import org.apache.spark.sql.graft.bridge
 case class AsofJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    forward: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override def references: AttributeSet =
@@ -54,8 +55,8 @@ case class AsofJoin(
 
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lt, rt) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsofJoin(l, r, lk, rk, lt, rt, fwd) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -63,7 +64,8 @@ object AsofJoinStrategy extends SparkStrategy {
 case class AsofJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+    leftTime: Expression, rightTime: Expression,
+    forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -109,25 +111,41 @@ case class AsofJoinExec(
           val l = lIter.next()
           val lk = lKeyProj(l)
           val lt = lTimeProj(l).getLong(0)
-          // a buffered match from a previous key is stale once the probe key moves
-          if (lastMatchKey != null && keyOrd.compare(lastMatchKey, lk) != 0) {
-            lastMatch = null; lastMatchKey = null
-          }
-          var scanning = true
-          while (scanning && curRight != null) {
-            val rk = rKeyProj(curRight)
-            val c = keyOrd.compare(rk, lk)
-            if (c < 0) {
-              curRight = advanceRight() // reference key below probe key: discard
-            } else if (c == 0 && rTimeProj(curRight).getLong(0) <= lt) {
-              lastMatch = curRight.copy() // newest admissible reference so far
-              lastMatchKey = rk.copy()
-              curRight = advanceRight()
-            } else {
-              scanning = false // reference ahead of probe: stop, keep buffered
+          if (forward) {
+            // smallest reference time >= probe time: advance past anything
+            // earlier; the buffered row is NOT consumed on match — it may
+            // serve the next (later) probe too
+            var scanning = true
+            while (scanning && curRight != null) {
+              val rk = rKeyProj(curRight)
+              val c = keyOrd.compare(rk, lk)
+              if (c < 0 || (c == 0 && rTimeProj(curRight).getLong(0) < lt))
+                curRight = advanceRight()
+              else scanning = false
             }
+            val matched = curRight != null && keyOrd.compare(rKeyProj(curRight), lk) == 0
+            resultProj(joined(l, if (matched) curRight else nullRight))
+          } else {
+            // a buffered match from a previous key is stale once the probe key moves
+            if (lastMatchKey != null && keyOrd.compare(lastMatchKey, lk) != 0) {
+              lastMatch = null; lastMatchKey = null
+            }
+            var scanning = true
+            while (scanning && curRight != null) {
+              val rk = rKeyProj(curRight)
+              val c = keyOrd.compare(rk, lk)
+              if (c < 0) {
+                curRight = advanceRight() // reference key below probe key: discard
+              } else if (c == 0 && rTimeProj(curRight).getLong(0) <= lt) {
+                lastMatch = curRight.copy() // newest admissible reference so far
+                lastMatchKey = rk.copy()
+                curRight = advanceRight()
+              } else {
+                scanning = false // reference ahead of probe: stop, keep buffered
+              }
+            }
+            resultProj(joined(l, if (lastMatch != null) lastMatch else nullRight))
           }
-          resultProj(joined(l, if (lastMatch != null) lastMatch else nullRight))
         }
       }
     }
@@ -151,11 +169,16 @@ object Asof {
 
   /** `left` asof-joined with `right`: for each left row, the most recent
     * right row with equal keys and `right(rightTimeCol) <=
-    * left(leftTimeCol)`; nulls when none. Output = left columns ++ right
-    * columns — rename right columns beforehand to avoid collisions. */
+    * left(leftTimeCol)` (`direction = "backward"`, the default) — or the
+    * EARLIEST right row with `rightTime >= leftTime` (`"forward"`);
+    * nulls when none. Output = left columns ++ right columns — rename
+    * right columns beforehand to avoid collisions. */
   def join(left: DataFrame, right: DataFrame,
            leftOn: Seq[String], rightOn: Seq[String],
-           leftTimeCol: String, rightTimeCol: String): DataFrame = {
+           leftTimeCol: String, rightTimeCol: String,
+           direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     require(leftOn.length == rightOn.length && leftOn.nonEmpty,
       "asof join needs equal-length, non-empty key lists")
     val spark = left.sparkSession
@@ -170,6 +193,7 @@ object Asof {
     bridge.dfOf(spark, AsofJoin(
       lPlan, rPlan,
       leftOn.map(attr(lPlan, _)), rightOn.map(attr(rPlan, _)),
-      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol)))
+      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol),
+      forward = direction == "forward"))
   }
 }

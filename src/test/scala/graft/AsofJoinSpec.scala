@@ -34,6 +34,50 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(out === Map("t1" -> 101.0, "t2" -> 102.0, "t3" -> null, "t4" -> null))
   }
 
+  test("forward direction: earliest reference at-or-after each probe") {
+    import spark.implicits._
+    val probes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "p1"),
+      (1L, ts("2024-01-01 10:06:00"), "p2"), // exact tie with q3
+      (1L, ts("2024-01-01 11:00:00"), "p3")  // after all quotes
+    ).toDF("k", "t", "p")
+    val refs = Seq(
+      (1L, ts("2024-01-01 09:59:00"), 101.0),
+      (1L, ts("2024-01-01 10:05:00"), 102.0),
+      (1L, ts("2024-01-01 10:06:00"), 103.0)
+    ).toDF("qk", "qt", "price")
+    val out = Asof.join(probes, refs, Seq("k"), Seq("qk"), "t", "qt", "forward")
+      .select($"p", $"price")
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1)))
+      .toMap
+    assert(out === Map("p1" -> 102.0, "p2" -> 103.0, "p3" -> null))
+  }
+
+  test("fuzz: forward direction agrees with a driver-side reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val probes = (0 until 300).map { i =>
+      (i.toLong, rnd.nextInt(15).toLong,
+       new Timestamp(ts("2024-01-01 00:00:00").getTime + rnd.nextInt(50000) * 1000L))
+    }.distinctBy(r => (r._2, r._3))
+    val refs = (1000 until 1250).map { i =>
+      (i.toLong, rnd.nextInt(15).toLong,
+       new Timestamp(ts("2024-01-01 00:00:00").getTime + rnd.nextInt(50000) * 1000L))
+    }.distinctBy(r => (r._2, r._3))
+    val got = Asof.join(probes.toDF("pid", "k", "pt"), refs.toDF("rid", "rk", "rt"),
+        Seq("k"), Seq("rk"), "pt", "rt", "forward")
+      .select($"pid", $"rid")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    val byKey = refs.groupBy(_._2)
+    val expected = probes.map { case (pid, k, pt) =>
+      pid -> byKey.getOrElse(k, Seq.empty)
+        .filter(!_._3.before(pt)).sortBy(_._3.getTime)
+        .headOption.map(_._1).getOrElse(-1L)
+    }.toMap
+    assert(got === expected)
+  }
+
   test("plans as AsofJoinExec (no window machinery) with one exchange per side") {
     val ev = Tables.events(spark, TestSpark.sf)
     val p = ev.where(col("event_type") === "purchase")

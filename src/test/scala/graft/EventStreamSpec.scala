@@ -86,6 +86,27 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("Trigger.AvailableNow drains the backlog and terminates on its own") {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = EventStreamOps.watermarkedTenMin(streamOf(stagedDir))
+      .writeStream.outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName("an_out")
+      .start()
+    // AvailableNow processes exactly the data present at start, then stops
+    assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+    val n = spark.table("an_out").count()
+    assert(n > 0)
+    // same closed windows as the processAllAvailable run (same staged input)
+    val reference = {
+      val q2 = EventStreamOps.watermarkedTenMin(streamOf(stagedDir))
+        .writeStream.outputMode("append").format("memory").queryName("an_ref").start()
+      q2.processAllAvailable(); q2.stop()
+      spark.table("an_ref").count()
+    }
+    assert(n === reference)
+  }
+
   test("mapGroupsWithState running counts converge to batch per-user counts") {
     val q = EventStreamOps.runningUserCounts(streamOf(stagedDir))
       .writeStream.outputMode(EventStreamOps.runningCountsMode)
