@@ -148,15 +148,29 @@ object Dedup extends QueryModule {
     * guarantee one-sided-simple. */
   def incremental(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = shingled(s, dir)
-      .select($"doc_id", $"n_sh", explode($"shingles").as("sh"))
-    val corpus = sh.where($"doc_id" % 2 === 0)
-    val incoming = sh.where($"doc_id" % 2 === 1)
-    val docs = shingled(s, dir)
-      .select($"doc_id", $"shingles", $"n_sh")
-      .persist() // consumed by both verify sides
-    val cand = incoming.join(corpus
-          .select($"doc_id".as("corpus_id"), $"n_sh".as("c_n"), $"sh"), "sh")
+    // Same machinery as [[ngramJaccard]] — global df, rare-first sorted
+    // arrays, ONE persisted doc relation every branch derives from — but
+    // the prefix filter is ONE-SIDED: only the incoming batch indexes its
+    // rare prefix, joined against the corpus's FULL posting list. The
+    // guarantee still holds (J(A,B) ≥ t ⇒ A's rare prefix must intersect
+    // B's full set), and it matches the production layout where the
+    // corpus index at rest is complete and only the batch is processed.
+    val e = explodedShingles(s, dir, "sh")
+    val df = e.groupBy($"sh").agg(count(lit(1)).as("df"))
+    val docs = e.join(df, "sh")
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"df", $"sh"))).as("byRarity"),
+           first($"n_sh").as("n_sh"))
+      .withColumn("shingles", transform($"byRarity", _.getField("sh")))
+      .withColumn("plen",
+        ($"n_sh" - ceil($"n_sh" * lit(jaccardThreshold)) + 1).cast("int"))
+      .select($"doc_id", $"n_sh", $"shingles", $"plen")
+      .persist()
+    val corpusIdx = docs.where($"doc_id" % 2 === 0)
+      .select($"doc_id".as("corpus_id"), $"n_sh".as("c_n"), explode($"shingles").as("sh"))
+    val incomingPrefix = docs.where($"doc_id" % 2 === 1)
+      .select($"doc_id", $"n_sh", explode(slice($"shingles", lit(1), $"plen")).as("sh"))
+    val cand = incomingPrefix.join(corpusIdx, "sh")
       .where($"n_sh" >= $"c_n" * jaccardThreshold &&
              $"c_n" >= $"n_sh" * jaccardThreshold)
       .select($"doc_id".as("new_id"), $"corpus_id")
@@ -181,27 +195,74 @@ object Dedup extends QueryModule {
     * joins, which is exactly how GraphX/GraphFrames label propagation
     * schedules at scale. Singletons keep their own id, so the output is
     * a total doc → component map. */
-  def clusters(s: SparkSession, dir: String): DataFrame = {
+  def clusters(s: SparkSession, dir: String): DataFrame =
+    clustersImpl(s, dir, driverUnionFindMax = 10000000L)
+
+  /** Hybrid component computation. The pair graph is orders of magnitude
+    * smaller than the corpus (it IS the near-dup density), so up to
+    * `driverUnionFindMax` edges a driver-side union-find (a few MB of
+    * longs; same trick as broadcast-join planning) replaces ~6 scheduled
+    * jobs; past that, distributed min-label propagation with per-round
+    * lineage truncation takes over. DedupSpec pins both paths equal. */
+  private[graft] def clustersImpl(s: SparkSession, dir: String,
+                                  driverUnionFindMax: Long): DataFrame = {
     import s.implicits._
-    val pairs = ngramJaccard(s, dir).select($"doc_a", $"doc_b")
-    val edges = pairs
-      .unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
-      .persist()
-    var labels = Tables.documents(s, dir)
-      .select($"doc_id", $"doc_id".as("component"))
-    var changed = 1L
-    while (changed > 0) {
-      val neighborMin = edges.join(labels, edges("doc_b") === labels("doc_id"))
-        .groupBy(edges("doc_a").as("nid"))
-        .agg(min($"component").as("nmin"))
-      val updated = labels.join(neighborMin, labels("doc_id") === neighborMin("nid"), "left")
-        .select($"doc_id", $"component",
-                least($"component", coalesce($"nmin", $"component")).as("next"))
-        .persist()
-      changed = updated.where($"next" < $"component").count()
-      labels = updated.select($"doc_id", $"next".as("component"))
-    }
-    labels.orderBy($"doc_id")
+    val pairs = ngramJaccard(s, dir).select($"doc_a", $"doc_b").persist()
+    val nPairs = pairs.count()
+    val labels: DataFrame =
+      if (nPairs <= driverUnionFindMax) {
+        // driver union-find with path compression; component = min member
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        pairs.collect().foreach { row =>
+          val (a, b) = (row.getLong(0), row.getLong(1))
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { // union by min root → root IS the min member
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        val ids = parent.keySet.toSeq
+        s.createDataFrame(ids.map(id => (id, find(id))))
+          .toDF("doc_id", "component")
+      } else {
+        // distributed path: iterate only over pair-graph vertices,
+        // partitions sized to the graph (not the session default), eager
+        // localCheckpoint per round so Catalyst doesn't re-analyze an
+        // ever-growing plan
+        val parts = math.max(1, (nPairs / 100000L).toInt)
+        val edges = pairs
+          .unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+          .repartition(parts, $"doc_b")
+          .persist()
+        var lbl = edges.select($"doc_a".as("doc_id")).distinct()
+          .select($"doc_id", $"doc_id".as("component"))
+          .repartition(parts, $"doc_id")
+          .persist()
+        var changed = 1L
+        while (changed > 0) {
+          val neighborMin = edges.join(lbl, edges("doc_b") === lbl("doc_id"))
+            .groupBy(edges("doc_a").as("nid"))
+            .agg(min($"component").as("nmin"))
+          val updated = lbl.join(neighborMin, lbl("doc_id") === neighborMin("nid"), "left")
+            .select($"doc_id", $"component",
+                    least($"component", coalesce($"nmin", $"component")).as("next"))
+            .localCheckpoint(true)
+          changed = updated.where($"next" < $"component").count()
+          lbl = updated.select($"doc_id", $"next".as("component"))
+        }
+        lbl
+      }
+    // singletons never ride the iteration/union-find; they join back once
+    Tables.documents(s, dir).select($"doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"component", $"doc_id").as("component"))
+      .orderBy($"doc_id")
   }
 
   // ------------------------------------------------------------ minhash+LSH

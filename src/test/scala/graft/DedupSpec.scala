@@ -46,4 +46,17 @@ class DedupSpec extends AnyFunSuite {
     val invented = sim -- exactPairs
     assert(invented.isEmpty, s"simhash invented non-dup pairs: $invented")
   }
+
+  test("clusters: driver union-find path == distributed label-propagation path") {
+    val viaUnionFind = Dedup.clustersImpl(spark, TestSpark.sf, driverUnionFindMax = Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLoop = Dedup.clustersImpl(spark, TestSpark.sf, driverUnionFindMax = -1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaUnionFind === viaLoop)
+    // components group exactly the transitive closure of the pair graph:
+    // both endpoints of every exact pair share a component
+    exactPairs.foreach { case (a, b) =>
+      assert(viaUnionFind(a) === viaUnionFind(b), s"pair ($a,$b) split across components")
+    }
+  }
 }
