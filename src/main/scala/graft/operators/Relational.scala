@@ -285,6 +285,28 @@ object Relational extends QueryModule {
       .orderBy($"o_orderpriority")
   }
 
+  /** Deterministic stratified sampling: a ~5% systematic sample of
+    * lineitem per returnflag stratum, membership decided by an md5-derived
+    * hash of the row key — reproducible across engines AND across runs /
+    * cluster layouts, unlike `df.sample` (seeded per-partition RNG, so
+    * results change with partitioning). This is the sampling discipline a
+    * 100 TB pipeline wants anyway: membership is a pure row function, so
+    * the sample is stable under repartitioning, retries, and incremental
+    * reruns. Per-stratum aggregates let the oracle hash-check the whole
+    * sample without shipping sampled rows. */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .withColumn("bucket",
+        conv(substring(md5(concat_ws("|", $"l_orderkey", $"l_linenumber")), 1, 8), 16, 10)
+          .cast("long") % 100)
+      .where($"bucket" < 5)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_sampled"),
+           round(sum($"l_extendedprice"), 2).as("sampled_price"))
+      .orderBy($"l_returnflag")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_pricing_summary"  -> (pricingSummary _),
     "rel_filter_project"   -> (filterProject _),
@@ -302,6 +324,7 @@ object Relational extends QueryModule {
     "rel_scalar_subquery"  -> (maxOrderPerCustomer _),
     "rel_bloom_semi_join"  -> (bloomSemiJoin _),
     "rel_salted_join"      -> (saltedJoin _),
+    "rel_sample_stratified"-> (sampleStratified _),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -410,6 +433,13 @@ object Relational extends QueryModule {
         |                      FROM orders i
         |                      WHERE i.o_custkey = o.o_custkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "rel_sample_stratified" ->
+      """SELECT l_returnflag, count(*) AS n_sampled,
+        |       round(sum(l_extendedprice), 2) AS sampled_price
+        |FROM lineitem
+        |WHERE CAST(CAST(('0x' || substr(md5(l_orderkey || '|' || l_linenumber), 1, 8)) AS UBIGINT) AS BIGINT) % 100 < 5
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     // salting is a pure optimization: result == the plain unsalted join
     "rel_salted_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
