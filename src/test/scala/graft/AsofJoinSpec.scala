@@ -130,6 +130,50 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("bucketed inputs satisfy the declared distribution: no join exchange") {
+    import spark.implicits._
+    val ev = Tables.events(spark, TestSpark.sf)
+    spark.sql("DROP TABLE IF EXISTS b_purchases")
+    spark.sql("DROP TABLE IF EXISTS b_clicks")
+    val wh = new java.io.File(spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    Seq("b_purchases", "b_clicks").foreach { t =>
+      val d = new java.io.File(wh, t)
+      if (d.exists()) { def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }; rm(d) }
+    }
+    ev.where($"event_type" === "purchase")
+      .select($"event_id".as("pid"), $"user_id", $"ts".as("pt"))
+      .write.bucketBy(8, "user_id").sortBy("user_id", "pt")
+      .mode("overwrite").saveAsTable("b_purchases")
+    ev.where($"event_type" === "click")
+      .select($"user_id".as("cu"), $"ts".as("ct"), $"event_id".as("cid"))
+      .write.bucketBy(8, "cu").sortBy("cu", "ct")
+      .mode("overwrite").saveAsTable("b_clicks")
+
+    val df = Asof.join(spark.table("b_purchases"), spark.table("b_clicks"),
+                       Seq("user_id"), Seq("cu"), "pt", "ct")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the declared ClusteredDistribution is satisfied by the bucket layout,
+    // so EnsureRequirements plants NO exchange on either join key — the
+    // payoff of declaring requirements instead of hand-partitioning
+    assert(plan.contains("AsofJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed asof join still shuffles:\n$plan")
+
+    // and the result matches the unbucketed run
+    val unbucketed = Asof.join(
+        ev.where($"event_type" === "purchase")
+          .select($"event_id".as("pid"), $"user_id", $"ts".as("pt")),
+        ev.where($"event_type" === "click")
+          .select($"user_id".as("cu"), $"ts".as("ct"), $"event_id".as("cid")),
+        Seq("user_id"), Seq("cu"), "pt", "ct")
+      .select($"pid", $"cid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val bucketed = df.select($"pid", $"cid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(bucketed === unbucketed)
+  }
+
   test("custom operator agrees with the union+window composition on real events") {
     val native = EventOps.asofNative(spark, TestSpark.sf).collect().toSeq
     val window = EventOps.asofJoin(spark, TestSpark.sf).collect().toSeq
