@@ -173,6 +173,16 @@ object EventStreamOps {
       }
   }
 
+  /** Stream-static join: every micro-batch of events enriched against a
+    * STATIC dimension (re-read per batch, broadcast when small). No state
+    * store at all — the third join flavor next to batch-batch and
+    * stream-stream, and the streaming analogue of the relational layer's
+    * broadcast dimension joins. At 100 TB/day of stream the static side's
+    * size is the only constraint (broadcast under ~GB; else shuffle each
+    * batch). */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+
   /** Watermarked stream-stream interval join: each purchase matched with
     * every click by the same user in the preceding 30 minutes. The time
     * bound + watermarks let Spark expire both join buffers; state is

@@ -72,6 +72,28 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join enriches each batch against the broadcast dimension") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dim = Seq((7L, "gold"), (8L, "silver")).toDF("user_id", "tier")
+    val in = MemoryStream[Ev]
+    val q = EventStreamOps.enrichWithDim(in.toDF(), dim)
+      .select($"event_id", $"tier")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    try {
+      in.addData(
+        Ev(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
+        Ev(2, ts("2024-01-01 00:01:00"), 9, "view", 2.0)) // no dim row → null
+      q.processAllAvailable()
+      in.addData(Ev(3, ts("2024-01-01 00:02:00"), 8, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("enrich_out").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+      assert(got === Map(1L -> "gold", 2L -> null, 3L -> "silver"))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch join on the same data") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
