@@ -23,9 +23,12 @@ object SparkEntry {
     Pipelines,
   )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The composite curation pipeline exercises text scoring, the
+    * prefix-filtered near-dup join, and the aggregation layer in one
+    * declarative job — the engine's character in a single query. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.pricingSummary(spark, "/root/testdata/sf0.001")
+    Pipelines.corpusCuration(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
