@@ -95,22 +95,22 @@ object Dedup extends QueryModule {
     * in the index (at t = 0.8 that's ~20% of each doc, skewed rare), which
     * drops candidate volume by orders of magnitude while provably keeping
     * the output identical — measured 13.8 s → ~1 s at sf0.1. */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+  /** The rarity-sorted, PERSISTED doc relation `(doc_id, n_sh, shingles,
+    * plen)` that both Jaccard variants build on. One doc-level groupBy
+    * produces BOTH the full shingle array (for the exact verify) and the
+    * rare-first order: sort_array on (df, sh) structs IS the canonical
+    * rarity order (struct ordering = field 1 then field 2), so the prefix
+    * is a slice — no row_number window, no extra shuffle+sort of the
+    * exploded relation. Persisted because it feeds 3-4 consumers per
+    * query (index sides + verify joins) and self-join aliasing re-keys
+    * expression ids, so plain exchange reuse never collapses the
+    * duplicates (verified via explain: 8 parquet scans without the
+    * cache). One row per doc — orders of magnitude smaller than input. */
+  private def rarityDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = explodedShingles(s, dir, "sh")
     val df = e.groupBy($"sh").agg(count(lit(1)).as("df"))
-    // One doc-level groupBy produces BOTH the full shingle array (for the
-    // exact verify) and the rare-first prefix: sort_array on (df, sh)
-    // structs IS the canonical rarity order (struct ordering = field 1
-    // then field 2), so the prefix is a slice — no row_number window, no
-    // extra shuffle+sort of the exploded relation.
-    // persist: docs feeds FOUR consumers (two self-join sides, two verify
-    // joins). Self-join aliasing re-keys the expression ids, so plain
-    // exchange reuse does NOT collapse the duplicates — without the cache
-    // the whole scan→shingle-UDF→df-agg subtree executes four times
-    // (verified via explain: 8 parquet scans). The relation is one row per
-    // doc — caching it is orders of magnitude smaller than the input.
-    val docs = e.join(df, "sh") // both sides already hash-partitioned on sh
+    e.join(df, "sh") // both sides already hash-partitioned on sh
       .groupBy($"doc_id")
       .agg(sort_array(collect_list(struct($"df", $"sh"))).as("byRarity"),
            first($"n_sh").as("n_sh"))
@@ -119,6 +119,11 @@ object Dedup extends QueryModule {
         ($"n_sh" - ceil($"n_sh" * lit(jaccardThreshold)) + 1).cast("int"))
       .select($"doc_id", $"n_sh", $"shingles", $"plen")
       .persist()
+  }
+
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = rarityDocs(s, dir)
     val prefix = docs
       .select($"doc_id", $"n_sh", explode(slice($"shingles", lit(1), $"plen")).as("sh"))
     val cand = prefix.as("a").join(prefix.as("b"),
@@ -148,24 +153,13 @@ object Dedup extends QueryModule {
     * guarantee one-sided-simple. */
   def incremental(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // Same machinery as [[ngramJaccard]] — global df, rare-first sorted
-    // arrays, ONE persisted doc relation every branch derives from — but
-    // the prefix filter is ONE-SIDED: only the incoming batch indexes its
-    // rare prefix, joined against the corpus's FULL posting list. The
+    // Same [[rarityDocs]] machinery as [[ngramJaccard]], but the prefix
+    // filter is ONE-SIDED: only the incoming batch indexes its rare
+    // prefix, joined against the corpus's FULL posting list. The
     // guarantee still holds (J(A,B) ≥ t ⇒ A's rare prefix must intersect
     // B's full set), and it matches the production layout where the
     // corpus index at rest is complete and only the batch is processed.
-    val e = explodedShingles(s, dir, "sh")
-    val df = e.groupBy($"sh").agg(count(lit(1)).as("df"))
-    val docs = e.join(df, "sh")
-      .groupBy($"doc_id")
-      .agg(sort_array(collect_list(struct($"df", $"sh"))).as("byRarity"),
-           first($"n_sh").as("n_sh"))
-      .withColumn("shingles", transform($"byRarity", _.getField("sh")))
-      .withColumn("plen",
-        ($"n_sh" - ceil($"n_sh" * lit(jaccardThreshold)) + 1).cast("int"))
-      .select($"doc_id", $"n_sh", $"shingles", $"plen")
-      .persist()
+    val docs = rarityDocs(s, dir)
     val corpusIdx = docs.where($"doc_id" % 2 === 0)
       .select($"doc_id".as("corpus_id"), $"n_sh".as("c_n"), explode($"shingles").as("sh"))
     val incomingPrefix = docs.where($"doc_id" % 2 === 1)
