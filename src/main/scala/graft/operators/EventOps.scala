@@ -256,6 +256,19 @@ object EventOps extends QueryModule {
       .orderBy($"event_type")
   }
 
+  /** Validity-interval (SCD type-2) construction: each event's state is
+    * valid from its timestamp until the same user's next event (null =
+    * still current) — the `lead()` form of the latest-record problem,
+    * one shuffle on the user key shared by the window. */
+  def validityIntervals(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"event_type", $"ts".as("valid_from"),
+              lead($"ts", 1).over(w).as("valid_to"))
+      .orderBy($"user_id", $"valid_from", $"event_id")
+  }
+
   /** Threshold outlier detection: events whose value exceeds their type's
     * p99, counted per type. The per-type threshold is an exact
     * interpolated percentile rounded at 6 (identical doubles in both
@@ -386,6 +399,7 @@ object EventOps extends QueryModule {
     "ev_funnel"         -> (funnel _),
     "ev_retention"      -> (retention _),
     "ev_outliers"       -> (outliers _),
+    "ev_validity"       -> (validityIntervals _),
   )
 
   private val trendOracle =
@@ -487,6 +501,11 @@ object EventOps extends QueryModule {
         | AND c.ts >= p.ts - INTERVAL '10 minutes' AND c.ts <= p.ts
         |GROUP BY 1, 2
         |ORDER BY purchase_id""".stripMargin,
+    "ev_validity" ->
+      """SELECT user_id, event_id, event_type, ts AS valid_from,
+        |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS valid_to
+        |FROM events
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
     "ev_outliers" ->
       """WITH thr AS (
         |  SELECT event_type, round(quantile_cont(value, 0.99), 6) AS p99

@@ -40,4 +40,17 @@ class ExtensionsSpec extends AnyFunSuite {
     val e = new SparkSessionExtensions
     new GraftExtensions().apply(e) // must register without throwing
   }
+
+  test("asof strategy reaches sessions through experimental strategies") {
+    graft.plans.Asof.ensureStrategy(spark)
+    assert(spark.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy))
+    graft.plans.Asof.ensureStrategy(spark) // idempotent
+    assert(spark.experimental.extraStrategies
+      .count(_ == graft.plans.AsofJoinStrategy) === 1)
+    // and shingle_array is on the SQL surface alongside the others
+    GraftFunctions.register(spark)
+    val n = spark.sql("SELECT size(shingle_array('a b c d')) AS n")
+      .collect().head.getInt(0)
+    assert(n === 2) // "a b c", "b c d"
+  }
 }
