@@ -569,7 +569,7 @@ object EventOps extends QueryModule {
         |LIMIT 20""".stripMargin,
     "ev_json_props" ->
       """SELECT event_type, count(*) AS n,
-        |       sum(CAST(props->>'$.k' AS BIGINT)) AS k_sum,
+        |       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
         |       min(CAST(props->>'$.k' AS BIGINT)) AS k_min,
         |       max(CAST(props->>'$.k' AS BIGINT)) AS k_max
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -79,7 +79,7 @@ object Pipelines extends QueryModule {
          |  HAVING round(count(*) / (a.n_sh + b.n_sh - count(*)), 6) >= 0.8
          |)
          |SELECT doc.lang, count(*) AS n_docs,
-         |       sum(q.n_tokens) AS sum_tokens,
+         |       CAST(sum(q.n_tokens) AS BIGINT) AS sum_tokens,
          |       round(CAST(sum(q.n_tokens) AS DOUBLE) / count(*), 6) AS avg_tokens,
          |       min(q.quality_score) AS min_quality,
          |       max(q.quality_score) AS max_quality

@@ -245,10 +245,19 @@ object Relational extends QueryModule {
     // build side is pre-aggregated)
     val nKeys = math.max(urgent.count(), 1L)
     val bloom = urgent.stat.bloomFilter("o_orderkey", nKeys, 0.01)
-    val bc = s.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    // Probe with Catalyst's native BloomFilterMightContain (the expression
+    // behind Spark's runtime row-level filtering) over the serialized
+    // sketch as a plan constant: the probe stays inside whole-stage
+    // codegen, where a Scala UDF would break the codegen span. The literal
+    // rides to executors with the task binary like a broadcast var.
+    val out = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(out)
+    import org.apache.spark.sql.graft.bridge
+    val mightContain = bridge.columnOf(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        bridge.exprOf(lit(out.toByteArray)), bridge.exprOf($"l_orderkey")))
     Tables.lineitem(s, dir)
-      .filter(mightContain($"l_orderkey"))
+      .filter(mightContain)
       .join(urgent, $"l_orderkey" === $"o_orderkey", "left_semi")
       .groupBy($"l_orderkey")
       .agg(count(lit(1)).as("n_items"),

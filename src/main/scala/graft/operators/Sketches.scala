@@ -18,8 +18,22 @@ import org.apache.spark.sql.functions._
   */
 object Sketches extends QueryModule {
 
-  /** Exact vs HLL distinct counts per event type. No oracle for the HLL
-    * column (engine-specific sketch); SketchSpec bounds its error. */
+  /** Exact distinct users per event type — the oracle-checked baseline the
+    * HLL estimate is judged against. countDistinct plans as a two-phase
+    * expand+exchange; at 100 TB swap to [[approxDistinct]] (constant
+    * memory) when ±2% is acceptable. */
+  def exactDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("exact_users"))
+      .orderBy($"event_type")
+  }
+
+  /** Exact vs HLL distinct counts per event type. The HLL estimate is
+    * engine-specific (DuckDB uses a different sketch), so this is NOT
+    * driver-registered: its gate is SketchSpec's 5%-of-exact error bound,
+    * while the exact column is gated via [[exactDistinct]]. */
   def approxDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.events(s, dir)
@@ -118,7 +132,7 @@ object Sketches extends QueryModule {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sketch_approx_distinct" -> (approxDistinct _),
+    "sketch_exact_distinct"  -> (exactDistinct _),
     "sketch_quantiles"       -> (quantiles _),
     "sketch_summary_stats"   -> (summaryStats _),
     "sketch_topk_freq"       -> (topkFreq _),
@@ -126,6 +140,9 @@ object Sketches extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "sketch_exact_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "sketch_quantiles" ->
       """SELECT event_type,
         |       round(quantile_cont(value, 0.5), 6) AS p50,

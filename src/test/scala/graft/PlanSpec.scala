@@ -79,14 +79,18 @@ class PlanSpec extends AnyFunSuite {
   test("bloom semi join prunes the fact side map-side, below the semi join") {
     val p = simple("rel_bloom_semi_join")
     assert(p.contains("LeftSemi"), p)
-    // the mightContain UDF filter must sit on the fact side BELOW the
-    // join: in the indented tree its Filter line comes after (deeper
-    // than) the join line
+    // the probe is the NATIVE might_contain expression (no ScalaUDF — the
+    // filter stays inside whole-stage codegen) and must sit on the fact
+    // side BELOW the join: in the indented tree its Filter line comes
+    // after (deeper than) the join line
+    assert(!p.contains("UDF"), p)
     val lines = p.linesIterator.toVector
     val joinLine = lines.indexWhere(_.contains("LeftSemi"))
-    val udfFilter = lines.indexWhere(l => l.contains("Filter") && l.contains("UDF"))
+    val bloomFilter = lines.indexWhere(l =>
+      l.contains("Filter") && l.contains("might_contain"))
     assert(joinLine >= 0, p)
-    assert(udfFilter > joinLine, s"UDF filter at $udfFilter, join at $joinLine:\n$p")
+    assert(bloomFilter > joinLine,
+      s"might_contain filter at $bloomFilter, join at $joinLine:\n$p")
   }
 
   test("shingle generation runs as the native expression, not a UDF") {

@@ -36,16 +36,14 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
-  test("oracle coverage: queries without an oracle are known exceptions") {
+  test("oracle coverage: every driver-registered query has an oracle") {
+    // The HLL estimate (Sketches.approxDistinct) is intentionally NOT
+    // driver-registered — its estimate is implementation-defined (DuckDB's
+    // approx_count_distinct uses a different sketch), so its gate is
+    // SketchSpec's 5%-of-exact error bound; the exact column is gated via
+    // sketch_exact_distinct. Everything registered is rebuilt exactly in
+    // DuckDB.
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // Only HLL remains oracle-less: its estimate is implementation-defined
-    // (DuckDB's approx_count_distinct uses a different sketch), so the
-    // gate is SketchSpec's 5%-of-exact error bound instead. Everything
-    // else — including simhash (md5-based hashes), ANN-LSH (plane
-    // constants inlined into the SQL), and the stubbed multimodal decode —
-    // is rebuilt exactly in DuckDB.
-    val allowed = Set("sketch_approx_distinct")
-    assert((noOracle -- allowed).isEmpty,
-      s"queries missing an oracle: ${noOracle -- allowed}")
+    assert(noOracle.isEmpty, s"queries missing an oracle: $noOracle")
   }
 }
