@@ -190,12 +190,14 @@ object Dedup extends QueryModule {
     * schedules at scale. Singletons keep their own id, so the output is
     * a total doc → component map. */
   def clusters(s: SparkSession, dir: String): DataFrame =
-    clustersImpl(s, dir, driverUnionFindMax = 10000000L)
+    clustersImpl(s, dir, driverUnionFindMax = 1000000L)
 
   /** Hybrid component computation. The pair graph is orders of magnitude
     * smaller than the corpus (it IS the near-dup density), so up to
-    * `driverUnionFindMax` edges a driver-side union-find (a few MB of
-    * longs; same trick as broadcast-join planning) replaces ~6 scheduled
+    * `driverUnionFindMax` edges a driver-side union-find (same trick as
+    * broadcast-join planning; edges stream in partition-at-a-time as
+    * primitive pairs, so driver heap holds the union-find map plus ONE
+    * partition, ~tens of MB at the 1M-edge cutoff) replaces ~6 scheduled
     * jobs; past that, distributed min-label propagation with per-round
     * lineage truncation takes over. DedupSpec pins both paths equal. */
   private[graft] def clustersImpl(s: SparkSession, dir: String,
@@ -214,8 +216,11 @@ object Dedup extends QueryModule {
           while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
           r
         }
-        pairs.collect().foreach { row =>
-          val (a, b) = (row.getLong(0), row.getLong(1))
+        // toLocalIterator over the persisted pairs: one partition resident
+        // at a time, typed tuples not Row objects — collect() of the whole
+        // edge set would spike driver heap right at the cutoff boundary
+        import scala.jdk.CollectionConverters._
+        pairs.as[(Long, Long)].toLocalIterator().asScala.foreach { case (a, b) =>
           val (ra, rb) = (find(a), find(b))
           if (ra != rb) { // union by min root → root IS the min member
             if (ra < rb) parent(rb) = ra else parent(ra) = rb

@@ -7,7 +7,9 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Attribut
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** As-of join as a first-class operator: logical node + planner strategy +
   * physical `SparkPlan`.
@@ -84,8 +86,16 @@ case class AsofJoinExec(
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
+  // Spark-UI visibility: at scale a custom operator without SQLMetrics is
+  // a black box in the SQL tab; matched-vs-output is the join's hit rate
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows"  -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatchedRows" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
+
   protected override def doExecute(): RDD[InternalRow] = {
     val numRightFields = right.output.length
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatchedRows = longMetric("numMatchedRows")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
       val rKeyProj = UnsafeProjection.create(rightKeys, right.output)
@@ -124,6 +134,8 @@ case class AsofJoinExec(
               else scanning = false
             }
             val matched = curRight != null && keyOrd.compare(rKeyProj(curRight), lk) == 0
+            numOutputRows += 1
+            if (matched) numMatchedRows += 1
             resultProj(joined(l, if (matched) curRight else nullRight))
           } else {
             // a buffered match from a previous key is stale once the probe key moves
@@ -144,6 +156,8 @@ case class AsofJoinExec(
                 scanning = false // reference ahead of probe: stop, keep buffered
               }
             }
+            numOutputRows += 1
+            if (lastMatch != null) numMatchedRows += 1
             resultProj(joined(l, if (lastMatch != null) lastMatch else nullRight))
           }
         }
@@ -190,6 +204,15 @@ object Asof {
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not in [${plan.output.map(_.name).mkString(", ")}]"))
+    // Enforce the time contract AT PLAN TIME: the exec reads times via
+    // getLong, so an int-backed type (DateType/IntegerType) would silently
+    // read undefined bytes from the UnsafeRow — wrong matches, no error.
+    for ((df, col) <- Seq((lPlan, leftTimeCol), (rPlan, rightTimeCol))) {
+      val dt = attr(df, col).dataType
+      require(dt == TimestampType || dt == LongType,
+        s"asof time column $col must be TimestampType or LongType " +
+          s"(8-byte ordinal), got $dt — cast it explicitly first")
+    }
     bridge.dfOf(spark, AsofJoin(
       lPlan, rPlan,
       leftOn.map(attr(lPlan, _)), rightOn.map(attr(rPlan, _)),

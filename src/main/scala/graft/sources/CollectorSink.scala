@@ -35,6 +35,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 object CollectorSink {
   /** name option → (rows, xor-checksum of first-column hashes). */
   val results: TrieMap[String, (Long, Long)] = TrieMap.empty
+
+  /** name option → last committed streaming epochId, the idempotence
+    * ledger: a failure-recovery replay re-delivers an epoch the sink
+    * already folded in, and without this check it would double-count
+    * (worse, the xor checksum would silently CANCEL the duplicate rows).
+    * A real transactional sink persists this next to the data; process
+    * memory is the right scope for an in-memory sink. */
+  val lastEpoch: TrieMap[String, Long] = TrieMap.empty
 }
 
 case class CollectorCommit(rows: Long, checksum: Long) extends WriterCommitMessage
@@ -73,19 +81,24 @@ class CollectorTable(sinkName: String, writeSchema: StructType)
           override def abort(messages: Array[WriterCommitMessage]): Unit = ()
         }
 
-        // streaming: one commit per epoch; totals ACCUMULATE across epochs
-        // (re-delivered epochs would double-count — a real sink dedupes on
-        // epochId; specs drive distinct epochs only)
+        // streaming: one commit per epoch; totals ACCUMULATE across epochs,
+        // and the epochId ledger makes the accumulation idempotent — a
+        // re-delivered epoch (failure-recovery replay of an unacknowledged
+        // batch) is skipped instead of double-counted
         override def toStreaming: StreamingWrite = new StreamingWrite {
           override def createStreamingWriterFactory(pi: PhysicalWriteInfo): StreamingDataWriterFactory =
             new CollectorStreamingWriterFactory(writeSchema.fields.headOption.map(_.dataType))
-          override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-            val rows = messages.map(_.asInstanceOf[CollectorCommit].rows).sum
-            val sum = messages.map(_.asInstanceOf[CollectorCommit].checksum)
-              .foldLeft(0L)(_ ^ _)
-            val (r0, s0) = CollectorSink.results.getOrElse(sinkName, (0L, 0L))
-            CollectorSink.results.put(sinkName, (r0 + rows, s0 ^ sum))
-          }
+          override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+            CollectorSink.results.synchronized {
+              if (CollectorSink.lastEpoch.get(sinkName).forall(epochId > _)) {
+                val rows = messages.map(_.asInstanceOf[CollectorCommit].rows).sum
+                val sum = messages.map(_.asInstanceOf[CollectorCommit].checksum)
+                  .foldLeft(0L)(_ ^ _)
+                val (r0, s0) = CollectorSink.results.getOrElse(sinkName, (0L, 0L))
+                CollectorSink.results.put(sinkName, (r0 + rows, s0 ^ sum))
+                CollectorSink.lastEpoch.put(sinkName, epochId)
+              }
+            }
           override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
         }
       }

@@ -4,7 +4,7 @@ import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -173,16 +173,33 @@ class SynthScan(lo: Long, hi: Long, partitions: Int, rowsPerBatch: Long,
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new MicroBatchStream {
-      // high-water mark advances rowsPerBatch per trigger — the pacing knob
-      // (the analogue of the reference's maxFilesPerTrigger=60, SURVEY §2.1
-      // S1); processAllAvailable() drains to hi through successive batches
-      private var highWater = 0L
+    new MicroBatchStream with SupportsTriggerAvailableNow {
+      // Admission-control variant: the next end offset is derived from the
+      // ENGINE-SUPPLIED start offset (the committed position, restored from
+      // the checkpoint on restart), never from instance state — a fresh
+      // counter would fall behind a restored checkpoint and serve empty
+      // batches until catch-up. rowsPerBatch is surfaced as the default
+      // ReadLimit (the pacing knob — the analogue of the reference's
+      // maxFilesPerTrigger=60, SURVEY §2.1 S1); Trigger.AvailableNow drains
+      // deterministically because the engine keeps calling
+      // latestOffset(start, limit) until it reaches reportLatestOffset().
+      private val total = math.max(hi - lo, 0L)
       override def initialOffset(): Offset = SynthOffset(0L)
-      override def latestOffset(): Offset = {
-        highWater = math.min(highWater + rowsPerBatch, hi - lo)
-        SynthOffset(highWater)
+      override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
+      override def latestOffset(): Offset =
+        throw new UnsupportedOperationException(
+          "admission-control source: use latestOffset(start, limit)")
+      override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+        val s = start.asInstanceOf[SynthOffset].rowsServed
+        val step = limit match {
+          case r: ReadMaxRows => r.maxRows()
+          case _              => rowsPerBatch
+        }
+        SynthOffset(math.min(s + step, total))
       }
+      override def reportLatestOffset(): Offset = SynthOffset(total)
+      // the full corpus is statically known, so there is nothing to snapshot
+      override def prepareForTriggerAvailableNow(): Unit = ()
       override def deserializeOffset(json: String): Offset = SynthOffset(json.toLong)
       override def commit(end: Offset): Unit = ()
       override def stop(): Unit = ()

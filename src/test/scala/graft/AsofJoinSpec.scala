@@ -179,4 +179,47 @@ class AsofJoinSpec extends AnyFunSuite {
     val window = EventOps.asofJoin(spark, TestSpark.sf).collect().toSeq
     assert(native === window)
   }
+
+  test("SQLMetrics: output and matched row counts are reported") {
+    import spark.implicits._
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "t1"),
+      (1L, ts("2024-01-01 10:05:00"), "t2"),
+      (2L, ts("2024-01-01 09:00:00"), "t3"), // probe before any reference
+      (3L, ts("2024-01-01 12:00:00"), "t4")  // key with no references
+    ).toDF("k", "t", "trade")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 09:59:00"), 101.0),
+      (2L, ts("2024-01-01 09:30:00"), 201.0)
+    ).toDF("qk", "qt", "price")
+    val df = Asof.join(trades, quotes, Seq("k"), Seq("qk"), "t", "qt")
+    df.collect()
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec        => p +: flatten(q.plan)
+      case other                    => other +: other.children.flatMap(flatten)
+    }
+    val exec = flatten(df.queryExecution.executedPlan)
+      .collectFirst { case a: AsofJoinExec => a }
+      .getOrElse(fail("no AsofJoinExec in plan"))
+    assert(exec.metrics("numOutputRows").value === 4L)
+    assert(exec.metrics("numMatchedRows").value === 2L) // t1, t2 matched
+  }
+
+  test("rejects int-backed time columns at plan time") {
+    import spark.implicits._
+    val l = Seq((1L, 10, "a")).toDF("k", "t", "v")         // t: IntegerType
+    val r = Seq((1L, 5L, 1.0)).toDF("rk", "rt", "price")
+    val e = intercept[IllegalArgumentException] {
+      Asof.join(l, r, Seq("k"), Seq("rk"), "t", "rt")
+    }
+    assert(e.getMessage.contains("TimestampType or LongType"), e.getMessage)
+    // DateType is int-backed too — also rejected on the right side
+    val l2 = Seq((1L, 10L, "a")).toDF("k", "t", "v")
+    val r2 = Seq((1L, java.sql.Date.valueOf("2024-01-01"), 1.0)).toDF("rk", "rt", "price")
+    val e2 = intercept[IllegalArgumentException] {
+      Asof.join(l2, r2, Seq("k"), Seq("rk"), "t", "rt")
+    }
+    assert(e2.getMessage.contains("rt"), e2.getMessage)
+  }
 }

@@ -70,6 +70,7 @@ class SynthSourceSpec extends AnyFunSuite {
   test("synth stream → collector streaming sink: per-epoch commits total the table") {
     import graft.sources.CollectorSink
     CollectorSink.results.remove("stream1")
+    CollectorSink.lastEpoch.remove("stream1")
     val q = spark.readStream.format(fmt)
       .option("rows", 250).option("partitions", 4).option("rowsPerBatch", 100)
       .load()
@@ -87,6 +88,63 @@ class SynthSourceSpec extends AnyFunSuite {
     batchDf.write.format("graft.sources.CollectorSinkProvider")
       .option("name", "batch1").mode("append").save()
     assert(sum === CollectorSink.results("batch1")._2)
+  }
+
+  test("stream offsets derive from the engine-supplied start, not instance state") {
+    import graft.sources.{SynthOffset, SynthScan}
+    import org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow
+    val scan = new SynthScan(0L, 350L, 4, 100L, graft.sources.SynthTable.schema)
+    val ms = scan.toMicroBatchStream("unused")
+      .asInstanceOf[SupportsTriggerAvailableNow]
+    val limit = ms.getDefaultReadLimit
+    def next(start: Long): Long =
+      ms.latestOffset(SynthOffset(start), limit).asInstanceOf[SynthOffset].rowsServed
+    assert(next(0L) === 100L)
+    // a RESTORED checkpoint position (e.g. 300) must advance from there —
+    // the old instance-counter scheme returned 100 < start (empty batches)
+    assert(next(300L) === 350L)
+    assert(next(350L) === 350L) // drained: end == start, never regresses
+    assert(ms.reportLatestOffset().asInstanceOf[SynthOffset].rowsServed === 350L)
+  }
+
+  test("Trigger.AvailableNow drains the whole table in rowsPerBatch steps") {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = spark.readStream.format(fmt)
+      .option("rows", 350).option("partitions", 4).option("rowsPerBatch", 100)
+      .load()
+      .writeStream.format("memory").queryName("synth_avail_now")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(60000) finally q.stop()
+    val total = spark.sql("SELECT count(*) FROM synth_avail_now").collect().head.getLong(0)
+    assert(total === 350L)
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 4) // 100-row pacing held
+  }
+
+  test("streaming sink skips a re-delivered epoch (idempotent commit)") {
+    import graft.sources.{CollectorCommit, CollectorSink}
+    import org.apache.spark.sql.connector.write.WriterCommitMessage
+    // drive the StreamingWrite commit path directly to force a replay,
+    // which a live query only produces on failure recovery
+    val props = new java.util.HashMap[String, String]()
+    props.put("name", "epochtest")
+    val table = new graft.sources.CollectorSinkProvider()
+      .getTable(Tables.events(spark, TestSpark.sf).schema, Array.empty, props)
+      .asInstanceOf[graft.sources.CollectorTable]
+    val info = new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+      override def queryId(): String = "q"
+      override def schema() = Tables.events(spark, TestSpark.sf).schema
+      override def options() = new org.apache.spark.sql.util.CaseInsensitiveStringMap(props)
+    }
+    val sw = table.newWriteBuilder(info).build().toStreaming
+    CollectorSink.results.remove("epochtest")
+    CollectorSink.lastEpoch.remove("epochtest")
+    val msgs: Array[WriterCommitMessage] = Array(CollectorCommit(10L, 0x5aL))
+    sw.commit(0L, msgs)
+    sw.commit(1L, msgs)
+    sw.commit(1L, msgs) // replayed epoch: must be a no-op
+    sw.commit(0L, msgs) // stale epoch: must be a no-op
+    assert(CollectorSink.results("epochtest") === ((20L, 0L))) // 0x5a ^ 0x5a
   }
 
   test("micro-batch stream drains to the full table in rowsPerBatch steps") {
