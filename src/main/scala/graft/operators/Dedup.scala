@@ -17,10 +17,16 @@ import org.apache.spark.sql.functions._
   *     pairs that collide — the standard inverted-index / LSH pattern.
   *   - exact jaccard verification runs only on candidate pairs.
   *   - hot keys (a shingle shared by millions of docs) are the skew risk:
-  *     AQE skew-join handles moderate cases; a production hardening is a
-  *     document-frequency cutoff on the posting lists (drop shingles with
-  *     df > threshold — they carry no near-dup signal). Left as a config
-  *     note because the testdata has no such key.
+  *     AQE skew-join handles moderate cases; the `maxDf` document-frequency
+  *     cutoff drops hotter shingles from the posting lists at candidate
+  *     generation (they carry no near-dup signal, only shuffle volume).
+  *     PROVABLY lossless when maxDf ≥ the largest df of any shingle inside
+  *     a doc's prefix: the pair-survival witness (the globally rarest
+  *     common shingle) always sits inside both prefixes, so its df is
+  *     bounded by that maximum — DedupSpec demonstrates a planted
+  *     corpus-wide shingle collapsing candidate volume with identical
+  *     output. Below that bound it trades recall for skew protection,
+  *     losing only pairs whose ENTIRE intersection is hotter than maxDf.
   *   - the embedding-cosine variant is the one intentional exception:
   *     brute-force upper-triangle as the small-N baseline; the LSH-bucketed
   *     scale path is [[Similarity]]'s ANN machinery.
@@ -106,7 +112,7 @@ object Dedup extends QueryModule {
     * expression ids, so plain exchange reuse never collapses the
     * duplicates (verified via explain: 8 parquet scans without the
     * cache). One row per doc — orders of magnitude smaller than input. */
-  private def rarityDocs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def rarityDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = explodedShingles(s, dir, "sh")
     val df = e.groupBy($"sh").agg(count(lit(1)).as("df"))
@@ -117,21 +123,42 @@ object Dedup extends QueryModule {
       .withColumn("shingles", transform($"byRarity", _.getField("sh")))
       .withColumn("plen",
         ($"n_sh" - ceil($"n_sh" * lit(jaccardThreshold)) + 1).cast("int"))
-      .select($"doc_id", $"n_sh", $"shingles", $"plen")
+      .select($"doc_id", $"n_sh", $"shingles", $"plen", $"byRarity")
       .persist()
   }
 
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+  /** Exploded rare-prefix posting list, optionally df-cutoff (`maxDf`):
+    * hot shingles are removed from CANDIDATE GENERATION only — the exact
+    * verify still runs on full shingle sets, so a cutoff can only lose
+    * pairs, never invent them. */
+  private def prefixPostings(docs: DataFrame, maxDf: Option[Long]): DataFrame = {
+    val pref = slice(col("byRarity"), lit(1), col("plen"))
+    val kept = maxDf.map(m => filter(pref, x => x.getField("df") <= lit(m)))
+      .getOrElse(pref)
+    docs.select(col("doc_id"), col("n_sh"),
+      explode(transform(kept, x => x.getField("sh"))).as("sh"))
+  }
+
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardImpl(s, dir, maxDf = None)
+
+  /** Candidate pairs from the (optionally df-cutoff) prefix index — split
+    * out so the spec can measure candidate volume directly. */
+  private[graft] def candidatePairs(docs: DataFrame, maxDf: Option[Long]): DataFrame = {
+    val prefix = prefixPostings(docs, maxDf)
+    prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.n_sh") >= col("b.n_sh") * jaccardThreshold &&
+        col("b.n_sh") >= col("a.n_sh") * jaccardThreshold)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  private[graft] def ngramJaccardImpl(s: SparkSession, dir: String,
+                                      maxDf: Option[Long]): DataFrame = {
     import s.implicits._
     val docs = rarityDocs(s, dir)
-    val prefix = docs
-      .select($"doc_id", $"n_sh", explode(slice($"shingles", lit(1), $"plen")).as("sh"))
-    val cand = prefix.as("a").join(prefix.as("b"),
-        $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id" &&
-        $"a.n_sh" >= $"b.n_sh" * jaccardThreshold &&
-        $"b.n_sh" >= $"a.n_sh" * jaccardThreshold)
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .distinct()
+    val cand = candidatePairs(docs, maxDf)
     cand
       .join(docs.select($"doc_id".as("doc_a"), $"shingles".as("sa"), $"n_sh".as("na")), "doc_a")
       .join(docs.select($"doc_id".as("doc_b"), $"shingles".as("sb"), $"n_sh".as("nb")), "doc_b")
@@ -151,7 +178,11 @@ object Dedup extends QueryModule {
     * shingle index at rest would serve. Prefix filter on the incoming
     * side only (corpus fully indexed) keeps the no-false-negative
     * guarantee one-sided-simple. */
-  def incremental(s: SparkSession, dir: String): DataFrame = {
+  def incremental(s: SparkSession, dir: String): DataFrame =
+    incrementalImpl(s, dir, maxDf = None)
+
+  private[graft] def incrementalImpl(s: SparkSession, dir: String,
+                                     maxDf: Option[Long]): DataFrame = {
     import s.implicits._
     // Same [[rarityDocs]] machinery as [[ngramJaccard]], but the prefix
     // filter is ONE-SIDED: only the incoming batch indexes its rare
@@ -159,11 +190,18 @@ object Dedup extends QueryModule {
     // guarantee still holds (J(A,B) ≥ t ⇒ A's rare prefix must intersect
     // B's full set), and it matches the production layout where the
     // corpus index at rest is complete and only the batch is processed.
+    // The df cutoff matters MOST here: the corpus side indexes every
+    // shingle, so one corpus-wide shingle is a posting list the size of
+    // the corpus — maxDf drops it from both sides consistently.
     val docs = rarityDocs(s, dir)
-    val corpusIdx = docs.where($"doc_id" % 2 === 0)
+    val corpusFull = maxDf
+      .map(m => docs.withColumn("shingles",
+        transform(filter($"byRarity", x => x.getField("df") <= lit(m)),
+                  x => x.getField("sh"))))
+      .getOrElse(docs)
+    val corpusIdx = corpusFull.where($"doc_id" % 2 === 0)
       .select($"doc_id".as("corpus_id"), $"n_sh".as("c_n"), explode($"shingles").as("sh"))
-    val incomingPrefix = docs.where($"doc_id" % 2 === 1)
-      .select($"doc_id", $"n_sh", explode(slice($"shingles", lit(1), $"plen")).as("sh"))
+    val incomingPrefix = prefixPostings(docs.where($"doc_id" % 2 === 1), maxDf)
     val cand = incomingPrefix.join(corpusIdx, "sh")
       .where($"n_sh" >= $"c_n" * jaccardThreshold &&
              $"c_n" >= $"n_sh" * jaccardThreshold)

@@ -11,8 +11,11 @@ import org.apache.spark.sql.functions._
   * The testdata has no real media, so the payload is the UTF-8 encoding
   * of `documents.text` — which exercises the identical Spark plumbing
   * (binary column, per-row metadata extraction, chunked feature
-  * extraction, stride sampling). The DECODE STEP IS A STUB: real image /
-  * audio decoders aren't in this environment; [[MultimodalStub.decode]]
+  * extraction, stride sampling). The IMAGE path runs a REAL codec:
+  * [[pngDecode]] synthesizes per-doc PNGs and decodes them with
+  * `javax.imageio` inside executors ([[MultimodalCodec]]), hash-gated via
+  * the lossless round trip. The audio/video-shaped decode stays a stub:
+  * those decoders aren't in this environment; [[MultimodalStub.decode]]
   * is a deterministic fake behind the same signature a JNI/Java decoder
   * would have, and everything around it (schema, batching, partitioning)
   * is real and tested.
@@ -96,11 +99,43 @@ object Multimodal extends QueryModule {
       .orderBy($"doc_id", $"pixel_idx")
   }
 
+  /** REAL image decode: each doc gets a deterministic 8×8 grayscale PNG
+    * payload (pixels = the 64-bucket downsample of its text bytes),
+    * encoded AND decoded with `javax.imageio` inside executors — a
+    * genuine codec in the loop, not the stub. PNG is lossless, so the
+    * decoded pixels must equal the bucket means, which DuckDB recomputes
+    * from `text` directly: the oracle hash-checks that a real
+    * encoder→binary column→real decoder round trip is bit-exact. Two
+    * mapPartitions stages on purpose — payload generation and decode are
+    * separate passes, so the decode consumes an opaque binary media
+    * column exactly as it would from a parquet blob column. */
+  def pngDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pngs = Tables.documents(s, dir)
+      .withColumn("payload", encode($"text", "UTF-8"))
+      .select($"doc_id", $"payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          (id, MultimodalCodec.encodePng(MultimodalStub.resize(bytes, 64), 8, 8))
+        }
+      }.toDF("doc_id", "png")
+    pngs.as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // ImageIO reader instantiated per partition via the codec object —
+        // the same batch shape the stubbed decoder documents
+        it.map { case (id, png) => (id, MultimodalCodec.decodePng(png)) }
+      }.toDF("doc_id", "pixels")
+      .select($"doc_id", posexplode($"pixels").as(Seq("pixel_idx", "pixel")))
+      .orderBy($"doc_id", $"pixel_idx")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta"     -> (binaryMeta _),
     "mm_frame_sample"    -> (frameSample _),
     "mm_feature_extract" -> (featureExtract _),
     "mm_resize"          -> (resize _),
+    "mm_png_decode"      -> (pngDecode _),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -159,7 +194,61 @@ object Multimodal extends QueryModule {
         |       COALESCE(CAST(fb.s // fb.cnt AS INT), 0) AS pixel
         |FROM grid g LEFT JOIN fb ON g.doc_id = fb.doc_id AND g.b = fb.b
         |ORDER BY g.doc_id, pixel_idx""".stripMargin,
+    // Lossless-codec round trip: the decoded PNG pixels must equal the
+    // 64-bucket byte means the image was encoded from — same shape as
+    // mm_resize, 64 buckets. DuckDB never sees a PNG; it recomputes what
+    // the real decoder must return.
+    "mm_png_decode" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |grid AS (SELECT doc_id, b FROM d, unnest(generate_series(0, 63)) AS g0(b)),
+        |fb AS (
+        |  SELECT doc_id, b,
+        |         sum(ascii(substring(text, CAST(i AS INT), 1))) AS s,
+        |         count(*) AS cnt
+        |  FROM d,
+        |       unnest(generate_series(0, 63)) AS g1(b),
+        |       unnest(generate_series((n * b) // 64 + 1, (n * (b + 1)) // 64)) AS g2(i)
+        |  GROUP BY doc_id, b
+        |)
+        |SELECT g.doc_id, CAST(g.b AS INT) AS pixel_idx,
+        |       COALESCE(CAST(fb.s // fb.cnt AS INT), 0) AS pixel
+        |FROM grid g LEFT JOIN fb ON g.doc_id = fb.doc_id AND g.b = fb.b
+        |ORDER BY g.doc_id, pixel_idx""".stripMargin,
   )
+}
+
+/** REAL codec for the PNG path — pure-JVM `javax.imageio`, the one image
+  * format/decoder this environment genuinely has. Grayscale 8-bit; PNG is
+  * lossless so encode→decode is an exact identity on the sample values,
+  * which is what lets the driver hash-check [[Multimodal.pngDecode]]
+  * end-to-end. Audio/video stay on [[MultimodalStub]] (no codec here). */
+object MultimodalCodec {
+  javax.imageio.ImageIO.setUseCache(false) // no temp-file cache in executors
+
+  /** `pixels` (0..255, row-major, length w*h) → PNG bytes. */
+  def encodePng(pixels: Array[Int], w: Int, h: Int): Array[Byte] = {
+    require(pixels.length == w * h, s"${pixels.length} pixels for ${w}x$h")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < pixels.length) {
+      raster.setSample(i % w, i / w, 0, pixels(i))
+      i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** PNG bytes → row-major gray samples. */
+  def decodePng(png: Array[Byte]): Array[Int] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    require(img != null, "undecodable payload")
+    val raster = img.getRaster
+    val w = img.getWidth
+    Array.tabulate(w * img.getHeight)(i => raster.getSample(i % w, i / w, 0))
+  }
 }
 
 /** STUB decoder — stands in for a real media decoder (libjpeg/ffmpeg

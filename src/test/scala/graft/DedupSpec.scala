@@ -47,6 +47,37 @@ class DedupSpec extends AnyFunSuite {
     assert(invented.isEmpty, s"simhash invented non-dup pairs: $invented")
   }
 
+  test("maxDf cutoff collapses hot-shingle candidate volume, output unchanged") {
+    import spark.implicits._
+    // Plant a 200-doc template family on top of the real corpus: each doc
+    // is the same 10 hot tokens wrapped in two unique ones → 8 shingles
+    // shared by all 200 (df=200) + 2 unique. plen=3, so ONE hot shingle
+    // lands in every prefix → ~C(200,2) candidate pairs that all FAIL
+    // verify (J = 8/12 < 0.8). The df cutoff removes exactly that noise.
+    val tmp = java.nio.file.Files.createTempDirectory("hotdf").toString
+    val hot = (0 until 200).map { i =>
+      (100000L + i, s"uq${i}a zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10 uq${i}b")
+    }.toDF("doc_id", "text")
+    Tables.documents(spark, TestSpark.sf).select($"doc_id", $"text")
+      .unionByName(hot)
+      .write.parquet(s"$tmp/documents.parquet")
+
+    val docs = Dedup.rarityDocs(spark, tmp)
+    val nFull = Dedup.candidatePairs(docs, None).count()
+    val nCut = Dedup.candidatePairs(docs, Some(100L)).count()
+    assert(nFull >= 19900L, s"hot family not in the index: $nFull candidates")
+    assert(nCut < nFull / 50, s"cutoff did not collapse candidates: $nFull -> $nCut")
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toVector
+    assert(rows(Dedup.ngramJaccardImpl(spark, tmp, Some(100L)))
+       === rows(Dedup.ngramJaccardImpl(spark, tmp, None)))
+    assert(rows(Dedup.incrementalImpl(spark, tmp, Some(100L)))
+       === rows(Dedup.incrementalImpl(spark, tmp, None)))
+    // non-vacuous: the real corpus's near-dup pairs are still found
+    assert(rows(Dedup.ngramJaccardImpl(spark, tmp, Some(100L))).nonEmpty)
+  }
+
   test("clusters: driver union-find path == distributed label-propagation path") {
     val viaUnionFind = Dedup.clustersImpl(spark, TestSpark.sf, driverUnionFindMax = Long.MaxValue)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

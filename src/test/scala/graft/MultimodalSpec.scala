@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Multimodal, MultimodalStub}
+import graft.operators.{Multimodal, MultimodalCodec, MultimodalStub}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins the stub decoder's contract and the feature-extract plumbing. */
@@ -28,6 +28,29 @@ class MultimodalSpec extends AnyFunSuite {
     val expected = MultimodalStub.decode(text0.getBytes("UTF-8")).toSeq
     expected.zipWithIndex.foreach { case (v, i) =>
       assert(rows((0L, i)) == v, s"feature $i")
+    }
+  }
+
+  test("png codec: real ImageIO round trip is the identity on samples") {
+    val rnd = new scala.util.Random(11)
+    (0 until 20).foreach { _ =>
+      val pixels = Array.fill(64)(rnd.nextInt(256))
+      val png = MultimodalCodec.encodePng(pixels, 8, 8)
+      // genuine PNG container: 8-byte signature
+      assert(png.take(4).toSeq === Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+      assert(MultimodalCodec.decodePng(png).toSeq === pixels.toSeq)
+    }
+  }
+
+  test("pngDecode: executor-side decode equals the encoded downsample") {
+    val rows = Multimodal.pngDecode(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val nDocs = graft.Tables.documents(spark, TestSpark.sf).count()
+    assert(rows.size == nDocs * 64)
+    val text0 = graft.Tables.documents(spark, TestSpark.sf)
+      .filter("doc_id = 0").collect().head.getAs[String]("text")
+    MultimodalStub.resize(text0.getBytes("UTF-8"), 64).zipWithIndex.foreach {
+      case (v, i) => assert(rows((0L, i)) == v, s"pixel $i")
     }
   }
 

@@ -48,6 +48,32 @@ def main(sf_dir, out_dir):
             print(f"FAIL  {name:30s} SCHEMA got={gcols} exp={ecols}")
             n_fail += 1
             continue
+        # Type sweep: the driver's row hash is TYPE-CLASS-sensitive even
+        # when values compare equal in python — DuckDB sum(BIGINT) ->
+        # HUGEINT bit us twice (r03), while int/float WIDTHS normalize out
+        # in the driver's compare (Spark INT vs DuckDB BIGINT was green).
+        # So compare width-normalized classes, and fail HUGEINT outright.
+        def tclass(t):
+            t = str(t)
+            if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"):
+                return "int"
+            if t in ("FLOAT", "REAL", "DOUBLE"):
+                return "float"
+            return t
+        gtypes = dict(zip(got.columns, [tclass(t) for t in got.types]))
+        etypes = dict(zip(exp.columns, [tclass(t) for t in exp.types]))
+        tdiff = {c: (gtypes[c], etypes[c]) for c in gtypes
+                 if gtypes[c] != etypes[c]}
+        huge = [c for c, t in zip(exp.columns, exp.types)
+                if "HUGEINT" in str(t)]
+        if tdiff or huge:
+            n_fail += 1
+            if tdiff:
+                print(f"FAIL  {name:30s} TYPES (spark, oracle) = {tdiff}")
+            if huge:
+                print(f"FAIL  {name:30s} oracle yields HUGEINT for {huge} "
+                      f"— CAST the aggregate to BIGINT in the oracle SQL")
+            continue
         grows = sorted([tuple(norm(v) for v in r) for r in
                         got.select(*gcols).fetchall()])
         erows = sorted([tuple(norm(v) for v in r) for r in
