@@ -464,6 +464,36 @@ object Dedup extends QueryModule {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  // ---------------------------------------------------------- decontaminate
+
+  /** Benchmark decontamination: per corpus document, the distinct 3-gram
+    * shingles it shares with an evaluation set (here: every 97th doc
+    * stands in for the benchmark), plus how many benchmark docs it
+    * collides with. Training pipelines run exactly this scan before
+    * every corpus release — a doc overlapping an eval set n-gram must be
+    * dropped or the benchmark is contaminated.
+    *
+    * Scale shape: eval sets are KBs-to-MBs (tiny against a 100 TB
+    * corpus), so the benchmark shingle set is the BROADCAST side and the
+    * corpus side stays a single scan — no corpus shuffle for candidate
+    * generation, only the final per-doc aggregate over the (small) hit
+    * set. The same plan serves a real benchmark file by swapping the
+    * bench-side relation. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingled(s, dir)
+    val bench = broadcast(
+      sh.where($"doc_id" % 97 === 0)
+        .select($"doc_id".as("bench_id"), explode($"shingles").as("sh")))
+    sh.where($"doc_id" % 97 =!= 0)
+      .select($"doc_id", explode($"shingles").as("sh"))
+      .join(bench, "sh")
+      .groupBy($"doc_id")
+      .agg(countDistinct($"sh").as("n_hit_shingles"),
+           countDistinct($"bench_id").as("n_bench_docs"))
+      .orderBy($"doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> (exact _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
@@ -472,6 +502,7 @@ object Dedup extends QueryModule {
     "dedup_clusters"      -> (clusters _),
     "dedup_simhash"       -> (simhash _),
     "dedup_embcos"        -> (embeddingCosine _),
+    "dedup_decontaminate" -> (decontaminate _),
   )
 
   private val jaccardOracle =
@@ -495,6 +526,24 @@ object Dedup extends QueryModule {
       """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardOracle,
+    "dedup_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |d AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(tok) - 2, 1)),
+        |         i -> array_to_string(tok[i:i+2], ' '))) AS shingles
+        |  FROM t
+        |), e AS (
+        |  SELECT doc_id, unnest(shingles) AS sh FROM d
+        |), bench AS (
+        |  SELECT doc_id AS bench_id, sh FROM e WHERE doc_id % 97 = 0
+        |)
+        |SELECT e.doc_id,
+        |       count(DISTINCT e.sh) AS n_hit_shingles,
+        |       count(DISTINCT b.bench_id) AS n_bench_docs
+        |FROM e JOIN bench b ON e.sh = b.sh
+        |WHERE e.doc_id % 97 <> 0
+        |GROUP BY e.doc_id
+        |ORDER BY e.doc_id""".stripMargin,
     // transitive closure by recursive CTE = the declarative twin of the
     // Spark side's label-propagation fixpoint
     "dedup_clusters" ->

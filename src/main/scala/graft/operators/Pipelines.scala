@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Composite corpus-curation pipeline — the end-to-end shape a
@@ -44,8 +45,101 @@ object Pipelines extends QueryModule {
       .orderBy($"lang")
   }
 
+  // Deterministic per-doc hash for sampling/sharding: Knuth multiplicative
+  // hash over doc_id, kept in exact BIGINT range so DuckDB reproduces it
+  // bit-for-bit (doc_id * 2654435761 stays far below 2^63 at any tested
+  // SF; a production corpus with 2^33+ doc ids would switch to a mixed
+  // 64-bit hash — same plan shape, different literal).
+  private val HashMul = 2654435761L
+  private val HashMod = 4294967296L
+  private def docHash = (col("doc_id") * HashMul) % HashMod
+  private val hashSql = s"(doc_id * $HashMul) % $HashMod"
+
+  /** Domain-mix sampling: down-sample each source to a target rate with a
+    * DETERMINISTIC per-doc hash instead of rand() — re-running the job,
+    * adding executors, or reprocessing a partition yields the same
+    * sample, which is what makes a 100 TB mixing job auditable and
+    * resumable. Target rates here cycle 25/50/75/100 permille-quarters by
+    * source index (a stand-in for the user-supplied mix config).
+    *
+    * One scan, zero pre-aggregation shuffles: keep/drop is a per-row
+    * predicate, and the per-source audit (before/after/achieved rate) is
+    * a single partially-aggregated groupBy. Changing the mix re-runs only
+    * this filter — no data movement. */
+  def domainMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("rate_permille",
+        (substring($"source", 4, 10).cast("int") % 4 + 1) * 250)
+      .withColumn("kept", (docHash % 1000 < $"rate_permille").cast("int"))
+      .groupBy($"source")
+      .agg(
+        first($"rate_permille").as("rate_permille"),
+        count(lit(1)).as("n_before"),
+        sum($"kept").cast("long").as("n_after"),
+        round(sum($"kept") / count(lit(1)), 6).as("achieved_rate"))
+      .orderBy($"source")
+  }
+
+  private val SeqLen = 256
+
+  /** Training-sequence packing (GPT-style concat-then-chunk): documents
+    * are concatenated in deterministic (source, doc_id) order and cut
+    * into fixed 256-token sequences; output is the per-sequence manifest
+    * (how many docs contribute, how many tokens land in it).
+    *
+    * The packing key is the SCALE decision: a single global concat order
+    * is a one-partition window (a scale-killer at 100 TB), so packing
+    * runs independently per source/shard — window partitioned by source,
+    * exactly how production packers shard the corpus first and pack
+    * within shards, accepting one partial tail sequence per shard. */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bySource = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select($"source", $"doc_id",
+        size(split($"text", " ")).cast("long").as("n_tok"))
+      .withColumn("off", coalesce(sum($"n_tok").over(bySource), lit(0L)))
+      .withColumn("first_seq", expr(s"off div $SeqLen"))
+      .withColumn("last_seq", expr(s"(off + n_tok - 1) div $SeqLen"))
+      .withColumn("seq_id", explode(expr("sequence(first_seq, last_seq)")))
+      .withColumn("contrib",
+        least((col("seq_id") + 1) * SeqLen, $"off" + $"n_tok")
+          - greatest(col("seq_id") * SeqLen, $"off"))
+      .groupBy($"source", $"seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"contrib").as("n_tokens"))
+      .orderBy($"source", $"seq_id")
+  }
+
+  private val NShards = 16
+
+  /** Shard assignment for training-data writes: hash each doc to one of
+    * 16 shards and audit the balance (doc counts, token mass, source
+    * spread, id range per shard). The same `shard` expression feeds
+    * `df.repartition($"shard").write.partitionBy("shard")` for the real
+    * write — multiplicative hashing gives near-uniform shards without a
+    * global sort, and the audit query IS the balance check a 100 TB
+    * shard job runs before committing a corpus release. */
+  def shardAssign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("shard", (docHash % NShards).cast("int"))
+      .groupBy($"shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split($"text", " "))).cast("long").as("sum_tokens"),
+        countDistinct($"source").as("n_sources"),
+        min($"doc_id").as("min_doc_id"),
+        max($"doc_id").as("max_doc_id"))
+      .orderBy($"shard")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_corpus_curation" -> (corpusCuration _),
+    "pipe_domain_mix"      -> (domainMix _),
+    "pipe_pack_sequences"  -> (packSequences _),
+    "pipe_shard_assign"    -> (shardAssign _),
   )
 
   // The oracle re-composes the SAME stages from the individual oracles'
@@ -89,5 +183,58 @@ object Pipelines extends QueryModule {
          |  AND doc.doc_id NOT IN (SELECT doc_id FROM losers)
          |GROUP BY doc.lang
          |ORDER BY doc.lang""".stripMargin,
+    "pipe_domain_mix" ->
+      s"""WITH d AS (
+         |  SELECT source, CAST(substring(source, 4, 10) AS INT) AS src_num,
+         |         $hashSql AS h
+         |  FROM documents
+         |), m AS (
+         |  SELECT source, (src_num % 4 + 1) * 250 AS rate_permille,
+         |         CASE WHEN h % 1000 < (src_num % 4 + 1) * 250 THEN 1 ELSE 0 END AS kept
+         |  FROM d
+         |)
+         |SELECT source,
+         |       min(rate_permille) AS rate_permille,
+         |       count(*) AS n_before,
+         |       CAST(sum(kept) AS BIGINT) AS n_after,
+         |       round(sum(kept) / count(*), 6) AS achieved_rate
+         |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    "pipe_pack_sequences" ->
+      s"""WITH d AS (
+         |  SELECT source, doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents
+         |), w AS (
+         |  SELECT source, doc_id, n_tok,
+         |         CAST(COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+         |  FROM d
+         |), x AS (
+         |  SELECT source, n_tok, off,
+         |         off // $SeqLen AS first_seq,
+         |         (off + n_tok - 1) // $SeqLen AS last_seq
+         |  FROM w
+         |), e AS (
+         |  SELECT source, n_tok, off,
+         |         unnest(generate_series(first_seq, last_seq)) AS seq_id
+         |  FROM x
+         |)
+         |SELECT source, seq_id,
+         |       count(*) AS n_docs,
+         |       CAST(sum(least((seq_id + 1) * $SeqLen, off + n_tok)
+         |                - greatest(seq_id * $SeqLen, off)) AS BIGINT) AS n_tokens
+         |FROM e GROUP BY source, seq_id
+         |ORDER BY source, seq_id""".stripMargin,
+    "pipe_shard_assign" ->
+      s"""WITH d AS (
+         |  SELECT *, CAST($hashSql % $NShards AS INT) AS shard FROM documents
+         |)
+         |SELECT shard,
+         |       count(*) AS n_docs,
+         |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+         |       count(DISTINCT source) AS n_sources,
+         |       min(doc_id) AS min_doc_id,
+         |       max(doc_id) AS max_doc_id
+         |FROM d GROUP BY shard ORDER BY shard""".stripMargin,
   )
 }

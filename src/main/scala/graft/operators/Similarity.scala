@@ -74,6 +74,22 @@ object Similarity extends QueryModule {
   private val NCENT = 16
   private val NPROBE = 4
 
+  private def centroidsOf(e: DataFrame): DataFrame =
+    broadcast(e.filter(col("vec_id") < NCENT)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cnorm")))
+
+  /** Max-cosine cell per corpus vector — the shared IVF/SemDeDup
+    * assignment: one corpus scan against the broadcast centroids,
+    * deterministic tie-break on cid. */
+  private def cellAssignment(e: DataFrame, cent: DataFrame): DataFrame = {
+    val assignW = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid").asc)
+    e.join(cent)
+      .withColumn("ccos", round(vectorDot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 6))
+      .withColumn("crn", row_number().over(assignW))
+      .where(col("crn") === 1)
+      .select(col("vec_id"), col("cid"), col("v"), col("norm"))
+  }
+
   /** IVF top-k: vectors with vec_id < 16 serve as deterministic
     * centroids; each corpus vector is assigned to its max-cosine cell;
     * queries probe their 4 nearest cells and rank only those candidates.
@@ -81,21 +97,12 @@ object Similarity extends QueryModule {
   def topkIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = vecs(s, dir)
-    val cent = broadcast(e.filter($"vec_id" < NCENT)
-      .select($"vec_id".as("cid"), $"v".as("cv"), $"norm".as("cnorm")))
-    def cosTo(v: String, n: String) =
-      round(vectorDot(col(v), $"cv") / (col(n) * $"cnorm"), 6)
-
-    val assignW = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid".asc)
-    val assign = e.join(cent)
-      .withColumn("ccos", cosTo("v", "norm"))
-      .withColumn("crn", row_number().over(assignW))
-      .where($"crn" === 1)
-      .select($"vec_id", $"cid", $"v", $"norm")
+    val cent = centroidsOf(e)
+    val assign = cellAssignment(e, cent)
 
     val probeW = Window.partitionBy($"query_id").orderBy($"qcos".desc, $"cid".asc)
     val probes = queriesOf(e).join(cent)
-      .withColumn("qcos", cosTo("qv", "qnorm"))
+      .withColumn("qcos", round(vectorDot($"qv", $"cv") / ($"qnorm" * $"cnorm"), 6))
       .withColumn("prn", row_number().over(probeW))
       .where($"prn" <= NPROBE)
       .select($"query_id", $"qv", $"qnorm", $"cid")
@@ -185,11 +192,39 @@ object Similarity extends QueryModule {
       .orderBy($"label")
   }
 
+  private val SemThreshold = 0.4
+
+  /** SemDeDup (semantic dedup à la Abbas et al., "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication", 2023):
+    * cluster the embedding corpus, then prune high-cosine pairs WITHIN
+    * each cluster — keep the lower vec_id, drop the higher. Clustering
+    * reuses the IVF cell assignment, so the quadratic pair term is
+    * bounded per cell instead of per corpus: at 100 TB the corpus is
+    * assigned in one scan against broadcast centroids, pairs shuffle by
+    * cell, and no all-pairs join ever forms. Cross-cell near-dups are
+    * deliberately traded away (the SemDeDup approximation);
+    * SimilaritySpec pins this as a subset of the brute-force
+    * [[Dedup.embeddingCosine]] pairs at the same threshold. */
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, dir)
+    val assign = cellAssignment(e, centroidsOf(e))
+    assign.as("a").join(assign.as("b"),
+        $"a.cid" === $"b.cid" && $"a.vec_id" < $"b.vec_id")
+      .withColumn("score",
+        round(vectorDot($"a.v", $"b.v") / ($"a.norm" * $"b.norm"), 6))
+      .where($"score" >= SemThreshold)
+      .select($"a.cid".as("cell"), $"a.vec_id".as("keep_id"),
+              $"b.vec_id".as("drop_id"), $"score")
+      .orderBy($"keep_id", $"drop_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (topkBruteForce _),
     "sim_topk_ivf"        -> (topkIvf _),
     "sim_ann_lsh"         -> (topkLsh _),
     "sim_label_profile"   -> (labelProfile _),
+    "sim_semdedup"        -> (semDedup _),
   )
 
   // Shared oracle preamble: vectors as doubles with precomputed norms.
@@ -286,6 +321,28 @@ object Similarity extends QueryModule {
          |)
          |WHERE rnk <= $K
          |ORDER BY query_id, rnk""".stripMargin,
+    "sim_semdedup" ->
+      s"""$vecCte,
+         |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e WHERE vec_id < $NCENT),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |               ORDER BY round(list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm), 6) DESC,
+         |                        c.cid ASC) AS rn
+         |    FROM e CROSS JOIN c)
+         |  WHERE rn = 1
+         |)
+         |SELECT cell, keep_id, drop_id, score FROM (
+         |  SELECT a.cid AS cell, a.vec_id AS keep_id, b.vec_id AS drop_id,
+         |         round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS score
+         |  FROM assign a
+         |  JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  JOIN e x ON x.vec_id = a.vec_id
+         |  JOIN e y ON y.vec_id = b.vec_id
+         |)
+         |WHERE score >= $SemThreshold
+         |ORDER BY keep_id, drop_id""".stripMargin,
     "sim_label_profile" ->
       """SELECT label, count(*) AS n_docs,
         |       round(avg(n_chars), 6) AS avg_chars,

@@ -125,12 +125,102 @@ object TextOps extends QueryModule {
       .limit(20)
   }
 
+  /** Longest run of equal adjacent elements in an array column, as a
+    * single codegen'd `aggregate` fold — per-row, zero shuffles. The
+    * struct state is (prev element, current run, best run). Also the
+    * per-doc top-n-gram counter: sorting the n-gram array first makes
+    * equal n-grams adjacent, so max-run-of-sorted == max multiplicity —
+    * the trick that keeps "most frequent n-gram per doc" out of an
+    * explode+groupBy shuffle. */
+  private def maxRun(arr: String): org.apache.spark.sql.Column =
+    expr(s"""aggregate($arr,
+              named_struct('p', CAST(NULL AS STRING), 'r', 0, 'b', 0),
+              (a, t) -> named_struct(
+                'p', t,
+                'r', IF(a.p <=> t, a.r + 1, 1),
+                'b', GREATEST(a.b, IF(a.p <=> t, a.r + 1, 1))),
+              a -> a.b)""")
+
+  /** Repetition signals (Gopher-style quality filters): most-frequent-
+    * bigram mass, duplicate-trigram fraction, and the longest same-token
+    * run. Heavily repeated boilerplate (nav bars, SEO spam, generation
+    * loops) shows up as outliers in exactly these three numbers.
+    *
+    * All three are per-row folds over the token array — at 100 TB this
+    * is a pure map with no shuffle, and every fraction is a single
+    * division of exact integers rounded at 6, so the oracle comparison
+    * is bit-stable. */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("toks", tok)
+      .withColumn("n_tokens", size($"toks"))
+      .where($"n_tokens" >= 3)
+      .withColumn("bigrams", expr(
+        "transform(sequence(0, n_tokens - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+      .withColumn("trigrams", expr(
+        "transform(sequence(0, n_tokens - 3), i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))"))
+      .select(
+        $"doc_id", $"n_tokens",
+        maxRun("array_sort(bigrams)").as("top_bigram_n"),
+        round(maxRun("array_sort(bigrams)") / size($"bigrams"), 6).as("top_bigram_frac"),
+        round(lit(1.0) - size(array_distinct($"trigrams")) / size($"trigrams"), 6)
+          .as("dup_trigram_frac"),
+        maxRun("toks").as("max_token_run"))
+      .orderBy($"doc_id")
+  }
+
+  // C4/Gopher-style heuristic filter thresholds. Chosen to be
+  // discriminating on this corpus (each flag fails for a real subset);
+  // on a production corpus they'd be per-language configs.
+  private val MinTokens = 15
+  private val MaxTokens = 80
+  private val MinMeanWlen = 4.2
+  private val MaxMeanWlen = 4.8
+  private val MinTtr = 0.35
+  private val MaxTopBigramFrac = 0.1
+
+  /** Heuristic document filters (the C4 / Gopher rule family): token-count
+    * bounds, mean word length band, type-token ratio floor, stopword
+    * presence, and a repetition cap — each as an explicit 0/1 flag plus
+    * the composite keep decision, so downstream jobs can both filter and
+    * audit WHY a document was dropped. Pure per-row arithmetic; the only
+    * shuffle is the presentation sort. */
+  def heuristicFilters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("toks", tok)
+      .withColumn("n_tokens", size($"toks"))
+      .where($"n_tokens" >= 3)
+      .withColumn("mean_wlen", round(
+        expr("aggregate(toks, 0, (a, t) -> a + length(t))") / $"n_tokens", 6))
+      .withColumn("ttr", round(size(array_distinct($"toks")) / $"n_tokens", 6))
+      .withColumn("n_stop", size(expr("filter(toks, t -> t = 'the' OR t = 'a')")))
+      .withColumn("bigrams", expr(
+        "transform(sequence(0, n_tokens - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+      .withColumn("top_bigram_frac",
+        round(maxRun("array_sort(bigrams)") / size($"bigrams"), 6))
+      .withColumn("ok_len",
+        ($"n_tokens" >= MinTokens && $"n_tokens" <= MaxTokens).cast("int"))
+      .withColumn("ok_wlen",
+        ($"mean_wlen" >= MinMeanWlen && $"mean_wlen" <= MaxMeanWlen).cast("int"))
+      .withColumn("ok_ttr", ($"ttr" >= MinTtr).cast("int"))
+      .withColumn("ok_stop", ($"n_stop" >= 1).cast("int"))
+      .withColumn("ok_rep", ($"top_bigram_frac" <= MaxTopBigramFrac).cast("int"))
+      .select($"doc_id", $"n_tokens", $"mean_wlen", $"ttr", $"n_stop",
+        $"top_bigram_frac", $"ok_len", $"ok_wlen", $"ok_ttr", $"ok_stop", $"ok_rep",
+        ($"ok_len" * $"ok_wlen" * $"ok_ttr" * $"ok_stop" * $"ok_rep").as("keep"))
+      .orderBy($"doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_stats" -> (tokenStats _),
     "text_quality"     -> (quality _),
     "text_langid"      -> (langId _),
     "text_fingerprint" -> (fingerprint _),
     "text_ngram_freq"  -> (ngramFreq _),
+    "text_repetition"  -> (repetition _),
+    "text_heuristic_filters" -> (heuristicFilters _),
   )
 
   private def hitsSql(markers: Seq[String]): String = {
@@ -183,6 +273,66 @@ object TextOps extends QueryModule {
         |           (a, b) -> (a*31 + b) % 1000000007) AS fp,
         |       md5(text) AS content_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // DuckDB 1.0's list_reduce mis-folds struct states (verified: max-run
+    // of ['a','a','a'] comes back 4), so the oracle derives runs/top-ngram
+    // multiplicity relationally: positions via generate_series, run ids
+    // via a lag+running-sum window, multiplicities via unnest+GROUP BY.
+    // Same integers, different (engine-appropriate) plan shape.
+    "text_repetition" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |base AS (SELECT doc_id, tk, len(tk) AS n FROM tok WHERE len(tk) >= 3),
+        |bg AS (SELECT doc_id, n, tk,
+        |      list_transform(generate_series(1, n - 1), i -> tk[i] || ' ' || tk[i + 1]) AS bgs,
+        |      list_transform(generate_series(1, n - 2), i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]) AS tgs
+        |  FROM base),
+        |bgc AS (SELECT doc_id, g, count(*) AS c
+        |        FROM (SELECT doc_id, unnest(bgs) AS g FROM bg) GROUP BY 1, 2),
+        |top AS (SELECT doc_id, max(c) AS top_bigram_n FROM bgc GROUP BY 1),
+        |pos AS (SELECT doc_id, i, tk[i] AS t
+        |        FROM bg, unnest(generate_series(1, n)) AS g(i)),
+        |brk AS (SELECT doc_id, i,
+        |        CASE WHEN t = lag(t) OVER (PARTITION BY doc_id ORDER BY i) THEN 0 ELSE 1 END AS b
+        |        FROM pos),
+        |runs AS (SELECT doc_id, i, sum(b) OVER (PARTITION BY doc_id ORDER BY i) AS rid FROM brk),
+        |rl AS (SELECT doc_id, rid, count(*) AS len FROM runs GROUP BY 1, 2),
+        |mr AS (SELECT doc_id, max(len) AS max_token_run FROM rl GROUP BY 1)
+        |SELECT b.doc_id, b.n AS n_tokens,
+        |       CAST(top.top_bigram_n AS INT) AS top_bigram_n,
+        |       round(top.top_bigram_n / (b.n - 1), 6) AS top_bigram_frac,
+        |       round(1.0 - len(list_distinct(b.tgs)) / len(b.tgs), 6) AS dup_trigram_frac,
+        |       CAST(mr.max_token_run AS INT) AS max_token_run
+        |FROM bg b JOIN top USING (doc_id) JOIN mr USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
+    "text_heuristic_filters" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |base AS (SELECT doc_id, tk, len(tk) AS n FROM tok WHERE len(tk) >= 3),
+         |bg AS (SELECT doc_id, n, tk,
+         |      list_transform(generate_series(1, n - 1), i -> tk[i] || ' ' || tk[i + 1]) AS bgs
+         |  FROM base),
+         |bgc AS (SELECT doc_id, g, count(*) AS c
+         |        FROM (SELECT doc_id, unnest(bgs) AS g FROM bg) GROUP BY 1, 2),
+         |top AS (SELECT doc_id, max(c) AS top_bigram_n FROM bgc GROUP BY 1),
+         |m AS (
+         |  SELECT b.doc_id, b.n AS n_tokens,
+         |         round(list_reduce(list_prepend(0, list_transform(b.tk, t -> length(t))),
+         |                           (a, x) -> a + x) / b.n, 6) AS mean_wlen,
+         |         round(len(list_distinct(b.tk)) / b.n, 6) AS ttr,
+         |         len(list_filter(b.tk, t -> t = 'the' OR t = 'a')) AS n_stop,
+         |         round(top.top_bigram_n / (b.n - 1), 6) AS top_bigram_frac
+         |  FROM bg b JOIN top USING (doc_id)
+         |), f AS (
+         |  SELECT *,
+         |         CASE WHEN n_tokens >= $MinTokens AND n_tokens <= $MaxTokens THEN 1 ELSE 0 END AS ok_len,
+         |         CASE WHEN mean_wlen >= $MinMeanWlen AND mean_wlen <= $MaxMeanWlen THEN 1 ELSE 0 END AS ok_wlen,
+         |         CASE WHEN ttr >= $MinTtr THEN 1 ELSE 0 END AS ok_ttr,
+         |         CASE WHEN n_stop >= 1 THEN 1 ELSE 0 END AS ok_stop,
+         |         CASE WHEN top_bigram_frac <= $MaxTopBigramFrac THEN 1 ELSE 0 END AS ok_rep
+         |  FROM m
+         |)
+         |SELECT doc_id, n_tokens, mean_wlen, ttr, n_stop, top_bigram_frac,
+         |       ok_len, ok_wlen, ok_ttr, ok_stop, ok_rep,
+         |       ok_len * ok_wlen * ok_ttr * ok_stop * ok_rep AS keep
+         |FROM f ORDER BY doc_id""".stripMargin,
     "text_ngram_freq" ->
       """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents
         |           WHERE len(string_split(text, ' ')) >= 2),
