@@ -128,10 +128,19 @@ object Similarity extends QueryModule {
   private val DIM = 64
   private def lcg(x: Long): Long =
     (x * 6364136223846793005L + 1442695040888963407L) & 0x7fffffffffffffffL
-  private[operators] val planeInts: Array[Array[Int]] =
-    Array.tabulate(TABLES * BITS) { h =>
-      Array.tabulate(DIM) { d => (lcg(h.toLong * DIM + d + 7) % 2001 - 1000).toInt }
+
+  /** Deterministic pseudo-random projection matrix (`nproj` rows ×
+    * `dim` cols) of exact rationals k/1000, k ∈ [-1000, 1000] — the
+    * shared plane generator for every LSH family in the library (angular
+    * sign-LSH here, E2LSH quantized projections in
+    * [[EventOps.tsSimilarity]]). Integer-valued so oracle SQL can rebuild
+    * the identical doubles from the inlined integer matrix. */
+  private[operators] def planeIntMatrix(nproj: Int, dim: Int): Array[Array[Int]] =
+    Array.tabulate(nproj) { h =>
+      Array.tabulate(dim) { d => (lcg(h.toLong * dim + d + 7) % 2001 - 1000).toInt }
     }
+
+  private[operators] val planeInts: Array[Array[Int]] = planeIntMatrix(TABLES * BITS, DIM)
   private[operators] val planes: Array[Array[Double]] =
     planeInts.map(_.map(_ / 1000.0))
 

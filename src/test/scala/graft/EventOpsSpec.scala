@@ -30,6 +30,20 @@ class EventOpsSpec extends AnyFunSuite {
     }
   }
 
+  /** Recall cross-check for the registered E2LSH ts-similarity: the
+    * bucketed top-20 must recover most of the brute-force top-20 at the
+    * oracle scale factor (measured 0.95 when the parameters were
+    * calibrated — assert ≥ 0.85 to leave headroom for testdata
+    * regeneration). */
+  test("ts_similarity LSH recalls the brute-force top-20") {
+    val dir = "/root/testdata/sf0.01"
+    val key = (r: org.apache.spark.sql.Row) => (r.get(0), r.get(1))
+    val brute = EventOps.tsSimilarityBrute(spark, dir).collect().map(key).toSet
+    val lsh = EventOps.tsSimilarity(spark, dir).collect().map(key).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.85, s"recall $recall; brute=$brute lsh=$lsh")
+  }
+
   test("trend join and trend lag agree (same semantics, two plans)") {
     val a = EventOps.trendJoin(spark, TestSpark.sf).collect().toSeq
     val b = EventOps.trendLag(spark, TestSpark.sf).collect().toSeq

@@ -55,6 +55,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*("), p) // '*(n)' = WholeStageCodegen stage
   }
 
+  test("ts_similarity candidates come from the bucket equi-join, not all-pairs") {
+    val p = executedPlan("ev_ts_similarity")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // E2LSH projections run as the native constant-dot expression
+    assert(p.contains("const_vector_dot"), p)
+  }
+
   test("events scan prunes columns for windowed count") {
     val p = formatted("ev_10min_by_type")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
