@@ -404,63 +404,89 @@ object Dedup extends QueryModule {
   // -------------------------------------------------------- embedding cosine
 
   /** Embedding-cosine near-dup pairs (cos ≥ 0.45 on this corpus — it has
-    * no planted high-cosine dups, max ≈ 0.51). Brute-force upper triangle
-    * as the exact baseline; ANN variants live in [[Similarity]].
+    * no planted high-cosine dups, max ≈ 0.51). EXACT all-pairs baseline;
+    * sublinear candidate generation lives in [[Similarity]] (IVF cells /
+    * LSH buckets / SemDeDup), which is the route when the threshold is a
+    * real near-dup bar (≥0.9) rather than this corpus's exhaustive-audit
+    * setting.
     *
-    * Shape: the corpus is broadcast once as primitive double arrays and
-    * each distributed row scans only ids greater than its own — the same
-    * upper-triangle work as a theta self-join, but without materializing
-    * n²/2 joined rows (the BroadcastNestedLoopJoin version copies both
-    * 64-element arrays into an UnsafeRow per pair before the dot product;
-    * measured ~10× this). Arithmetic is the exact IEEE sequence of the
-    * oracle: sequential dot, sqrt norms, multiply-then-divide, HALF_UP
-    * round to 6 — bit-identical before the threshold cut. Brute force
-    * inherently requires the corpus to fit in executor memory (64-dim
-    * doubles: ~0.5 GB per million vectors); past that, the LSH/IVF paths
-    * in [[Similarity]] are the scale route. */
+    * Shape: block-partitioned upper triangle. Vectors land in B blocks by
+    * id; each unordered block pair (i ≤ j) is one shuffle group holding
+    * just those two blocks, and a tight primitive loop scores its pairs
+    * — NO driver collect, NO corpus-sized broadcast, no per-pair row
+    * materialization (a BroadcastNestedLoopJoin would copy both
+    * 64-element arrays into an UnsafeRow per pair; measured ~10× this).
+    * Task memory is 2 blocks ≈ 2·(n/B)·dim doubles regardless of corpus
+    * size (B grows with n, ~8 k vectors/block), so the exact variant
+    * survives arbitrarily large corpora in MEMORY — its O(n²) compute and
+    * O(n·B) replication shuffle are the inherent price of exactness,
+    * which is why the registered scale route for real dedup thresholds is
+    * the candidate-generating family, not this.
+    *
+    * Arithmetic is the exact IEEE sequence of the oracle: sequential dot,
+    * sqrt norms, multiply-then-divide, HALF_UP round to 6 — bit-identical
+    * before the threshold cut. */
   def embeddingCosine(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
       .withColumn("v", $"embedding".cast("array<double>"))
       .select($"vec_id", $"v")
       .as[(Long, Array[Double])]
-    val corpus = e.collect().sortBy(_._1)
-    val ids = corpus.map(_._1)
-    val mat = corpus.map(_._2)
-    val norms = mat.map { v =>
-      var acc = 0.0; var i = 0
-      while (i < v.length) { acc += v(i) * v(i); i += 1 }
-      math.sqrt(acc)
-    }
-    val bc = s.sparkContext.broadcast((ids, mat, norms))
+    val n = e.count()
+    // ~8k vectors/block caps task memory (~4 MB/side at 64-dim doubles);
+    // floor of 8 keeps B(B+1)/2 = 36 groups of parallelism at small n.
+    val b = math.max(8L, n / 8192L + 1L).toInt
     val thr = 0.45
-    e.mapPartitions { it =>
-      val (ids, mat, norms) = bc.value
-      it.flatMap { case (idA, va) =>
-        var accA = 0.0
-        var d = 0
-        while (d < va.length) { accA += va(d) * va(d); d += 1 }
-        val normA = math.sqrt(accA)
-        // first index with id > idA (ids are sorted, unique)
-        var lo = java.util.Arrays.binarySearch(ids, idA) match {
-          case neg if neg < 0 => -neg - 1
-          case pos            => pos + 1
+    val tagged = e.flatMap { case (id, v) =>
+      val blk = (id % b).toInt
+      // LEFT copy to every group (blk, j ≥ blk); RIGHT copy to (i < blk, blk)
+      (blk until b).iterator.map(j => (blk, j, true, id, v)) ++
+        (0 until blk).iterator.map(i => (i, blk, false, id, v))
+    }
+    tagged.groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Boolean, Long, Array[Double])]) =>
+        val (i, j) = key
+        val lefts = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+        val rights = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+        it.foreach { case (_, _, isLeft, id, v) =>
+          if (isLeft) lefts += ((id, v)) else rights += ((id, v))
         }
-        val out = Seq.newBuilder[(Long, Long, Double)]
-        while (lo < ids.length) {
-          val vb = mat(lo)
-          val n = math.min(va.length, vb.length)
-          var dot = 0.0
-          var i = 0
-          while (i < n) { dot += va(i) * vb(i); i += 1 }
-          val cos = java.math.BigDecimal.valueOf(dot / (normA * norms(lo)))
+        def normOf(v: Array[Double]): Double = {
+          var acc = 0.0; var k = 0
+          while (k < v.length) { acc += v(k) * v(k); k += 1 }
+          math.sqrt(acc)
+        }
+        def score(ida: Long, va: Array[Double], na: Double,
+                  idb: Long, vb: Array[Double], nb: Double): Option[(Long, Long, Double)] = {
+          val m = math.min(va.length, vb.length)
+          var dot = 0.0; var k = 0
+          while (k < m) { dot += va(k) * vb(k); k += 1 }
+          val cos = java.math.BigDecimal.valueOf(dot / (na * nb))
             .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-          if (cos >= thr) out += ((idA, ids(lo), cos))
-          lo += 1
+          if (cos >= thr)
+            Some((math.min(ida, idb), math.max(ida, idb), cos))
+          else None
         }
-        out.result()
+        val ln = lefts.map(t => normOf(t._2))
+        if (i == j) {
+          // one block: upper triangle within it
+          for {
+            a <- lefts.indices.iterator
+            c <- (a + 1) until lefts.length
+            hit <- score(lefts(a)._1, lefts(a)._2, ln(a),
+                         lefts(c)._1, lefts(c)._2, ln(c))
+          } yield hit
+        } else {
+          val rn = rights.map(t => normOf(t._2))
+          for {
+            a <- lefts.indices.iterator
+            c <- rights.indices
+            hit <- score(lefts(a)._1, lefts(a)._2, ln(a),
+                         rights(c)._1, rights(c)._2, rn(c))
+          } yield hit
+        }
       }
-    }.toDF("vec_a", "vec_b", "cos_sim")
+      .toDF("vec_a", "vec_b", "cos_sim")
       .orderBy($"vec_a", $"vec_b")
   }
 
