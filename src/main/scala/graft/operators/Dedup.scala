@@ -66,7 +66,7 @@ object Dedup extends QueryModule {
       .repartition(col(key))
   }
 
-  private val jaccardThreshold = 0.8
+  private[graft] val jaccardThreshold = 0.8
 
   // ------------------------------------------------------------------- exact
 
@@ -112,26 +112,43 @@ object Dedup extends QueryModule {
     * expression ids, so plain exchange reuse never collapses the
     * duplicates (verified via explain: 8 parquet scans without the
     * cache). One row per doc — orders of magnitude smaller than input. */
-  private[graft] def rarityDocs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val e = explodedShingles(s, dir, "sh")
-    val df = e.groupBy($"sh").agg(count(lit(1)).as("df"))
+  private[graft] def rarityDocs(s: SparkSession, dir: String): DataFrame =
+    rarityDocsOf(explodedShingles(s, dir, "sh")).persist()
+
+  /** [[rarityDocs]] over an arbitrary exploded `(doc_id, n_sh, sh)`
+    * relation — shared by the dir-based batch queries and the streaming
+    * incremental-dedup path, where the corpus index is built ONCE from a
+    * corpus DataFrame and each micro-batch builds only its own (tiny)
+    * side. df is relation-local; the prefix guarantee is order-agnostic
+    * (ANY (1−t)·n+1 subset of a doc's shingles must intersect a
+    * qualifying partner's full set), so which relation supplied the df
+    * stats affects candidate volume, never the verified output. */
+  private[graft] def rarityDocsOf(e: DataFrame): DataFrame = {
+    val df = e.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     e.join(df, "sh") // both sides already hash-partitioned on sh
-      .groupBy($"doc_id")
-      .agg(sort_array(collect_list(struct($"df", $"sh"))).as("byRarity"),
-           first($"n_sh").as("n_sh"))
-      .withColumn("shingles", transform($"byRarity", _.getField("sh")))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("byRarity"),
+           first(col("n_sh")).as("n_sh"))
+      .withColumn("shingles", transform(col("byRarity"), _.getField("sh")))
       .withColumn("plen",
-        ($"n_sh" - ceil($"n_sh" * lit(jaccardThreshold)) + 1).cast("int"))
-      .select($"doc_id", $"n_sh", $"shingles", $"plen", $"byRarity")
-      .persist()
+        (col("n_sh") - ceil(col("n_sh") * lit(jaccardThreshold)) + 1).cast("int"))
+      .select(col("doc_id"), col("n_sh"), col("shingles"), col("plen"), col("byRarity"))
   }
+
+  /** `(doc_id, text)` → the exploded shingle relation [[rarityDocsOf]]
+    * consumes, shuffle pinned on `sh` (see [[explodedShingles]]). */
+  private[graft] def explodeDocs(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("shingles", graft.functions.ShingleArray.shingleArray(col("text")))
+      .select(col("doc_id"), size(col("shingles")).as("n_sh"),
+              explode(col("shingles")).as("sh"))
+      .repartition(col("sh"))
 
   /** Exploded rare-prefix posting list, optionally df-cutoff (`maxDf`):
     * hot shingles are removed from CANDIDATE GENERATION only — the exact
     * verify still runs on full shingle sets, so a cutoff can only lose
     * pairs, never invent them. */
-  private def prefixPostings(docs: DataFrame, maxDf: Option[Long]): DataFrame = {
+  private[graft] def prefixPostings(docs: DataFrame, maxDf: Option[Long]): DataFrame = {
     val pref = slice(col("byRarity"), lit(1), col("plen"))
     val kept = maxDf.map(m => filter(pref, x => x.getField("df") <= lit(m)))
       .getOrElse(pref)

@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 import graft.streaming.EventStreamOps
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -123,5 +124,37 @@ class StreamingOpsSpec extends AnyFunSuite {
       assert(got == batch)
       assert(got == Set((20L, 10L), (20L, 11L), (22L, 13L)))
     } finally q.stop()
+  }
+
+  test("streaming incremental dedup emits exactly the batch pairs") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = TestSpark.sf
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val corpusIdx = graft.streaming.DedupStream.corpusIndex(
+      docs.where(col("doc_id") % 2 === 0))
+    val odds = docs.where(col("doc_id") % 2 === 1)
+      .as[(Long, String)].collect().toSeq
+    assert(odds.size > 10, s"need a real batch stream, got ${odds.size} docs")
+
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q = graft.streaming.DedupStream.start(
+      in.toDF().toDF("doc_id", "text"), corpusIdx) { (pairs, _) =>
+      got ++= pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }
+    try {
+      // three uneven micro-batches covering every odd doc exactly once
+      odds.grouped(math.max(1, odds.size / 3 + 1)).foreach { chunk =>
+        in.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      val batch = operators.Dedup.incremental(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got.size == got.toSet.size, "a pair was emitted twice across batches")
+      assert(got.toSet == batch,
+        s"stream=${got.toSet.toSeq.sorted} batch=${batch.toSeq.sorted}")
+      assert(batch.nonEmpty, "vacuous: no incremental pairs at this SF")
+    } finally { q.stop(); corpusIdx.unpersist() }
   }
 }
