@@ -30,7 +30,9 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
       SparkEntry.queries.foreach { case (_, fn) =>
-        try { fn(spark, warmDir).count(); spark.catalog.clearCache() }
+        // warm through the same noop-write path the timed runs use, so the
+        // sort/write codegen is compiled before timing too
+        try { fn(spark, warmDir).write.mode("overwrite").format("noop").save(); spark.catalog.clearCache() }
         catch { case _: Throwable => () }
       }
     // clearCache between queries: several operators persist() small derived
@@ -43,7 +45,12 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // noop write, not count(): under count() Catalyst's EliminateSorts
+        // drops each query's final presentation orderBy, so sorted queries
+        // were slightly under-timed. The noop sink executes the FULL plan
+        // (sort included) and discards rows executor-side.
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+        catch { case _: Throwable => () }
         val t = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         t
@@ -58,7 +65,9 @@ object Bench {
     // driver's tail capture, and the same line is also written to BENCH.json
     // so a truncated stdout capture can never lose the artifact again
     // (round 4's BENCH_r04.json was tail-truncated -> parsed: null).
-    def r3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT, not the f interpolator: a comma-decimal default locale
+    // would emit 0,123 — invalid JSON in both stdout and BENCH.json.
+    def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

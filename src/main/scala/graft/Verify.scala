@@ -19,6 +19,14 @@ object Verify {
     // Optional comma-separated query-name filter for fast iteration on a
     // single operator (dev only; the driver runs unfiltered).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Loud + unmissable: if this filter leaks into a driver/judged run the
+    // missing outputs must be attributable to it, not misread as failures.
+    only.foreach { f =>
+      val msg = s"[verify] WARNING: SPARK_GRAFT_ONLY is set — running ONLY " +
+        s"${f.size} of ${SparkEntry.queries.size} queries (${f.mkString(",")}). " +
+        "This is a dev-iteration filter; driver runs must be unfiltered."
+      System.err.println(msg); println(msg)
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -455,7 +455,10 @@ object Dedup extends QueryModule {
     val b = math.max(8L, n / 8192L + 1L).toInt
     val thr = 0.45
     val tagged = e.flatMap { case (id, v) =>
-      val blk = (id % b).toInt
+      // floorMod, not %: a negative id must still land in [0, b) — a
+      // negative block would form groups with no right side and silently
+      // drop that id's cross-block pairs.
+      val blk = java.lang.Math.floorMod(id, b.toLong).toInt
       // LEFT copy to every group (blk, j ≥ blk); RIGHT copy to (i < blk, blk)
       (blk until b).iterator.map(j => (blk, j, true, id, v)) ++
         (0 until blk).iterator.map(i => (i, blk, false, id, v))

@@ -217,14 +217,20 @@ object Relational extends QueryModule {
     * DataFrame surfaces share one optimizer. Equality on max is exact
     * (no float summation), so the oracle comparison is deterministic. */
   def maxOrderPerCustomer(s: SparkSession, dir: String): DataFrame = {
-    Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
-    s.sql(
-      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice
-        |FROM graft_orders o
-        |WHERE o_totalprice = (SELECT max(i.o_totalprice)
-        |                      FROM graft_orders i
-        |                      WHERE i.o_custkey = o.o_custkey)
-        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+    // Per-invocation view name: a session-global "graft_orders" would race
+    // under concurrent invocations in one session. sql() analyzes eagerly
+    // (view resolution happens at Dataset construction), so the view can be
+    // dropped immediately after — no leak, no race window.
+    val view = "graft_orders_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    Tables.orders(s, dir).createOrReplaceTempView(view)
+    try s.sql(
+      s"""SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice
+         |FROM $view o
+         |WHERE o_totalprice = (SELECT max(i.o_totalprice)
+         |                      FROM $view i
+         |                      WHERE i.o_custkey = o.o_custkey)
+         |ORDER BY o_custkey, o_orderkey""".stripMargin)
+    finally s.catalog.dropTempView(view)
   }
 
   /** Bloom-filter pre-filtered semi join: build a bloom filter over the

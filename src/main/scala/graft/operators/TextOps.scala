@@ -160,10 +160,14 @@ object TextOps extends QueryModule {
         "transform(sequence(0, n_tokens - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
       .withColumn("trigrams", expr(
         "transform(sequence(0, n_tokens - 3), i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))"))
+      // top_bigram_n is materialized once and reused for the fraction:
+      // maxRun is a non-cheap aggregate fold, so CollapseProject keeps the
+      // two-level projection instead of inlining (= duplicating) it.
+      .withColumn("top_bigram_n", maxRun("array_sort(bigrams)"))
       .select(
         $"doc_id", $"n_tokens",
-        maxRun("array_sort(bigrams)").as("top_bigram_n"),
-        round(maxRun("array_sort(bigrams)") / size($"bigrams"), 6).as("top_bigram_frac"),
+        $"top_bigram_n",
+        round($"top_bigram_n" / size($"bigrams"), 6).as("top_bigram_frac"),
         round(lit(1.0) - size(array_distinct($"trigrams")) / size($"trigrams"), 6)
           .as("dup_trigram_frac"),
         maxRun("toks").as("max_token_run"))
