@@ -11,14 +11,16 @@ import org.apache.spark.sql.functions._
   * The testdata has no real media, so the payload is the UTF-8 encoding
   * of `documents.text` — which exercises the identical Spark plumbing
   * (binary column, per-row metadata extraction, chunked feature
-  * extraction, stride sampling). The IMAGE path runs a REAL codec:
-  * [[pngDecode]] synthesizes per-doc PNGs and decodes them with
-  * `javax.imageio` inside executors ([[MultimodalCodec]]), hash-gated via
-  * the lossless round trip. The audio/video-shaped decode stays a stub:
-  * those decoders aren't in this environment; [[MultimodalStub.decode]]
-  * is a deterministic fake behind the same signature a JNI/Java decoder
-  * would have, and everything around it (schema, batching, partitioning)
-  * is real and tested.
+  * extraction, stride sampling). The IMAGE and AUDIO paths run REAL
+  * codecs: [[pngDecode]] synthesizes per-doc PNGs and decodes them with
+  * `javax.imageio`, and [[wavDecode]] synthesizes per-doc 16-bit PCM WAVs
+  * and decodes them with `javax.sound.sampled` — both inside executors
+  * ([[MultimodalCodec]]), both hash-gated via their lossless round trips.
+  * Only the video-shaped decode stays a stub: no video decoder exists in
+  * this environment; [[MultimodalStub.decode]] is a deterministic fake
+  * behind the same signature a JNI/Java decoder would have, and
+  * everything around it (schema, batching, partitioning) is real and
+  * tested.
   *
   * Scale notes: all ops are per-row / per-partition maps — no shuffle at
   * any size; binary payloads stream through the scan without being
@@ -130,12 +132,46 @@ object Multimodal extends QueryModule {
       .orderBy($"doc_id", $"pixel_idx")
   }
 
+  /** REAL audio decode: each doc gets a deterministic 48-sample 16-bit PCM
+    * mono WAV payload (samples = the 48-bucket byte means of its text,
+    * mapped losslessly 0..255 → -32768..32767 via ×257−32768), encoded AND
+    * decoded with `javax.sound.sampled` inside executors — the second real
+    * codec beside [[pngDecode]], proving the binary-column pattern
+    * generalizes across media types. PCM WAV is lossless, so the decoded
+    * samples must equal the mapped bucket means, which DuckDB recomputes
+    * from `text` directly (the oracle never sees a WAV). Two mapPartitions
+    * stages on purpose, as in [[pngDecode]]: payload generation and decode
+    * are separate passes, so the decode consumes an opaque binary audio
+    * column exactly as it would from a parquet blob column. */
+  def wavDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wavs = Tables.documents(s, dir)
+      .withColumn("payload", encode($"text", "UTF-8"))
+      .select($"doc_id", $"payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          // ×257 maps the full byte range exactly onto the 16-bit signed
+          // range (255·257 = 65535), keeping the round trip integer-exact
+          val pcm = MultimodalStub.resize(bytes, 48).map(m => m * 257 - 32768)
+          (id, MultimodalCodec.encodeWav(pcm, 8000f))
+        }
+      }.toDF("doc_id", "wav")
+    wavs.as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, wav) => (id, MultimodalCodec.decodeWav(wav)) }
+      }.toDF("doc_id", "samples")
+      .select($"doc_id", posexplode($"samples").as(Seq("sample_idx", "sample")))
+      .orderBy($"doc_id", $"sample_idx")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta"     -> (binaryMeta _),
     "mm_frame_sample"    -> (frameSample _),
     "mm_feature_extract" -> (featureExtract _),
     "mm_resize"          -> (resize _),
     "mm_png_decode"      -> (pngDecode _),
+    "mm_wav_decode"      -> (wavDecode _),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -214,14 +250,34 @@ object Multimodal extends QueryModule {
         |       COALESCE(CAST(fb.s // fb.cnt AS INT), 0) AS pixel
         |FROM grid g LEFT JOIN fb ON g.doc_id = fb.doc_id AND g.b = fb.b
         |ORDER BY g.doc_id, pixel_idx""".stripMargin,
+    // Lossless-audio round trip: decoded 16-bit PCM samples must equal the
+    // 48-bucket byte means mapped to the signed range. DuckDB never sees a
+    // WAV; it recomputes what the real decoder must return.
+    "mm_wav_decode" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |grid AS (SELECT doc_id, b FROM d, unnest(generate_series(0, 47)) AS g0(b)),
+        |fb AS (
+        |  SELECT doc_id, b,
+        |         sum(ascii(substring(text, CAST(i AS INT), 1))) AS s,
+        |         count(*) AS cnt
+        |  FROM d,
+        |       unnest(generate_series(0, 47)) AS g1(b),
+        |       unnest(generate_series((n * b) // 48 + 1, (n * (b + 1)) // 48)) AS g2(i)
+        |  GROUP BY doc_id, b
+        |)
+        |SELECT g.doc_id, CAST(g.b AS INT) AS sample_idx,
+        |       CAST(COALESCE(fb.s // fb.cnt, 0) * 257 - 32768 AS INT) AS sample
+        |FROM grid g LEFT JOIN fb ON g.doc_id = fb.doc_id AND g.b = fb.b
+        |ORDER BY g.doc_id, sample_idx""".stripMargin,
   )
 }
 
-/** REAL codec for the PNG path — pure-JVM `javax.imageio`, the one image
-  * format/decoder this environment genuinely has. Grayscale 8-bit; PNG is
-  * lossless so encode→decode is an exact identity on the sample values,
-  * which is what lets the driver hash-check [[Multimodal.pngDecode]]
-  * end-to-end. Audio/video stay on [[MultimodalStub]] (no codec here). */
+/** REAL codecs for the PNG and WAV paths — pure-JVM `javax.imageio` and
+  * `javax.sound.sampled`, the image and audio decoders this environment
+  * genuinely has. Both formats are lossless, so encode→decode is an exact
+  * identity on the sample values, which is what lets the driver hash-check
+  * [[Multimodal.pngDecode]] and [[Multimodal.wavDecode]] end-to-end.
+  * Video stays on [[MultimodalStub]] (no codec here). */
 object MultimodalCodec {
   javax.imageio.ImageIO.setUseCache(false) // no temp-file cache in executors
 
@@ -248,6 +304,44 @@ object MultimodalCodec {
     val raster = img.getRaster
     val w = img.getWidth
     Array.tabulate(w * img.getHeight)(i => raster.getSample(i % w, i / w, 0))
+  }
+
+  /** 16-bit signed samples → mono PCM WAV bytes (`javax.sound.sampled`,
+    * little-endian). Lossless container: the sample words are stored
+    * verbatim, so encode→decode is an exact identity. */
+  def encodeWav(samples: Array[Int], sampleRate: Float): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate, 16, 1, /*signed=*/ true, /*bigEndian=*/ false)
+    val raw = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val v = samples(i)
+      require(v >= Short.MinValue && v <= Short.MaxValue, s"sample $v out of 16-bit range")
+      raw(2 * i) = (v & 0xff).toByte
+      raw(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** WAV bytes → 16-bit signed samples, via a real `AudioSystem` decode of
+    * the container (format sniffing + header parse + frame stream), not a
+    * hand-rolled header skip. */
+  def decodeWav(wav: Array[Byte]): Array[Int] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+      s"unexpected audio format: $fmt")
+    val raw = ais.readAllBytes()
+    Array.tabulate(raw.length / 2) { i =>
+      ((raw(2 * i) & 0xff) | (raw(2 * i + 1).toInt << 8)).toShort.toInt
+    }
   }
 }
 

@@ -322,6 +322,43 @@ object Relational extends QueryModule {
       .orderBy($"l_returnflag")
   }
 
+  /** Analytic-window frame coverage: per-nation customer revenue with
+    * `ntile` quartiles, `percent_rank`, and a RANGE-frame running total —
+    * the frame kinds [[analyticWindows]]' ROWS-frame queries don't touch.
+    *
+    * Determinism engineering: ntile assigns by ROW POSITION, so its order
+    * must be total — ties on revenue are broken by c_custkey in BOTH
+    * engines. The RANGE frame is peer-inclusive (all rows with equal
+    * revenue enter together), so its running sum is order-invariant under
+    * ties by construction. Revenues carry 2 exact decimals, so the
+    * re-rounded running sum sits ≥ 0.005 from any rounding boundary —
+    * far beyond fp accumulation error at this magnitude.
+    *
+    * Scale: one agg shuffle (revenue per customer) + one window shuffle
+    * on the nation partition key; both key sets are bounded and
+    * well-distributed — the shape survives 100×. */
+  def analyticFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(round(sum($"o_totalprice"), 2).as("revenue"))
+    val cust = Tables.customer(s, dir)
+      .join(Tables.nation(s, dir), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name")
+    val byRevTotal = Window.partitionBy($"n_name")
+      .orderBy($"revenue".asc, $"c_custkey".asc)
+    val byRevRange = Window.partitionBy($"n_name").orderBy($"revenue".asc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    cust.join(rev, $"c_custkey" === $"o_custkey")
+      .select(
+        $"n_name", $"c_custkey", $"revenue",
+        ntile(4).over(byRevTotal).as("quartile"),
+        round(percent_rank().over(byRevTotal), 6).as("pct_rank"),
+        round(sum($"revenue").over(byRevRange), 2).as("running_rev"))
+      .orderBy($"n_name", $"c_custkey")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_pricing_summary"  -> (pricingSummary _),
     "rel_filter_project"   -> (filterProject _),
@@ -340,9 +377,26 @@ object Relational extends QueryModule {
     "rel_bloom_semi_join"  -> (bloomSemiJoin _),
     "rel_salted_join"      -> (saltedJoin _),
     "rel_sample_stratified"-> (sampleStratified _),
+    "rel_analytic_frames"  -> (analyticFrames _),
   )
 
   override def oracles: Map[String, String] = Map(
+    "rel_analytic_frames" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+        |  FROM orders GROUP BY o_custkey
+        |)
+        |SELECT n.n_name, c.c_custkey, r.revenue,
+        |       CAST(ntile(4) OVER w AS INT) AS quartile,
+        |       round(percent_rank() OVER w, 6) AS pct_rank,
+        |       round(sum(r.revenue) OVER (
+        |         PARTITION BY n.n_name ORDER BY r.revenue
+        |         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_rev
+        |FROM rev r
+        |JOIN customer c ON c.c_custkey = r.o_custkey
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |WINDOW w AS (PARTITION BY n.n_name ORDER BY r.revenue, c.c_custkey)
+        |ORDER BY n.n_name, c.c_custkey""".stripMargin,
     "rel_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,

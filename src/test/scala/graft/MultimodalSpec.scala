@@ -54,6 +54,34 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("wav codec: real AudioSystem round trip is the identity on samples") {
+    val rnd = new scala.util.Random(13)
+    (0 until 20).foreach { _ =>
+      val samples = Array.fill(48)(rnd.nextInt(65536) - 32768)
+      val wav = MultimodalCodec.encodeWav(samples, 8000f)
+      // genuine WAV container: RIFF....WAVE header
+      assert(wav.take(4).map(_.toChar).mkString === "RIFF")
+      assert(wav.slice(8, 12).map(_.toChar).mkString === "WAVE")
+      assert(MultimodalCodec.decodeWav(wav).toSeq === samples.toSeq)
+    }
+    // extremes survive the signed 16-bit packing
+    val edges = Array(-32768, -1, 0, 1, 32767)
+    assert(MultimodalCodec.decodeWav(MultimodalCodec.encodeWav(edges, 8000f)).toSeq
+      === edges.toSeq)
+  }
+
+  test("wavDecode: executor-side decode equals the encoded PCM mapping") {
+    val rows = Multimodal.wavDecode(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val nDocs = graft.Tables.documents(spark, TestSpark.sf).count()
+    assert(rows.size == nDocs * 48)
+    val text0 = graft.Tables.documents(spark, TestSpark.sf)
+      .filter("doc_id = 0").collect().head.getAs[String]("text")
+    MultimodalStub.resize(text0.getBytes("UTF-8"), 48).zipWithIndex.foreach {
+      case (m, i) => assert(rows((0L, i)) == m * 257 - 32768, s"sample $i")
+    }
+  }
+
   test("resize: fixed 32-bucket thumbnail, floor-mean integer math") {
     val local = MultimodalStub.resize("abcdefgh".getBytes("UTF-8"), 4)
     assert(local.toSeq == Seq((97 + 98) / 2, (99 + 100) / 2, (101 + 102) / 2, (103 + 104) / 2))
