@@ -20,12 +20,28 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *     prefix explodes (PPJoin one-sided guarantee — a qualifying pair's
   *     witness shingle must sit in the batch doc's prefix, so joining it
   *     against the corpus's FULL posting list loses nothing);
-  *   - `maxDf` drops corpus-wide hot shingles from both sides
-  *     consistently, exactly as in the batch twin.
+  *   - batch prefixes are ordered by CORPUS document frequency (via
+  *     [[corpusShingleDf]]), not batch-local df. That makes candidate
+  *     generation a PER-DOC function of (doc, corpus) — independent of
+  *     which other docs share the micro-batch — so the emitted pair set
+  *     is invariant to micro-batch boundaries for EVERY maxDf setting,
+  *     not just the exact mode. Shingles absent from the corpus sort
+  *     last and are dropped from the prefix, which is lossless: they are
+  *     provably outside any qualifying partner's set, so removing them
+  *     cannot remove a witness;
+  *   - `maxDf` drops corpus-wide hot shingles from both sides under the
+  *     SAME corpus-df statistic, exactly as [[Dedup.incrementalImpl]]
+  *     does with its relation-wide df. The cutoff is candidate-gen-only
+  *     (the verify runs on full shingle sets), so it can only LOSE pairs
+  *     — deterministically: a pair is lost iff every witness in the
+  *     batch doc's prefix has corpus df > maxDf.
   *
   * StreamingOpsSpec pins stream == batch: feeding the odd-id documents
   * through micro-batches against the even-id corpus emits exactly the
-  * rows of the registered `dedup_incremental` query.
+  * rows of the registered `dedup_incremental` query (maxDf = None), and
+  * the maxDf path is pinned micro-batched == one-shot ⊆ exact.
+  * [[DedupStreamJob]] is the runnable checkpointed form (RecoverySpec
+  * proves restart loses and duplicates nothing).
   */
 object DedupStream {
 
@@ -35,13 +51,49 @@ object DedupStream {
   def corpusIndex(corpus: DataFrame): DataFrame =
     Dedup.rarityDocsOf(Dedup.explodeDocs(corpus)).persist()
 
+  /** Corpus-wide `(sh, df)` relation from a [[corpusIndex]] — the ONE
+    * document-frequency statistic that governs prefix order and the
+    * `maxDf` cutoff on both join sides. Persist when screening many
+    * batches (one derivation, reused per trigger). */
+  def corpusShingleDf(corpusIdx: DataFrame): DataFrame =
+    corpusIdx.select(explode(col("byRarity")).as("e"))
+      .select(col("e.sh").as("sh"), col("e.df").as("df"))
+      .distinct()
+
+  /** Batch-side doc relation with CORPUS-df-ordered prefixes:
+    * `(doc_id, n_sh, shingles, prefix)` where `prefix` is the first
+    * `n − ceil(t·n) + 1` shingles by (corpus df asc, shingle asc),
+    * minus corpus-absent shingles (lossless, see object scaladoc) and
+    * minus `maxDf`-hot shingles (deterministic candidate thinning). */
+  private def corpusOrderedDocs(newDocs: DataFrame, cdf: DataFrame,
+                                maxDf: Option[Long]): DataFrame = {
+    val absent = Long.MaxValue // sorts last; always outside the corpus
+    val e = Dedup.explodeDocs(newDocs)
+      .join(cdf, Seq("sh"), "left")
+      .withColumn("df", coalesce(col("df"), lit(absent)))
+    val pref = slice(col("byRarity"), lit(1), col("plen"))
+    val cut = filter(pref, x => x.getField("df") <= lit(maxDf.getOrElse(absent - 1)))
+    e.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("byRarity"),
+           first(col("n_sh")).as("n_sh"))
+      .withColumn("plen",
+        (col("n_sh") - ceil(col("n_sh") * lit(Dedup.jaccardThreshold)) + 1).cast("int"))
+      .select(col("doc_id"), col("n_sh"),
+        transform(col("byRarity"), x => x.getField("sh")).as("shingles"),
+        transform(cut, x => x.getField("sh")).as("prefix"))
+  }
+
   /** Screen one batch of new documents against a prepared [[corpusIndex]].
     * Returns `(new_id, corpus_id, jaccard)` — every corpus document the
     * batch near-duplicates. Pure batch-side function, so the streaming
-    * and batch forms share one definition. */
+    * and batch forms share one definition. Pass a persisted
+    * [[corpusShingleDf]] as `corpusDf` when calling repeatedly; it is
+    * derived on the fly otherwise. */
   def screenBatch(newDocs: DataFrame, corpusIdx: DataFrame,
-                  maxDf: Option[Long] = None): DataFrame = {
+                  maxDf: Option[Long] = None,
+                  corpusDf: Option[DataFrame] = None): DataFrame = {
     val t = Dedup.jaccardThreshold
+    val cdf = corpusDf.getOrElse(corpusShingleDf(corpusIdx))
     val corpusKept = maxDf
       .map(m => corpusIdx.withColumn("shingles",
         transform(filter(col("byRarity"), x => x.getField("df") <= lit(m)),
@@ -50,8 +102,9 @@ object DedupStream {
     val corpusPostings = corpusKept
       .select(col("doc_id").as("corpus_id"), col("n_sh").as("c_n"),
               explode(col("shingles")).as("sh"))
-    val batchDocs = Dedup.rarityDocsOf(Dedup.explodeDocs(newDocs))
-    val incomingPrefix = Dedup.prefixPostings(batchDocs, maxDf)
+    val batchDocs = corpusOrderedDocs(newDocs, cdf, maxDf)
+    val incomingPrefix = batchDocs.select(col("doc_id"), col("n_sh"),
+      explode(col("prefix")).as("sh"))
     val cand = incomingPrefix.join(corpusPostings, "sh")
       .where(col("n_sh") >= col("c_n") * t && col("c_n") >= col("n_sh") * t)
       .select(col("doc_id").as("new_id"), col("corpus_id"))
@@ -70,14 +123,17 @@ object DedupStream {
   /** foreachBatch driver: starts the streaming query that screens each
     * micro-batch of `newDocs` (a STREAMING `(doc_id, text)` frame)
     * against the prepared index and hands the resulting pair frame to
-    * `onBatch`. */
+    * `onBatch`. The corpus df relation is derived and persisted once,
+    * not once per trigger. */
   def start(newDocs: DataFrame, corpusIdx: DataFrame,
             maxDf: Option[Long] = None)
-           (onBatch: (DataFrame, Long) => Unit): StreamingQuery =
+           (onBatch: (DataFrame, Long) => Unit): StreamingQuery = {
+    val cdf = Some(corpusShingleDf(corpusIdx).persist())
     newDocs.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        onBatch(screenBatch(batch, corpusIdx, maxDf), epochId)
+        onBatch(screenBatch(batch, corpusIdx, maxDf, cdf), epochId)
       }
       .start()
+  }
 }

@@ -51,6 +51,60 @@ class RecoverySpec extends AnyFunSuite {
     q.stop()
   }
 
+  /** Odd-id documents sliced into 4 single-file parquet drops with
+    * ascending mtimes — the "new docs arriving over time" input of
+    * [[graft.streaming.DedupStreamJob]]. */
+  private def stageDocs(dir: String, slice: Int): Unit = {
+    val staged = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("text"))
+      .where(col("doc_id") % 2 === 1)
+      .withColumn("sl", ntile(4).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
+      .where(col("sl") === slice + 1).drop("sl")
+    val tmp = Files.createTempDirectory(s"docslice$slice").toString
+    staged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.startsWith("part-")).get
+    val dst = new java.io.File(dir, f"docs-$slice%02d.parquet")
+    Files.copy(part.toPath, dst.toPath)
+    Files.setLastModifiedTime(dst.toPath,
+      java.nio.file.attribute.FileTime.fromMillis(1000L * (slice + 1)))
+  }
+
+  test("dedup stream job restarts from checkpoint; pairs == batch, exactly once") {
+    val in = Files.createTempDirectory("ddj_in").toString
+    val out = Files.createTempDirectory("ddj_out").toString
+    val cp = Files.createTempDirectory("ddj_cp").toString
+    val corpusDir = Files.createTempDirectory("ddj_corpus").toString
+    Tables.documents(spark, TestSpark.sf).select("doc_id", "text")
+      .where(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(corpusDir)
+
+    def run(): Unit = {
+      val q = graft.streaming.DedupStreamJob.run(spark, corpusDir, in, out, cp)
+      q.processAllAvailable()
+      q.stop()
+      spark.catalog.clearCache() // drop the per-run corpus index persists
+    }
+    // run 1 sees two doc drops, then the query is stopped (simulated kill)
+    stageDocs(in, 0); stageDocs(in, 1)
+    run()
+    // run 2 resumes from the checkpoint and drains the remaining drops
+    stageDocs(in, 2); stageDocs(in, 3)
+    run()
+
+    val got = spark.read.parquet(out)
+      .select("new_id", "corpus_id", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length === got.distinct.length,
+      "a pair was emitted twice across the restart")
+    val expected = graft.operators.Dedup.incremental(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.toSet === expected,
+      s"got ${got.length} pairs, expected ${expected.size}")
+    assert(got.nonEmpty, "vacuous: no incremental pairs at this SF")
+  }
+
   test("sessionizer restarts from checkpoint; file-sink output == batch, exactly once") {
     val in = Files.createTempDirectory("rec_in").toString
     val out = Files.createTempDirectory("rec_out").toString

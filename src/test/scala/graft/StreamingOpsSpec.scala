@@ -157,4 +157,47 @@ class StreamingOpsSpec extends AnyFunSuite {
       assert(batch.nonEmpty, "vacuous: no incremental pairs at this SF")
     } finally { q.stop(); corpusIdx.unpersist() }
   }
+
+  test("streaming dedup maxDf: corpus-df governed, micro-batch invariant, ⊆ exact") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = TestSpark.sf
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val corpusIdx = graft.streaming.DedupStream.corpusIndex(
+      docs.where(col("doc_id") % 2 === 0))
+    try {
+      val cdf = graft.streaming.DedupStream.corpusShingleDf(corpusIdx)
+      val dfs = cdf.select("df").as[Long].collect().sorted
+      val m = math.max(1L, dfs.last / 2)
+      assert(dfs.last > m, s"cutoff vacuous: max corpus df ${dfs.last} <= $m")
+      val odds = docs.where(col("doc_id") % 2 === 1)
+      def pairsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val oneShot = pairsOf(
+        graft.streaming.DedupStream.screenBatch(odds, corpusIdx, Some(m)))
+      val exact = pairsOf(
+        graft.streaming.DedupStream.screenBatch(odds, corpusIdx, None))
+
+      val in = MemoryStream[(Long, String)]
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      val q = graft.streaming.DedupStream.start(
+        in.toDF().toDF("doc_id", "text"), corpusIdx, Some(m)) { (pairs, _) =>
+        got ++= pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }
+      try {
+        val oddRows = odds.as[(Long, String)].collect().toSeq
+        oddRows.grouped(math.max(1, oddRows.size / 3 + 1)).foreach { chunk =>
+          in.addData(chunk: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      // candidate generation is per-doc vs corpus, so micro-batch
+      // composition cannot change the emitted set — even under the cutoff
+      assert(got.toSet == oneShot,
+        s"micro-batched != one-shot under maxDf=$m")
+      // the cutoff is candidate-gen-only: it may lose pairs, never invent
+      assert(oneShot.subsetOf(exact))
+      assert(exact.nonEmpty, "vacuous: no exact pairs at this SF")
+    } finally corpusIdx.unpersist()
+  }
 }
