@@ -349,7 +349,7 @@ object EventOps extends QueryModule {
     * vectors. */
   /** 24-dim hourly profile vector per user — the shared front half of
     * the ts-similarity family (one groupBy; agg state = 24 doubles/user). */
-  private def profileVecs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def profileVecs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, dir)
     // Missing hours densify to 0.0 via a map lookup over sequence(0, 23)
@@ -386,17 +386,52 @@ object EventOps extends QueryModule {
   // PT tables × PK quantized projections each, width PW. Plane components
   // are exact rationals k/1000 from Similarity.planeIntMatrix, so the
   // DuckDB oracle rebuilds bit-identical projections from the inlined
-  // integer matrix. PW=600 is calibrated to the profile value scale
-  // (hourly sums, top-20 pair distances ≈ 400-440 at sf0.01): measured
-  // recall vs brute force 0.95 at sf0.01 with ~40% of all-pairs pruned
-  // (selectivity improves with user count — bucket occupancy grows ~n,
-  // pairs n²).
+  // integer matrix. Calibrated by sweep (tools/tune_e2lsh.py) against the
+  // profile distance distribution (top-20 pair distances ≈ 437 at sf0.01
+  // / 330 at sf0.1, but pair-distance MEDIAN only ≈ 790 — 24-dim distance
+  // concentration bounds how hard any LSH can prune at high recall on
+  // this synthetic corpus) and then TIMED (TsProbe over the replicated
+  // 5× corpus): 12/4/600 measures recall 0.85 at sf0.01 / 0.95 at sf0.1
+  // with candidates ≈ 0.38 of all pairs AND the fastest candidate
+  // generation of the eligible settings — tighter settings (24/4/450,
+  // 16/4/500) admit fewer candidates but pay more in bucket explosion
+  // than they save in verification, or miss the sf0.01 recall floor.
   private[graft] val ProfTables = 12
-  private[graft] val ProfProj = 3
+  private[graft] val ProfProj = 4
   private[graft] val ProfWidth = 600.0
   private[operators] val profPlaneInts: Array[Array[Int]] =
     Similarity.planeIntMatrix(ProfTables * ProfProj, 24)
   private val profPlanes: Array[Array[Double]] = profPlaneInts.map(_.map(_ / 1000.0))
+
+  /** E2LSH candidate pairs over a [[profileVecs]] relation — split out so
+    * the scale bench can measure candidate volume (selectivity) directly,
+    * independent of the exact-distance verify. Parameterized so the
+    * calibration sweep can time alternatives; registered queries always
+    * use the [[ProfTables]]/[[ProfProj]]/[[ProfWidth]] defaults. */
+  private[graft] def tsCandidates(vecs: DataFrame,
+                                  pt: Int = ProfTables,
+                                  pk: Int = ProfProj,
+                                  pw: Double = ProfWidth): DataFrame = {
+    val planes =
+      if (pt == ProfTables && pk == ProfProj) profPlanes
+      else Similarity.planeIntMatrix(pt * pk, 24).map(_.map(_ / 1000.0))
+    val qCols = array((0 until pt * pk).map(h =>
+      floor(ConstVectorDot.dotConst(col("vec"), planes(h)) / pw).cast("long")): _*)
+    val tableCols = (0 until pt).map { t =>
+      struct((lit(t).as("tbl") +:
+        (0 until pk).map(j => element_at(col("q"), t * pk + j + 1).as(s"b$j"))): _*)
+    }
+    val buckets = vecs.withColumn("q", qCols)
+      .select(col("user_id"), explode(array(tableCols: _*)).as("tb"))
+      .select((col("user_id") +: (col("tb.tbl").as("tbl") +:
+        (0 until pk).map(j => col(s"tb.b$j").as(s"b$j")))): _*)
+    val joinKeys = "tbl" +: (0 until pk).map(j => s"b$j")
+    buckets.as("ba")
+      .join(buckets.as("bb"), joinKeys, "inner")
+      .where(col("ba.user_id") < col("bb.user_id"))
+      .select(col("ba.user_id").as("user_a"), col("bb.user_id").as("user_b"))
+      .distinct()
+  }
 
   /** Time-series similarity search (the distributed top-k pattern of the
     * EDBT'19/ICDE'21 similarity-search literature, sized to this corpus):
@@ -404,14 +439,24 @@ object EventOps extends QueryModule {
     * top-20 closest user pairs by Euclidean distance are returned —
     * candidates generated by E2LSH bucketing, NOT an all-pairs join.
     *
+    * APPROXIMATE BY CONTRACT: the registered semantics of
+    * `ev_ts_similarity` are "top-20 among E2LSH-bucketed candidate
+    * pairs", and the DuckDB oracle rebuilds the SAME planes/buckets from
+    * the inlined integer matrix — so the correctness gate verifies that
+    * two independent engines agree on the full LSH pipeline, not that
+    * LSH equals exact nearest neighbors. The exact contract is covered
+    * separately: the unregistered brute-force twin
+    * ([[tsSimilarityBrute]]) cross-checks recall in EventOpsSpec at
+    * sf0.01 and in [[graft.tools.SimilarityScaleBench]] at the bench SF
+    * (sf0.1), reported in BASELINE.md.
+    *
     * Scale: profiles are one groupBy; each user hashes into PT
     * (table, floor(v·p/w)…) bucket keys (per-row map over codegen'd
     * [[graft.functions.ConstVectorDot]] projections), candidates are an
     * equi-join on the bucket key, and only candidates pay the exact
     * distance — no BroadcastNestedLoopJoin anywhere in the plan
     * (asserted in PlanSpec). At 100 TB this is the same posting-key
-    * equi-join shape as the dedup family; the unregistered brute-force
-    * twin is the spec recall cross-check (measured 0.95 at sf0.01).
+    * equi-join shape as the dedup family.
     *
     * Oracle-stability engineering: bucket sums are rounded at an
     * exactness-preserving scale BEFORE the distance (so both engines fold
@@ -421,23 +466,7 @@ object EventOps extends QueryModule {
   def tsSimilarity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val vecs = profileVecs(s, dir).persist() // bucket derivation + both distance sides
-    val qCols = array((0 until ProfTables * ProfProj).map(h =>
-      floor(ConstVectorDot.dotConst($"vec", profPlanes(h)) / ProfWidth).cast("long")): _*)
-    val tableCols = (0 until ProfTables).map { t =>
-      struct((lit(t).as("tbl") +:
-        (0 until ProfProj).map(j => element_at($"q", t * ProfProj + j + 1).as(s"b$j"))): _*)
-    }
-    val buckets = vecs.withColumn("q", qCols)
-      .select($"user_id", explode(array(tableCols: _*)).as("tb"))
-      .select(($"user_id" +: (col("tb.tbl").as("tbl") +:
-        (0 until ProfProj).map(j => col(s"tb.b$j").as(s"b$j")))): _*)
-    val joinKeys = "tbl" +: (0 until ProfProj).map(j => s"b$j")
-    val cand = buckets.as("ba")
-      .join(buckets.as("bb"), joinKeys, "inner")
-      .where($"ba.user_id" < $"bb.user_id")
-      .select($"ba.user_id".as("user_a"), $"bb.user_id".as("user_b"))
-      .distinct()
-    val withVecs = cand
+    val withVecs = tsCandidates(vecs)
       .join(vecs.select($"user_id".as("user_a"), $"vec".as("va")), "user_a")
       .join(vecs.select($"user_id".as("user_b"), $"vec".as("vb")), "user_b")
     pairDist(withVecs)

@@ -35,7 +35,7 @@ object Similarity extends QueryModule {
     * relation from 2-4 branches (queries side, corpus side, centroid /
     * bucket derivations), and self-join aliasing blocks exchange reuse,
     * so without the cache each branch would rescan + redo the norms. */
-  private def vecs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def vecs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.embeddings(s, dir)
       .withColumn("v", $"embedding".cast("array<double>"))
@@ -74,14 +74,14 @@ object Similarity extends QueryModule {
   private val NCENT = 16
   private val NPROBE = 4
 
-  private def centroidsOf(e: DataFrame): DataFrame =
+  private[graft] def centroidsOf(e: DataFrame): DataFrame =
     broadcast(e.filter(col("vec_id") < NCENT)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cnorm")))
 
   /** Max-cosine cell per corpus vector — the shared IVF/SemDeDup
     * assignment: one corpus scan against the broadcast centroids,
     * deterministic tie-break on cid. */
-  private def cellAssignment(e: DataFrame, cent: DataFrame): DataFrame = {
+  private[graft] def cellAssignment(e: DataFrame, cent: DataFrame): DataFrame = {
     val assignW = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid").asc)
     e.join(cent)
       .withColumn("ccos", round(vectorDot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 6))
@@ -150,27 +150,39 @@ object Similarity extends QueryModule {
     * [[topkBruteForce]] in SimilaritySpec, and fully oracle-checked: the
     * plane constants are inlined into the oracle SQL, so DuckDB rebuilds
     * the identical signatures. */
+  /** Sign-LSH `(vec_id, tbl, bucket)` signatures over a [[vecs]]
+    * relation — split out so the scale bench can measure candidate
+    * volume directly. Persist when consumed from multiple branches. */
+  private[graft] def lshBuckets(e: DataFrame): DataFrame = {
+    val withBits = e.withColumn("bits",
+      array((0 until TABLES * BITS).map(h => (dotConst(col("v"), planes(h)) > 0).cast("int")): _*))
+    val tableCols = (0 until TABLES).map { t =>
+      struct(lit(t).as("tbl"),
+             (0 until BITS).map(j => element_at(col("bits"), t * BITS + j + 1) * lit(1 << j))
+               .reduce(_ + _).as("bucket"))
+    }
+    withBits.select(col("vec_id"), explode(array(tableCols: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
+
+  /** Query→candidate pairs from an LSH bucket join, carrying the query
+    * vector for the downstream exact ranking. */
+  private[graft] def lshCandidates(e: DataFrame, buckets: DataFrame): DataFrame = {
+    val qb = buckets.join(queriesOf(e), col("vec_id") === col("query_id"))
+      .select(col("query_id"), col("qv"), col("qnorm"), col("tbl"), col("bucket"))
+    qb.join(buckets.select(col("vec_id").as("neighbor_id"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("qnorm"), col("neighbor_id"))
+      .distinct()
+  }
+
   def topkLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = vecs(s, dir)
-    val withBits = e.withColumn("bits",
-      array((0 until TABLES * BITS).map(h => (dotConst($"v", planes(h)) > 0).cast("int")): _*))
-    val tableCols = (0 until TABLES).map { t =>
-      struct(lit(t).as("tbl"),
-             (0 until BITS).map(j => element_at($"bits", t * BITS + j + 1) * lit(1 << j))
-               .reduce(_ + _).as("bucket"))
-    }
-    val buckets = withBits.select($"vec_id", explode(array(tableCols: _*)).as("tb"))
-      .select($"vec_id", $"tb.tbl".as("tbl"), $"tb.bucket".as("bucket"))
-      .persist() // consumed by the query side and the corpus side of the bucket join
-
-    val qb = buckets.join(queriesOf(e), $"vec_id" === $"query_id")
-      .select($"query_id", $"qv", $"qnorm", $"tbl", $"bucket")
-    val cand = qb.join(buckets.select($"vec_id".as("neighbor_id"), $"tbl", $"bucket"),
-        Seq("tbl", "bucket"))
-      .where($"neighbor_id" =!= $"query_id")
-      .select($"query_id", $"qv", $"qnorm", $"neighbor_id")
-      .distinct()
+    // persisted: consumed by the query side and the corpus side of the join
+    val buckets = lshBuckets(e).persist()
+    val cand = lshCandidates(e, buckets)
 
     val byQuery = Window.partitionBy($"query_id").orderBy($"score".desc, $"neighbor_id".asc)
     cand.join(e.select($"vec_id".as("neighbor_id"), $"v".as("nv"), $"norm".as("nnorm")),
@@ -201,7 +213,7 @@ object Similarity extends QueryModule {
       .orderBy($"label")
   }
 
-  private val SemThreshold = 0.4
+  private[graft] val SemThreshold = 0.4
 
   /** SemDeDup (semantic dedup à la Abbas et al., "SemDeDup: Data-efficient
     * learning at web-scale through semantic deduplication", 2023):

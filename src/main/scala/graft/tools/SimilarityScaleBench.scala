@@ -1,0 +1,124 @@
+package graft.tools
+
+import graft.Tables
+import graft.operators.{EventOps, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Empirical evidence for the similarity family's two scale claims
+  * (BASELINE.md "similarity scaling" section):
+  *
+  *  1. RECALL AT THE BENCH SF — `ev_ts_similarity` (E2LSH) and
+  *     `sim_ann_lsh` are approximate by contract; their oracles verify
+  *     engine agreement on the LSH pipeline, not nearest-neighbor
+  *     exactness. This tool measures recall against the exact
+  *     brute-force twins at sf0.1 (the driver's bench SF), not just the
+  *     sf0.01 spec floor.
+  *
+  *  2. CANDIDATE SELECTIVITY UNDER GROWTH — the argument for the
+  *     bucket-join shape at 100 TB is that candidate volume grows far
+  *     slower than the n²/2 all-pairs term. Corpus construction mirrors
+  *     DedupScaleBench's isomorphic-replica trick: replica k of `events`
+  *     shifts every timestamp by k hours (a coordinate ROTATION of the
+  *     24-dim hourly profile — Euclidean distances within a replica are
+  *     preserved, bucket hashes are not), and replica k of `embeddings`
+  *     rotates the 64-dim vector by k positions (same property for
+  *     cosine). Replicas therefore pose the same similarity problem but
+  *     hash into fresh buckets, growing the corpus realistically rather
+  *     than piling identical vectors into the same buckets.
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain
+  * graft.tools.SimilarityScaleBench". Prints one JSON line per
+  * measurement.
+  */
+object SimilarityScaleBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+
+    // ---- 1a. ts_similarity recall vs exact brute force at the bench SF
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("user_a", "user_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshPairs = pairSet(EventOps.tsSimilarity(spark, sfDir))
+    val brutePairs = pairSet(EventOps.tsSimilarityBrute(spark, sfDir))
+    spark.catalog.clearCache()
+    val tsRecall = lshPairs.intersect(brutePairs).size.toDouble / brutePairs.size
+    println(s"""{"check":"ts_similarity_recall","sf":"$sfDir","top_k":${brutePairs.size},"recall":${r3(tsRecall)}}""")
+
+    // ---- 1b. ANN LSH recall@5 vs exact brute force at the bench SF
+    def nbrSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshNbrs = nbrSet(Similarity.topkLsh(spark, sfDir))
+    val ivfNbrs = nbrSet(Similarity.topkIvf(spark, sfDir))
+    val bruteNbrs = nbrSet(Similarity.topkBruteForce(spark, sfDir))
+    spark.catalog.clearCache()
+    val annRecall = lshNbrs.intersect(bruteNbrs).size.toDouble / bruteNbrs.size
+    val ivfRecall = ivfNbrs.intersect(bruteNbrs).size.toDouble / bruteNbrs.size
+    println(s"""{"check":"ann_lsh_recall_at_5","sf":"$sfDir","pairs":${bruteNbrs.size},"recall":${r3(annRecall)}}""")
+    println(s"""{"check":"ann_ivf_recall_at_5","sf":"$sfDir","pairs":${bruteNbrs.size},"recall":${r3(ivfRecall)}}""")
+
+    // ---- 2a. E2LSH profile-candidate selectivity as users grow K×
+    val ev = Tables.events(spark, sfDir)
+    Seq(1, 2, 5).foreach { k =>
+      val dir = s"/tmp/sim_scale/ev_x$k"
+      (0 until k).map { r =>
+        ev.select(
+          $"event_id",
+          ($"ts" + expr(s"INTERVAL $r HOURS")).as("ts"),
+          ($"user_id" + lit(r.toLong * 10000000L)).as("user_id"),
+          $"event_type", $"value")
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+      val vecs = EventOps.profileVecs(spark, dir).persist()
+      val users = vecs.count()
+      val candidates = EventOps.tsCandidates(vecs).count()
+      val allPairs = users * (users - 1) / 2
+      val t0 = System.nanoTime()
+      EventOps.tsSimilarity(spark, dir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      println(s"""{"bench":"ts_similarity","k":$k,"users":$users,"candidates":$candidates,"all_pairs":$allPairs,"selectivity":${r3(candidates.toDouble / allPairs)},"sec":${r3(sec)}}""")
+    }
+
+    // ---- 2b. sign-LSH ANN candidate selectivity as the corpus grows K×
+    val emb = Tables.embeddings(spark, sfDir)
+    Seq(1, 2, 5).foreach { k =>
+      val dir = s"/tmp/sim_scale/emb_x$k"
+      (0 until k).map { r =>
+        emb.select(
+          ($"vec_id" + lit(r.toLong * 10000000L)).as("vec_id"),
+          (if (r == 0) $"embedding"
+           else concat(slice($"embedding", r + 1, 64 - r), slice($"embedding", 1, r)))
+            .as("embedding"),
+          $"label")
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+      val e = Similarity.vecs(spark, dir)
+      val nVec = e.count()
+      val nQueries = e.filter($"vec_id" % 50 === 0).count()
+      val buckets = Similarity.lshBuckets(e).persist()
+      val candidates = Similarity.lshCandidates(e, buckets).count()
+      val scanned = nQueries * (nVec - 1) // brute force would score this many
+      val t0 = System.nanoTime()
+      Similarity.topkLsh(spark, dir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      println(s"""{"bench":"ann_lsh","k":$k,"vectors":$nVec,"queries":$nQueries,"candidates":$candidates,"brute_scored":$scanned,"selectivity":${r3(candidates.toDouble / scanned)},"sec":${r3(sec)}}""")
+    }
+    spark.stop()
+  }
+}

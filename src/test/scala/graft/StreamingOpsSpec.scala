@@ -158,6 +158,50 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally { q.stop(); corpusIdx.unpersist() }
   }
 
+  test("streaming semdedup screens each batch against the IVF-cell corpus index") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = TestSpark.sf
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val corpusIdx = graft.streaming.SemDedupStream.corpusIndex(
+      emb.where(col("vec_id") % 2 === 0))
+    try {
+      val odds = emb.where(col("vec_id") % 2 === 1)
+      def pairsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val oneShot = pairsOf(
+        graft.streaming.SemDedupStream.screenBatch(odds, corpusIdx))
+      assert(oneShot.nonEmpty, "vacuous: no semantic near-dups at this SF")
+
+      val in = MemoryStream[(Long, Array[Float])]
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      val q = graft.streaming.SemDedupStream.start(
+        in.toDF().toDF("vec_id", "embedding"), corpusIdx) { (pairs, _) =>
+        got ++= pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }
+      try {
+        val rows = odds.as[(Long, Array[Float])].collect().toSeq
+        rows.grouped(math.max(1, rows.size / 3 + 1)).foreach { chunk =>
+          in.addData(chunk: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      assert(got.size == got.toSet.size, "a pair was emitted twice across batches")
+      // cell assignment is per-vector, so micro-batching cannot change the set
+      assert(got.toSet == oneShot)
+      // every emitted pair is a genuine cosine near-dup: recompute driver-side
+      val byId = emb.as[(Long, Array[Float])].collect().toMap
+      got.foreach { case (a, b, s) =>
+        val va = byId(a).map(_.toDouble); val vb = byId(b).map(_.toDouble)
+        def dot(x: Array[Double], y: Array[Double]) =
+          x.indices.foldLeft(0.0)((acc, i) => acc + x(i) * y(i))
+        val cos = dot(va, vb) / (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb)))
+        assert(math.abs(cos - s) <= 1e-6, s"pair ($a,$b): emitted $s, recomputed $cos")
+        assert(s >= graft.operators.Similarity.SemThreshold)
+      }
+    } finally corpusIdx.unpersist()
+  }
+
   test("streaming dedup maxDf: corpus-df governed, micro-batch invariant, ⊆ exact") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
