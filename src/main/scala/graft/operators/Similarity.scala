@@ -195,6 +195,43 @@ object Similarity extends QueryModule {
       .orderBy($"query_id", $"rnk")
   }
 
+  /** Multi-probe LSH ANN (Lv et al., "Multi-probe LSH", VLDB'07): each
+    * query probes its own bucket PLUS the [[BITS]] Hamming-1 neighbor
+    * buckets in every table — the classic recall/table-count trade: one
+    * bucket flip approximates having ~[[TABLES]]×(1+[[BITS]]) tables
+    * without re-hashing the corpus. Only the QUERY side expands (×7 here,
+    * and queries are the small side by construction); the corpus keeps
+    * the same signatures and the candidate step stays a (table, bucket)
+    * equi-join — the property that makes LSH shuffle-friendly at 100 TB.
+    * Exact cosine ranks candidates, so output quality is recall-bounded
+    * only; measured recall@5 and candidate volume vs the single-probe
+    * form in SimilarityScaleBench (BASELINE.md). */
+  def topkLshMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, dir)
+    val buckets = lshBuckets(e).persist()
+    val probes = buckets.join(queriesOf(e), $"vec_id" === $"query_id")
+      .select($"query_id", $"qv", $"qnorm", $"tbl", $"bucket")
+      .withColumn("flip",
+        explode(array((lit(0) +: (0 until BITS).map(j => lit(1 << j))): _*)))
+      .withColumn("bucket", $"bucket".bitwiseXOR($"flip"))
+    val cand = probes
+      .join(buckets.select($"vec_id".as("neighbor_id"), $"tbl", $"bucket"),
+        Seq("tbl", "bucket"))
+      .where($"neighbor_id" =!= $"query_id")
+      .select($"query_id", $"qv", $"qnorm", $"neighbor_id")
+      .distinct()
+    val byQuery = Window.partitionBy($"query_id").orderBy($"score".desc, $"neighbor_id".asc)
+    cand.join(e.select($"vec_id".as("neighbor_id"), $"v".as("nv"), $"norm".as("nnorm")),
+              "neighbor_id")
+      .withColumn("dot", vectorDot($"qv", $"nv"))
+      .withColumn("score", round($"dot" / ($"qnorm" * $"nnorm"), 6))
+      .withColumn("rnk", row_number().over(byQuery))
+      .where($"rnk" <= K)
+      .select($"query_id", $"neighbor_id", $"rnk", $"score")
+      .orderBy($"query_id", $"rnk")
+  }
+
   /** documents ⋈ embeddings (doc_id = vec_id): the metadata-to-vector
     * join every embedding pipeline runs, aggregated per label cluster.
     * Both tables hash-partition on the shared id — at 100 TB this is THE
@@ -244,6 +281,7 @@ object Similarity extends QueryModule {
     "sim_topk_bruteforce" -> (topkBruteForce _),
     "sim_topk_ivf"        -> (topkIvf _),
     "sim_ann_lsh"         -> (topkLsh _),
+    "sim_ann_multiprobe"  -> (topkLshMultiprobe _),
     "sim_label_profile"   -> (labelProfile _),
     "sim_semdedup"        -> (semDedup _),
   )
@@ -329,6 +367,44 @@ object Similarity extends QueryModule {
          |  SELECT DISTINCT qb.vec_id AS query_id, n.vec_id AS neighbor_id
          |  FROM buckets qb JOIN buckets n ON qb.tbl = n.tbl AND qb.bucket = n.bucket
          |  WHERE qb.vec_id % 50 = 0 AND n.vec_id <> qb.vec_id
+         |)
+         |SELECT query_id, neighbor_id, rnk, score FROM (
+         |  SELECT c.query_id, c.neighbor_id,
+         |         round(list_dot_product(q.v, n.v) / (q.nrm * n.nrm), 6) AS score,
+         |         row_number() OVER (PARTITION BY c.query_id
+         |             ORDER BY round(list_dot_product(q.v, n.v) / (q.nrm * n.nrm), 6) DESC,
+         |                      c.neighbor_id ASC) AS rnk
+         |  FROM cand c
+         |  JOIN e q ON q.vec_id = c.query_id
+         |  JOIN e n ON n.vec_id = c.neighbor_id
+         |)
+         |WHERE rnk <= $K
+         |ORDER BY query_id, rnk""".stripMargin,
+    // Multi-probe twin: identical to sim_ann_lsh up to `buckets`, then the
+    // query side expands to its bucket plus the BITS single-bit flips.
+    "sim_ann_multiprobe" ->
+      s"""$vecCte,
+         |pl AS (SELECT * FROM (VALUES
+         |$planeSqlValues
+         |) AS t(h, p)),
+         |bits AS (
+         |  SELECT e.vec_id, pl.h,
+         |         CASE WHEN list_dot_product(e.v, pl.p) > 0 THEN 1 ELSE 0 END AS bit
+         |  FROM e CROSS JOIN pl
+         |),
+         |buckets AS (
+         |  SELECT vec_id, h // $BITS AS tbl, CAST(sum(bit * (1 << (h % $BITS))) AS BIGINT) AS bucket
+         |  FROM bits GROUP BY 1, 2
+         |),
+         |qprobes AS (
+         |  SELECT qb.vec_id, qb.tbl, xor(qb.bucket, CAST(f.flip AS BIGINT)) AS bucket
+         |  FROM buckets qb, unnest([${(Seq(0) ++ (0 until BITS).map(1 << _)).mkString(",")}]) AS f(flip)
+         |  WHERE qb.vec_id % 50 = 0
+         |),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+         |  FROM qprobes q JOIN buckets n ON q.tbl = n.tbl AND q.bucket = n.bucket
+         |  WHERE n.vec_id <> q.vec_id
          |)
          |SELECT query_id, neighbor_id, rnk, score FROM (
          |  SELECT c.query_id, c.neighbor_id,

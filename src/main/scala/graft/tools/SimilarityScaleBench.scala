@@ -61,13 +61,14 @@ object SimilarityScaleBench {
       df.select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val lshNbrs = nbrSet(Similarity.topkLsh(spark, sfDir))
+    val mpNbrs = nbrSet(Similarity.topkLshMultiprobe(spark, sfDir))
     val ivfNbrs = nbrSet(Similarity.topkIvf(spark, sfDir))
     val bruteNbrs = nbrSet(Similarity.topkBruteForce(spark, sfDir))
     spark.catalog.clearCache()
-    val annRecall = lshNbrs.intersect(bruteNbrs).size.toDouble / bruteNbrs.size
-    val ivfRecall = ivfNbrs.intersect(bruteNbrs).size.toDouble / bruteNbrs.size
-    println(s"""{"check":"ann_lsh_recall_at_5","sf":"$sfDir","pairs":${bruteNbrs.size},"recall":${r3(annRecall)}}""")
-    println(s"""{"check":"ann_ivf_recall_at_5","sf":"$sfDir","pairs":${bruteNbrs.size},"recall":${r3(ivfRecall)}}""")
+    def recallOf(got: Set[(Long, Long)]) = got.intersect(bruteNbrs).size.toDouble / bruteNbrs.size
+    println(s"""{"check":"ann_lsh_recall_at_5","sf":"$sfDir","pairs":${bruteNbrs.size},"recall":${r3(recallOf(lshNbrs))}}""")
+    println(s"""{"check":"ann_multiprobe_recall_at_5","sf":"$sfDir","pairs":${bruteNbrs.size},"recall":${r3(recallOf(mpNbrs))}}""")
+    println(s"""{"check":"ann_ivf_recall_at_5","sf":"$sfDir","pairs":${bruteNbrs.size},"recall":${r3(recallOf(ivfNbrs))}}""")
 
     // ---- 2a. E2LSH profile-candidate selectivity as users grow K×
     val ev = Tables.events(spark, sfDir)
