@@ -39,27 +39,31 @@ object Bench {
     // relations consumed by multiple join branches; dropping them once the
     // query finishes keeps repeated query runs from accumulating cache
     // blocks (GC/memory-manager pressure measurably drags later queries).
-    // Each query is timed twice and the min reported: single-shot numbers
-    // on this box swing ±50% with JIT/GC/host noise; min-of-2 reports the
-    // engine's cost, not the noise floor.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        // noop write, not count(): under count() Catalyst's EliminateSorts
-        // drops each query's final presentation orderBy, so sorted queries
-        // were slightly under-timed. The noop sink executes the FULL plan
-        // (sort included) and discards rows executor-side.
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-        catch { case _: Throwable => () }
-        val t = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        t
-      }
-      // min-of-2 for everything; a third run for sub-0.5s queries, whose
-      // single-shot times are dominated by scheduler/GC noise on this box.
-      val two = Seq(once(), once())
-      val dt = if (two.min < 0.5) (two :+ once()).min else two.min
-      name -> dt
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      // noop write, not count(): under count() Catalyst's EliminateSorts
+      // drops each query's final presentation orderBy, so sorted queries
+      // were slightly under-timed. The noop sink executes the FULL plan
+      // (sort included) and discards rows executor-side.
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+      catch { case _: Throwable => () }
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      t
+    }
+    // Min-of-2 per query, run as two INTERLEAVED full passes (A,B,…,A,B,…
+    // rather than A,A,B,B): back-to-back repeats share any transient host
+    // load spike, so both samples of a query could be contaminated at once
+    // and the min still doubled; with ~20s between a query's two samples, a
+    // spike has to persist across the whole pass to survive the min. A
+    // third pass covers sub-0.5s queries, whose single-shot times are
+    // dominated by scheduler/GC noise on this box.
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    val passA = named.map { case (_, fn) => once(fn) }
+    val passB = named.map { case (_, fn) => once(fn) }
+    val results = named.lazyZip(passA).lazyZip(passB).map { case ((name, fn), a, b) =>
+      val m = math.min(a, b)
+      name -> (if (m < 0.5) math.min(m, once(fn)) else m)
     }
     // Compact JSON (times rounded to ms) keeps the line short enough for the
     // driver's tail capture, and the same line is also written to BENCH.json
@@ -71,8 +75,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Self-flag contaminated runs: rounds 4-6 each shipped a bench artifact
+    // whose times were inflated by concurrent host activity. load_before is
+    // the 1-min load average BEFORE our 32 threads start — on a quiet host
+    // it's the tail of sbt's own compile (~<2); anything above 2.0 means
+    // another workload is sharing the cores and the numbers measure the
+    // host, not the engine. (load_after is NOT checked: it includes the
+    // bench's own 32 threads and is legitimately high.)
+    val contaminated =
+      try loadBefore.toDouble > 2.0 catch { case _: Throwable => false }
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","load_before":$loadBefore,"load_after":${loadAvg()}}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","load_before":$loadBefore,"load_after":${loadAvg()},"contaminated":$contaminated}"""
     println(line)
     try {
       val w = new java.io.PrintWriter("/root/repo/BENCH.json")

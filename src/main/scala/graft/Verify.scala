@@ -25,7 +25,9 @@ object Verify {
       val msg = s"[verify] WARNING: SPARK_GRAFT_ONLY is set — running ONLY " +
         s"${f.size} of ${SparkEntry.queries.size} queries (${f.mkString(",")}). " +
         "This is a dev-iteration filter; driver runs must be unfiltered."
-      System.err.println(msg); println(msg)
+      // stderr ONLY: the harness may parse Verify stdout line-by-line, and
+      // an interleaved warning there could corrupt per-query output.
+      System.err.println(msg)
     }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -174,6 +174,14 @@ object Multimodal extends QueryModule {
     "mm_wav_decode"      -> (wavDecode _),
   )
 
+  // ORACLE CONVENTION for the payload-bucket oracles (mm_feature_extract,
+  // mm_resize, mm_png_decode, mm_wav_decode): the SQL buckets CHARACTERS
+  // (length/substring/ascii) while the Scala path buckets UTF-8 BYTES.
+  // The two agree only because the documents corpus is all-ASCII —
+  // MultimodalSpec asserts that invariant, so a non-ASCII regeneration
+  // fails loudly in the suite instead of silently hash-mismatching here.
+  // If the corpus ever legitimately grows past ASCII, switch these oracles
+  // to byte semantics (encode(text) + octet-based indexing).
   override def oracles: Map[String, String] = Map(
     "mm_binary_meta" ->
       """SELECT doc_id,

@@ -31,9 +31,10 @@ object Sketches extends QueryModule {
   }
 
   /** Exact vs HLL distinct counts per event type. The HLL estimate is
-    * engine-specific (DuckDB uses a different sketch), so this is NOT
-    * driver-registered: its gate is SketchSpec's 5%-of-exact error bound,
-    * while the exact column is gated via [[exactDistinct]]. */
+    * engine-specific (DuckDB uses a different sketch), so this is
+    * registered WITHOUT an oracle (driver records a rows-only check): the
+    * value gate is SketchSpec's 5%-of-exact error bound, and the exact
+    * column is hash-gated via [[exactDistinct]]. */
   def approxDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.events(s, dir)
@@ -133,6 +134,7 @@ object Sketches extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_exact_distinct"  -> (exactDistinct _),
+    "sketch_approx_distinct" -> (approxDistinct _),
     "sketch_quantiles"       -> (quantiles _),
     "sketch_summary_stats"   -> (summaryStats _),
     "sketch_topk_freq"       -> (topkFreq _),

@@ -217,6 +217,65 @@ object TextOps extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  // Fixed weights for the linear quality probe — plan literals standing in
+  // for an offline-trained model's coefficients (the fastText/logistic
+  // quality classifiers of the DCLM / FineWeb-Edu pipelines). The operator
+  // contract is the codegen'd dot product over extracted features; the
+  // particular weights are config. The logistic link is deliberately NOT
+  // applied: sigmoid is monotone, so the keep decision and any ranking are
+  // identical on the raw logit, and exp() is libm-dependent — applying it
+  // would break the cross-engine bit-exact gate for zero information gain.
+  private val QsBias = -2.3
+  private val QsWLen = 1.6   // length saturation: least(n_tokens/50, 1)
+  private val QsWTtr = 2.0   // type-token ratio
+  private val QsWStop = 1.1  // stopword fraction
+  private val QsWAlpha = 0.8 // alphabetic-token fraction
+  private val QsWWlen = 0.5  // mean word length / 10
+  private val QsWRep = -1.8  // top-bigram mass (repetition penalty)
+  private val QsKeep = 0.55  // decision threshold on the logit
+
+  /** Model-based quality scoring: a fixed-weight linear probe over six
+    * per-doc features (all single divisions of exact integer counts), as a
+    * whole-stage-codegen'd dot product — the shape of the classifier-filter
+    * stage every modern pretraining pipeline runs after the heuristic
+    * rules ([[heuristicFilters]]). Per-row map, no shuffle but the
+    * presentation sort; at 100 TB the weights ride along as plan literals
+    * and the scan stays the only cost. Feature extraction and scoring are
+    * one projection — no UDF, no model-server hop. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("toks", tok)
+      .withColumn("n_tokens", size($"toks"))
+      .where($"n_tokens" >= 3)
+      .withColumn("f_len", least($"n_tokens" / lit(50.0), lit(1.0)))
+      .withColumn("f_ttr", size(array_distinct($"toks")) / $"n_tokens")
+      .withColumn("f_stop",
+        size(expr("filter(toks, t -> t = 'the' OR t = 'a')")) / $"n_tokens")
+      .withColumn("f_alpha",
+        size(regexp_extract_all($"text", lit("[a-z]+"), lit(0))) / $"n_tokens")
+      .withColumn("f_wlen",
+        expr("aggregate(toks, 0, (a, t) -> a + length(t))") / $"n_tokens" / lit(10.0))
+      .withColumn("bigrams", expr(
+        "transform(sequence(0, n_tokens - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+      .withColumn("f_rep", maxRun("array_sort(bigrams)") / size($"bigrams"))
+      .withColumn("logit",
+        lit(QsBias) + lit(QsWLen) * $"f_len" + lit(QsWTtr) * $"f_ttr"
+          + lit(QsWStop) * $"f_stop" + lit(QsWAlpha) * $"f_alpha"
+          + lit(QsWWlen) * $"f_wlen" + lit(QsWRep) * $"f_rep")
+      .select(
+        $"doc_id", $"n_tokens",
+        round($"f_len", 6).as("f_len"),
+        round($"f_ttr", 6).as("f_ttr"),
+        round($"f_stop", 6).as("f_stop"),
+        round($"f_alpha", 6).as("f_alpha"),
+        round($"f_wlen", 6).as("f_wlen"),
+        round($"f_rep", 6).as("f_rep"),
+        round($"logit", 6).as("quality_logit"),
+        ($"logit" >= QsKeep).cast("int").as("keep"))
+      .orderBy($"doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_stats" -> (tokenStats _),
     "text_quality"     -> (quality _),
@@ -225,6 +284,7 @@ object TextOps extends QueryModule {
     "text_ngram_freq"  -> (ngramFreq _),
     "text_repetition"  -> (repetition _),
     "text_heuristic_filters" -> (heuristicFilters _),
+    "text_quality_score" -> (qualityScore _),
   )
 
   private def hitsSql(markers: Seq[String]): String = {
@@ -337,6 +397,46 @@ object TextOps extends QueryModule {
          |       ok_len, ok_wlen, ok_ttr, ok_stop, ok_rep,
          |       ok_len * ok_wlen * ok_ttr * ok_stop * ok_rep AS keep
          |FROM f ORDER BY doc_id""".stripMargin,
+    // Same relational run-derivation as text_repetition for the top-bigram
+    // multiplicity (DuckDB list_reduce struct-state bug); the logit is the
+    // identical left-to-right literal dot product as the Spark plan, so the
+    // doubles are bitwise equal before the final round.
+    "text_quality_score" ->
+      s"""WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+         |base AS (SELECT doc_id, text, tk, len(tk) AS n FROM tok WHERE len(tk) >= 3),
+         |bg AS (SELECT doc_id, text, n, tk,
+         |      list_transform(generate_series(1, n - 1), i -> tk[i] || ' ' || tk[i + 1]) AS bgs
+         |  FROM base),
+         |bgc AS (SELECT doc_id, g, count(*) AS c
+         |        FROM (SELECT doc_id, unnest(bgs) AS g FROM bg) GROUP BY 1, 2),
+         |top AS (SELECT doc_id, max(c) AS top_bigram_n FROM bgc GROUP BY 1),
+         |f AS (
+         |  SELECT b.doc_id, b.n AS n_tokens,
+         |         least(b.n / 50.0, 1.0) AS f_len,
+         |         len(list_distinct(b.tk)) / b.n AS f_ttr,
+         |         len(list_filter(b.tk, t -> t = 'the' OR t = 'a')) / b.n AS f_stop,
+         |         len(regexp_extract_all(b.text, '[a-z]+')) / b.n AS f_alpha,
+         |         list_reduce(list_prepend(0, list_transform(b.tk, t -> length(t))),
+         |                     (a, x) -> a + x) / b.n / 10.0 AS f_wlen,
+         |         top.top_bigram_n / (b.n - 1) AS f_rep
+         |  FROM bg b JOIN top USING (doc_id)
+         |), z AS (
+         |  SELECT *,
+         |         $QsBias + $QsWLen * f_len + $QsWTtr * f_ttr
+         |           + $QsWStop * f_stop + $QsWAlpha * f_alpha
+         |           + $QsWWlen * f_wlen + $QsWRep * f_rep AS logit
+         |  FROM f
+         |)
+         |SELECT doc_id, n_tokens,
+         |       round(f_len, 6) AS f_len,
+         |       round(f_ttr, 6) AS f_ttr,
+         |       round(f_stop, 6) AS f_stop,
+         |       round(f_alpha, 6) AS f_alpha,
+         |       round(f_wlen, 6) AS f_wlen,
+         |       round(f_rep, 6) AS f_rep,
+         |       round(logit, 6) AS quality_logit,
+         |       CASE WHEN logit >= $QsKeep THEN 1 ELSE 0 END AS keep
+         |FROM z ORDER BY doc_id""".stripMargin,
     "text_ngram_freq" ->
       """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents
         |           WHERE len(string_split(text, ' ')) >= 2),

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Runnable, checkpointed form of [[DedupStream]] (template:
@@ -39,7 +39,7 @@ object DedupStreamJob {
     val stream = spark.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(inputDir)
-    stream.writeStream
+    val query = stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
@@ -47,6 +47,22 @@ object DedupStreamJob {
           .write.mode("overwrite").parquet(s"$outputDir/epoch=$epochId")
       }
       .start()
+    // Release the per-run cached relations when THIS query terminates, so
+    // repeated run() calls in one SparkSession (restart tests, notebooks)
+    // don't accumulate cache blocks. Keyed on the query id: other streams
+    // in the session are untouched. Listener events are async but the
+    // unpersist is idempotent, so a late fire is harmless.
+    val qid = query.id
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == qid) {
+          idx.unpersist(); cdf.unpersist()
+          spark.streams.removeListener(this)
+        }
+    })
+    query
   }
 
   /** `--corpus --input --output --checkpoint [--max-df N]` CLI, same

@@ -113,4 +113,13 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"$exchanges Exchanges:\n$p") // range-partition sort only
     assert(!p.contains("hashpartitioning"), p)
   }
+
+  test("quality-score probe is a codegen'd projection: no UDF, no agg shuffle") {
+    val p = executedPlan("text_quality_score")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+    assert(p.contains("*("), p) // the dot product runs inside WholeStageCodegen
+    // per-row scorer: no hash exchange anywhere (the only shuffle is the
+    // presentation sort's range partitioning)
+    assert(!p.contains("hashpartitioning"), p)
+  }
 }

@@ -37,13 +37,17 @@ class SparkEntrySpec extends AnyFunSuite {
   }
 
   test("oracle coverage: every driver-registered query has an oracle") {
-    // The HLL estimate (Sketches.approxDistinct) is intentionally NOT
-    // driver-registered — its estimate is implementation-defined (DuckDB's
-    // approx_count_distinct uses a different sketch), so its gate is
-    // SketchSpec's 5%-of-exact error bound; the exact column is gated via
-    // sketch_exact_distinct. Everything registered is rebuilt exactly in
-    // DuckDB.
-    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // Declared rows-only exceptions: registered so the driver sees them,
+    // but with no oracle SQL because the value is implementation-defined
+    // across engines. Today that is only the HLL estimate
+    // (sketch_approx_distinct: DuckDB's approx_count_distinct uses a
+    // different sketch) — its value gate is SketchSpec's 5%-of-exact error
+    // bound, and the exact column is hash-gated via sketch_exact_distinct.
+    // Everything else registered is rebuilt exactly in DuckDB.
+    val rowsOnly = Set("sketch_approx_distinct")
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(noOracle.isEmpty, s"queries missing an oracle: $noOracle")
+    assert((rowsOnly -- SparkEntry.queries.keySet).isEmpty,
+      "rows-only exception list names an unregistered query")
   }
 }
