@@ -11,16 +11,15 @@ import org.apache.spark.sql.functions._
   * The testdata has no real media, so the payload is the UTF-8 encoding
   * of `documents.text` — which exercises the identical Spark plumbing
   * (binary column, per-row metadata extraction, chunked feature
-  * extraction, stride sampling). The IMAGE and AUDIO paths run REAL
-  * codecs: [[pngDecode]] synthesizes per-doc PNGs and decodes them with
-  * `javax.imageio`, and [[wavDecode]] synthesizes per-doc 16-bit PCM WAVs
-  * and decodes them with `javax.sound.sampled` — both inside executors
-  * ([[MultimodalCodec]]), both hash-gated via their lossless round trips.
-  * Only the video-shaped decode stays a stub: no video decoder exists in
-  * this environment; [[MultimodalStub.decode]] is a deterministic fake
-  * behind the same signature a JNI/Java decoder would have, and
-  * everything around it (schema, batching, partitioning) is real and
-  * tested.
+  * extraction, stride sampling). All three media paths run REAL codecs
+  * inside executors ([[MultimodalCodec]]), each hash-gated via its
+  * lossless round trip: [[pngDecode]] synthesizes per-doc PNGs and
+  * decodes them with `javax.imageio` (image), [[wavDecode]] synthesizes
+  * 16-bit PCM WAVs and decodes them with `javax.sound.sampled` (audio),
+  * and [[y4mFrames]] synthesizes multi-frame YUV4MPEG2 streams and parses
+  * them back frame by frame (video — the uncompressed interchange
+  * container; no compressed-video decoder exists in this JVM, and the
+  * container layer is exactly what a JNI ffmpeg hookup would replace).
   *
   * Scale notes: all ops are per-row / per-partition maps — no shuffle at
   * any size; binary payloads stream through the scan without being
@@ -59,13 +58,13 @@ object Multimodal extends QueryModule {
       .orderBy($"doc_id", $"frame_no")
   }
 
-  /** Feature extraction through the stubbed decoder: binary payload →
-    * fixed-width float vector, via `mapPartitions` (the batch-per-
-    * partition shape a real vectorized decoder wants). Output is exploded
-    * to one `(doc_id, feature_idx, feature)` row per feature — scalar
-    * rows, so the driver's row-hash compare (which can't sort on array
-    * cells) applies, and the stub's integer-sum/double-divide/float-round
-    * arithmetic is reproduced exactly by the DuckDB oracle. */
+  /** Feature extraction through the [[ByteFeatures]] kernel: binary
+    * payload → fixed-width float vector, via `mapPartitions` (the batch-
+    * per-partition shape a real vectorized extractor wants). Output is
+    * exploded to one `(doc_id, feature_idx, feature)` row per feature —
+    * scalar rows, so the driver's row-hash compare (which can't sort on
+    * array cells) applies, and the kernel's integer-sum/double-divide/
+    * float-round arithmetic is reproduced exactly by the DuckDB oracle. */
   def featureExtract(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val payloads = Tables.documents(s, dir)
@@ -75,15 +74,15 @@ object Multimodal extends QueryModule {
     payloads.mapPartitions { it =>
       // one decoder instance per partition — where a real decoder would
       // allocate its native context once and reuse it across rows
-      val decoder = MultimodalStub
-      it.map { case (id, bytes) => (id, decoder.decode(bytes)) }
+      val decoder = ByteFeatures
+      it.map { case (id, bytes) => (id, decoder.normalizedFeatures(bytes)) }
     }.toDF("doc_id", "features")
       .select($"doc_id", posexplode($"features").as(Seq("feature_idx", "feature")))
       .orderBy($"doc_id", $"feature_idx")
   }
 
-  /** Resize through the stubbed decoder: payload downsampled to a fixed
-    * 32-bucket thumbnail (floor of the mean byte per bucket) — the
+  /** Resize through the [[ByteFeatures]] kernel: payload downsampled to a
+    * fixed 32-bucket thumbnail (floor of the mean byte per bucket) — the
     * image-resize shape over opaque binary, pure integer math so the
     * oracle matches exactly. Same mapPartitions batching as
     * [[featureExtract]]. */
@@ -94,8 +93,8 @@ object Multimodal extends QueryModule {
       .select($"doc_id", $"payload")
       .as[(Long, Array[Byte])]
     payloads.mapPartitions { it =>
-      val decoder = MultimodalStub
-      it.map { case (id, bytes) => (id, decoder.resize(bytes, 32)) }
+      val decoder = ByteFeatures
+      it.map { case (id, bytes) => (id, decoder.meanBuckets(bytes, 32)) }
     }.toDF("doc_id", "pixels")
       .select($"doc_id", posexplode($"pixels").as(Seq("pixel_idx", "pixel")))
       .orderBy($"doc_id", $"pixel_idx")
@@ -119,13 +118,13 @@ object Multimodal extends QueryModule {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          (id, MultimodalCodec.encodePng(MultimodalStub.resize(bytes, 64), 8, 8))
+          (id, MultimodalCodec.encodePng(ByteFeatures.meanBuckets(bytes, 64), 8, 8))
         }
       }.toDF("doc_id", "png")
     pngs.as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // ImageIO reader instantiated per partition via the codec object —
-        // the same batch shape the stubbed decoder documents
+        // the same batch shape featureExtract documents
         it.map { case (id, png) => (id, MultimodalCodec.decodePng(png)) }
       }.toDF("doc_id", "pixels")
       .select($"doc_id", posexplode($"pixels").as(Seq("pixel_idx", "pixel")))
@@ -153,7 +152,7 @@ object Multimodal extends QueryModule {
         it.map { case (id, bytes) =>
           // ×257 maps the full byte range exactly onto the 16-bit signed
           // range (255·257 = 65535), keeping the round trip integer-exact
-          val pcm = MultimodalStub.resize(bytes, 48).map(m => m * 257 - 32768)
+          val pcm = ByteFeatures.meanBuckets(bytes, 48).map(m => m * 257 - 32768)
           (id, MultimodalCodec.encodeWav(pcm, 8000f))
         }
       }.toDF("doc_id", "wav")
@@ -165,6 +164,41 @@ object Multimodal extends QueryModule {
       .orderBy($"doc_id", $"sample_idx")
   }
 
+  /** REAL video decode: each doc gets a deterministic 3-frame 4×4
+    * grayscale YUV4MPEG2 stream (frame f's 16 luma samples = buckets
+    * 16f..16f+15 of the 48-bucket byte means of its text), encoded AND
+    * parsed back with [[MultimodalCodec.encodeY4m]]/[[MultimodalCodec.decodeY4m]]
+    * inside executors — the third real container codec beside
+    * [[pngDecode]] and [[wavDecode]], closing the image/audio/video set.
+    * y4m stores raw planes, so the parsed frames must equal the bucket
+    * means, which DuckDB recomputes from `text` directly (the oracle never
+    * sees a y4m stream). Two mapPartitions stages on purpose, as in the
+    * other codecs: the parse consumes an opaque binary video column
+    * exactly as it would from a parquet blob column. */
+  def y4mFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val streams = Tables.documents(s, dir)
+      .withColumn("payload", encode($"text", "UTF-8"))
+      .select($"doc_id", $"payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val frames = ByteFeatures.meanBuckets(bytes, 48).grouped(16).toArray
+          (id, MultimodalCodec.encodeY4m(frames, 4, 4))
+        }
+      }.toDF("doc_id", "y4m")
+    streams.as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, y4m) =>
+          val (_, _, frames) = MultimodalCodec.decodeY4m(y4m)
+          frames.iterator.zipWithIndex.flatMap { case (f, fno) =>
+            f.iterator.zipWithIndex.map { case (luma, px) => (id, fno, px, luma) }
+          }
+        }
+      }.toDF("doc_id", "frame_no", "pixel_idx", "luma")
+      .orderBy($"doc_id", $"frame_no", $"pixel_idx")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta"     -> (binaryMeta _),
     "mm_frame_sample"    -> (frameSample _),
@@ -172,6 +206,7 @@ object Multimodal extends QueryModule {
     "mm_resize"          -> (resize _),
     "mm_png_decode"      -> (pngDecode _),
     "mm_wav_decode"      -> (wavDecode _),
+    "mm_y4m_frames"      -> (y4mFrames _),
   )
 
   // ORACLE CONVENTION for the payload-bucket oracles (mm_feature_extract,
@@ -199,7 +234,7 @@ object Multimodal extends QueryModule {
     // `text` (all-ASCII corpus); feature f = float32 of
     // sum(bytes[lo, hi)) / (hi - lo) / 255.0 with lo = n*f/8, hi = n*(f+1)/8.
     // Integer sums + two double divides + one final float round — the
-    // exact IEEE sequence of MultimodalStub.decode, so values match bitwise.
+    // exact IEEE sequence of ByteFeatures.normalizedFeatures, so values match bitwise.
     // The (doc_id, feature_idx) grid is built with an explicit cross join
     // and the byte sums LEFT JOINed onto it: an empty bucket (doc shorter
     // than 8 chars → hi <= lo) then still yields a grid row with COALESCEd
@@ -277,6 +312,28 @@ object Multimodal extends QueryModule {
         |       CAST(COALESCE(fb.s // fb.cnt, 0) * 257 - 32768 AS INT) AS sample
         |FROM grid g LEFT JOIN fb ON g.doc_id = fb.doc_id AND g.b = fb.b
         |ORDER BY g.doc_id, sample_idx""".stripMargin,
+    // Lossless-video round trip: the parsed y4m luma planes must equal the
+    // 48-bucket byte means the stream was encoded from, split 3 frames ×
+    // 16 pixels. DuckDB never sees a y4m stream; it recomputes what the
+    // real container parse must return.
+    "mm_y4m_frames" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |grid AS (SELECT doc_id, b FROM d, unnest(generate_series(0, 47)) AS g0(b)),
+        |fb AS (
+        |  SELECT doc_id, b,
+        |         sum(ascii(substring(text, CAST(i AS INT), 1))) AS s,
+        |         count(*) AS cnt
+        |  FROM d,
+        |       unnest(generate_series(0, 47)) AS g1(b),
+        |       unnest(generate_series((n * b) // 48 + 1, (n * (b + 1)) // 48)) AS g2(i)
+        |  GROUP BY doc_id, b
+        |)
+        |SELECT g.doc_id,
+        |       CAST(g.b // 16 AS INT) AS frame_no,
+        |       CAST(g.b % 16 AS INT) AS pixel_idx,
+        |       COALESCE(CAST(fb.s // fb.cnt AS INT), 0) AS luma
+        |FROM grid g LEFT JOIN fb ON g.doc_id = fb.doc_id AND g.b = fb.b
+        |ORDER BY g.doc_id, frame_no, pixel_idx""".stripMargin,
   )
 }
 
@@ -285,7 +342,8 @@ object Multimodal extends QueryModule {
   * genuinely has. Both formats are lossless, so encode→decode is an exact
   * identity on the sample values, which is what lets the driver hash-check
   * [[Multimodal.pngDecode]] and [[Multimodal.wavDecode]] end-to-end.
-  * Video stays on [[MultimodalStub]] (no codec here). */
+  * The video path parses YUV4MPEG2 ([[encodeY4m]]/[[decodeY4m]]) — raw
+  * planes in a plain-text-marked container, also lossless. */
 object MultimodalCodec {
   javax.imageio.ImageIO.setUseCache(false) // no temp-file cache in executors
 
@@ -351,17 +409,83 @@ object MultimodalCodec {
       ((raw(2 * i) & 0xff) | (raw(2 * i + 1).toInt << 8)).toShort.toInt
     }
   }
+
+  // ---- YUV4MPEG2 (y4m) — the VIDEO container (mjpegtools/ffmpeg's
+  // uncompressed interchange format; `ffmpeg -f yuv4mpeg`). Plain-text
+  // stream header `YUV4MPEG2 W.. H.. F.. ..\n`, then per frame a
+  // `FRAME[ params]\n` marker followed by the raw planes. `Cmono` streams
+  // carry the luma plane only (w*h bytes per frame) — the grayscale case.
+  // Raw planes are stored verbatim, so encode→decode is an exact identity,
+  // which is what lets the driver hash-check the round trip.
+
+  /** `frames` (each w*h luma samples 0..255, row-major) → y4m bytes. */
+  def encodeY4m(frames: Array[Array[Int]], w: Int, h: Int, fpsNum: Int = 25,
+                fpsDen: Int = 1): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    out.write(s"YUV4MPEG2 W$w H$h F$fpsNum:$fpsDen Ip A1:1 Cmono\n".getBytes(ascii))
+    frames.foreach { f =>
+      require(f.length == w * h, s"${f.length} samples for ${w}x$h")
+      out.write("FRAME\n".getBytes(ascii))
+      f.foreach { v =>
+        require(v >= 0 && v <= 255, s"luma $v out of byte range")
+        out.write(v)
+      }
+    }
+    out.toByteArray
+  }
+
+  /** y4m bytes → (width, height, frames). Real container parse: magic
+    * check, parameter-tagged header scan (W/H/C honored, F/I/A tolerated),
+    * then FRAME-marker iteration over the raw luma planes. */
+  def decodeY4m(y4m: Array[Byte]): (Int, Int, Array[Array[Int]]) = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    var pos = y4m.indexOf('\n'.toByte)
+    require(pos > 0, "missing y4m stream header")
+    val header = new String(y4m, 0, pos, ascii)
+    val fields = header.split(' ')
+    require(fields.head == "YUV4MPEG2", s"not a y4m stream: ${fields.head}")
+    val params = fields.tail.map(p => p.head -> p.tail).toMap
+    val w = params.getOrElse('W', sys.error("y4m header missing width")).toInt
+    val h = params.getOrElse('H', sys.error("y4m header missing height")).toInt
+    // default colorspace per spec is 4:2:0; we only handle the luma-only
+    // stream we emit — reject anything with chroma planes rather than
+    // silently misparse frame boundaries
+    require(params.get('C').contains("mono"), s"unsupported colorspace in: $header")
+    pos += 1
+    val frames = Array.newBuilder[Array[Int]]
+    while (pos < y4m.length) {
+      val nl = y4m.indexOf('\n'.toByte, pos)
+      require(nl > 0, "truncated FRAME marker")
+      val marker = new String(y4m, pos, nl - pos, ascii)
+      require(marker == "FRAME" || marker.startsWith("FRAME "),
+        s"expected FRAME marker, got: $marker")
+      pos = nl + 1
+      require(pos + w * h <= y4m.length, "truncated frame plane")
+      frames += Array.tabulate(w * h)(i => y4m(pos + i) & 0xff)
+      pos += w * h
+    }
+    (w, h, frames.result())
+  }
 }
 
-/** STUB decoder — stands in for a real media decoder (libjpeg/ffmpeg
-  * style), which isn't available in this environment. Deterministic fake:
-  * 8 features, each the mean byte value of one eighth of the payload,
-  * scaled to [0, 1]. The signature (bytes in, fixed-width float vector
-  * out) is what a real implementation would keep. */
-object MultimodalStub {
+/** Deterministic byte-level feature kernels — real arithmetic, not a
+  * stub: [[meanBuckets]] is the equal-width downsample used to synthesize
+  * every media payload (and the values each lossless codec round trip must
+  * reproduce), [[normalizedFeatures]] the fixed-width normalized feature
+  * fold standing where an embedding model would plug in. Both are
+  * per-row, allocation-light, and recomputed exactly by the DuckDB
+  * oracles. (Until round 7 this object was `MultimodalStub`, when the
+  * video-shaped decode was still fake; with [[MultimodalCodec.decodeY4m]]
+  * all three media paths run genuine container codecs and the only thing
+  * left here is the arithmetic itself.) */
+object ByteFeatures {
   val FEATURES = 8
 
-  def decode(bytes: Array[Byte]): Array[Float] = {
+  /** Fixed-width normalized features: mean byte value of each of 8 equal
+    * slices, scaled to [0, 1]. The signature (bytes in, fixed float vector
+    * out) is the one a learned feature extractor would keep. */
+  def normalizedFeatures(bytes: Array[Byte]): Array[Float] = {
     val n = bytes.length
     Array.tabulate(FEATURES) { f =>
       val lo = (n.toLong * f / FEATURES).toInt
@@ -378,7 +502,7 @@ object MultimodalStub {
 
   /** Downsample to `width` buckets: floor of the mean byte per bucket.
     * Pure integer math (sum / count) → engine-exact. */
-  def resize(bytes: Array[Byte], width: Int): Array[Int] = {
+  def meanBuckets(bytes: Array[Byte], width: Int): Array[Int] = {
     val n = bytes.length
     Array.tabulate(width) { b =>
       val lo = (n.toLong * b / width).toInt
