@@ -206,30 +206,46 @@ object Similarity extends QueryModule {
     * Exact cosine ranks candidates, so output quality is recall-bounded
     * only; measured recall@5 and candidate volume vs the single-probe
     * form in SimilarityScaleBench (BASELINE.md). */
+  /** Multi-probe candidate generation from prepared query buckets
+    * `(query_id, qv, qnorm, tbl, bucket)`: each query probes its own
+    * bucket plus the [[BITS]] Hamming-1 flips in every table, then joins
+    * corpus signatures on (tbl, bucket). Split out so the streaming
+    * serving job ([[graft.streaming.AnnServeStream]]) runs the identical
+    * kernel over out-of-corpus query vectors. */
+  private[graft] def multiprobeCandidates(qb: DataFrame, corpusBuckets: DataFrame): DataFrame =
+    qb.withColumn("flip",
+        explode(array((lit(0) +: (0 until BITS).map(j => lit(1 << j))): _*)))
+      .withColumn("bucket", col("bucket").bitwiseXOR(col("flip")))
+      .join(corpusBuckets.select(col("vec_id").as("neighbor_id"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("qnorm"), col("neighbor_id"))
+      .distinct()
+
+  /** Exact-cosine ranking of `(query_id, qv, qnorm, neighbor_id)`
+    * candidates against the corpus vector relation: top-`k` per query on
+    * the rounded score (tie-break neighbor_id — see [[topkBruteForce]]). */
+  private[graft] def rankTopK(cand: DataFrame, e: DataFrame, k: Int = K): DataFrame = {
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    cand.join(e.select(col("vec_id").as("neighbor_id"),
+                       col("v").as("nv"), col("norm").as("nnorm")),
+              "neighbor_id")
+      .withColumn("dot", vectorDot(col("qv"), col("nv")))
+      .withColumn("score", round(col("dot") / (col("qnorm") * col("nnorm")), 6))
+      .withColumn("rnk", row_number().over(byQuery))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("score"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   def topkLshMultiprobe(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = vecs(s, dir)
     val buckets = lshBuckets(e).persist()
-    val probes = buckets.join(queriesOf(e), $"vec_id" === $"query_id")
+    val qb = buckets.join(queriesOf(e), $"vec_id" === $"query_id")
       .select($"query_id", $"qv", $"qnorm", $"tbl", $"bucket")
-      .withColumn("flip",
-        explode(array((lit(0) +: (0 until BITS).map(j => lit(1 << j))): _*)))
-      .withColumn("bucket", $"bucket".bitwiseXOR($"flip"))
-    val cand = probes
-      .join(buckets.select($"vec_id".as("neighbor_id"), $"tbl", $"bucket"),
-        Seq("tbl", "bucket"))
-      .where($"neighbor_id" =!= $"query_id")
-      .select($"query_id", $"qv", $"qnorm", $"neighbor_id")
-      .distinct()
-    val byQuery = Window.partitionBy($"query_id").orderBy($"score".desc, $"neighbor_id".asc)
-    cand.join(e.select($"vec_id".as("neighbor_id"), $"v".as("nv"), $"norm".as("nnorm")),
-              "neighbor_id")
-      .withColumn("dot", vectorDot($"qv", $"nv"))
-      .withColumn("score", round($"dot" / ($"qnorm" * $"nnorm"), 6))
-      .withColumn("rnk", row_number().over(byQuery))
-      .where($"rnk" <= K)
-      .select($"query_id", $"neighbor_id", $"rnk", $"score")
-      .orderBy($"query_id", $"rnk")
+    rankTopK(multiprobeCandidates(qb, buckets), e)
   }
 
   /** documents ⋈ embeddings (doc_id = vec_id): the metadata-to-vector

@@ -1,0 +1,133 @@
+package graft.streaming
+
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener}
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+
+/** Streaming ANN serving: a stream of query vectors is answered with
+  * exact-cosine top-k neighbors from a corpus at rest, candidates via the
+  * SAME multi-probe LSH kernel as the registered `sim_ann_multiprobe`
+  * batch query ([[Similarity.multiprobeCandidates]] /
+  * [[Similarity.rankTopK]]) — completing the streaming story for the
+  * similarity family the way [[DedupStream]]/[[SemDedupStream]] do for
+  * dedup.
+  *
+  * Scale design:
+  *   - the corpus index (vector relation + sign-LSH signatures) is built
+  *     once and persisted — at rest it would be bucketed by (tbl, bucket),
+  *     which is exactly the join key every probe hits;
+  *   - per-batch work scales with the BATCH: query signatures are a
+  *     per-row map (native [[graft.functions.ConstVectorDot]]
+  *     projections), probes expand the query side only (×(1+BITS) flips),
+  *     and candidates come from the (tbl, bucket) equi-join — the corpus
+  *     never reshuffles per trigger;
+  *   - answers are PER-QUERY (a pure function of the query vector and the
+  *     fixed corpus), so results are invariant to micro-batch boundaries
+  *     by construction — pinned in StreamingOpsSpec.
+  */
+object AnnServeStream {
+
+  /** The corpus-at-rest index: the prepared vector relation and its
+    * sign-LSH `(vec_id, tbl, bucket)` signatures, both persisted (the
+    * vectors feed the exact verify, the signatures every probe join). */
+  def corpusIndex(corpus: DataFrame): (DataFrame, DataFrame) = {
+    val e = SemDedupStream.prepVecs(corpus).persist()
+    (e, Similarity.lshBuckets(e).persist())
+  }
+
+  /** Answer one batch of `(vec_id, embedding)` query vectors against a
+    * prepared corpus index. Returns `(query_id, neighbor_id, rnk, score)`.
+    * Pure batch-side function, shared by the streaming and batch forms —
+    * queries need NOT be corpus members (signatures are computed from the
+    * query vectors with the same fixed planes the corpus was indexed
+    * with). */
+  def serveBatch(queries: DataFrame, corpusVecs: DataFrame,
+                 corpusBuckets: DataFrame, k: Int = 5): DataFrame = {
+    val q = SemDedupStream.prepVecs(queries)
+    val qb = Similarity.lshBuckets(q)
+      .join(q.select(col("vec_id"), col("v").as("qv"), col("norm").as("qnorm")), "vec_id")
+      .select(col("vec_id").as("query_id"), col("qv"), col("qnorm"),
+              col("tbl"), col("bucket"))
+    Similarity.rankTopK(
+      Similarity.multiprobeCandidates(qb, corpusBuckets), corpusVecs, k)
+  }
+
+  /** foreachBatch driver: starts the streaming query answering each
+    * micro-batch of `queries` (a STREAMING `(vec_id, embedding)` frame)
+    * against the prepared index. */
+  def start(queries: DataFrame, corpusVecs: DataFrame, corpusBuckets: DataFrame,
+            k: Int = 5)(onBatch: (DataFrame, Long) => Unit): StreamingQuery =
+    queries.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        onBatch(serveBatch(batch, corpusVecs, corpusBuckets, k), epochId)
+      }
+      .start()
+}
+
+/** Runnable, checkpointed form of [[AnnServeStream]] (template:
+  * [[DedupStreamJob]]): file-stream a directory of query-vector parquet
+  * files against a corpus directory at rest, and write each micro-batch's
+  * top-k answers to `output/epoch=N/`.
+  *
+  * Exactly-once across restarts without a transactional sink, exactly as
+  * in [[DedupStreamJob]]: a replayed epoch deterministically overwrites
+  * its own `epoch=N` directory and nothing else; readers see the union
+  * via partition discovery. RecoverySpec kills the query between epochs
+  * and proves the restarted run loses no answer and duplicates none.
+  */
+object AnnServeJob {
+
+  val querySchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  def run(spark: SparkSession, corpusDir: String, inputDir: String,
+          outputDir: String, checkpointDir: String, k: Int = 5,
+          maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    val corpus = spark.read.parquet(corpusDir).select("vec_id", "embedding")
+    val (vecsRel, buckets) = AnnServeStream.corpusIndex(corpus)
+    val stream = spark.readStream.schema(querySchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(inputDir)
+    val query = stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        AnnServeStream.serveBatch(batch.select("vec_id", "embedding"),
+            vecsRel, buckets, k)
+          .write.mode("overwrite").parquet(s"$outputDir/epoch=$epochId")
+      }
+      .start()
+    // Release the per-run cached index when THIS query terminates (same
+    // pattern as DedupStreamJob): keyed on the query id, idempotent.
+    val qid = query.id
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == qid) {
+          vecsRel.unpersist(); buckets.unpersist()
+          spark.streams.removeListener(this)
+        }
+    })
+    query
+  }
+
+  /** `--corpus --input --output --checkpoint [--k N]` CLI, same option
+    * style as [[DedupStreamJob]]. */
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    val spark = TaxiJobs.session("AnnServe")
+    run(spark,
+      opts.getOrElse("corpus", "corpus"),
+      opts.getOrElse("input", "queries"),
+      opts.getOrElse("output", "output"),
+      opts.getOrElse("checkpoint", "checkpoint"),
+      opts.get("k").map(_.toInt).getOrElse(5)).awaitTermination()
+  }
+}

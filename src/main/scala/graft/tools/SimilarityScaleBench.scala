@@ -72,7 +72,7 @@ object SimilarityScaleBench {
 
     // ---- 2a. E2LSH profile-candidate selectivity as users grow K×
     val ev = Tables.events(spark, sfDir)
-    Seq(1, 2, 5).foreach { k =>
+    Seq(1, 2, 5, 10).foreach { k =>
       val dir = s"/tmp/sim_scale/ev_x$k"
       (0 until k).map { r =>
         ev.select(
@@ -96,7 +96,7 @@ object SimilarityScaleBench {
 
     // ---- 2b. sign-LSH ANN candidate selectivity as the corpus grows K×
     val emb = Tables.embeddings(spark, sfDir)
-    Seq(1, 2, 5).foreach { k =>
+    Seq(1, 2, 5, 10).foreach { k =>
       val dir = s"/tmp/sim_scale/emb_x$k"
       (0 until k).map { r =>
         emb.select(

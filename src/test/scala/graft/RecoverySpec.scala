@@ -105,6 +105,67 @@ class RecoverySpec extends AnyFunSuite {
     assert(got.nonEmpty, "vacuous: no incremental pairs at this SF")
   }
 
+  /** Every 10th embedding vector sliced into 4 single-file parquet drops
+    * with ascending mtimes — the query stream of
+    * [[graft.streaming.AnnServeJob]]. */
+  private def stageQueryVecs(dir: String, slice: Int): Unit = {
+    val staged = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), col("embedding"))
+      .where(col("vec_id") % 10 === 0)
+      .withColumn("sl", ntile(4).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))))
+      .where(col("sl") === slice + 1).drop("sl")
+    val tmp = Files.createTempDirectory(s"qvecslice$slice").toString
+    staged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.startsWith("part-")).get
+    val dst = new java.io.File(dir, f"queries-$slice%02d.parquet")
+    Files.copy(part.toPath, dst.toPath)
+    Files.setLastModifiedTime(dst.toPath,
+      java.nio.file.attribute.FileTime.fromMillis(1000L * (slice + 1)))
+  }
+
+  test("ANN serve job restarts from checkpoint; answers == one-shot, exactly once") {
+    val in = Files.createTempDirectory("ann_in").toString
+    val out = Files.createTempDirectory("ann_out").toString
+    val cp = Files.createTempDirectory("ann_cp").toString
+    val corpusDir = Files.createTempDirectory("ann_corpus").toString
+    Tables.embeddings(spark, TestSpark.sf).select("vec_id", "embedding")
+      .write.mode("overwrite").parquet(corpusDir)
+
+    def run(): Unit = {
+      val q = graft.streaming.AnnServeJob.run(spark, corpusDir, in, out, cp)
+      q.processAllAvailable()
+      q.stop()
+      spark.catalog.clearCache() // drop the per-run corpus index persists
+    }
+    // run 1 serves two query drops, then the query is stopped (simulated kill)
+    stageQueryVecs(in, 0); stageQueryVecs(in, 1)
+    run()
+    // run 2 resumes from the checkpoint and drains the remaining drops
+    stageQueryVecs(in, 2); stageQueryVecs(in, 3)
+    run()
+
+    val got = spark.read.parquet(out)
+      .select("query_id", "neighbor_id", "rnk", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.length === got.distinct.length,
+      "an answer was emitted twice across the restart")
+    // answers are per-query functions of the fixed corpus, so the union
+    // across epochs and restarts must equal a one-shot serve of all queries
+    val corpus = spark.read.parquet(corpusDir)
+    val (vecsRel, buckets) = graft.streaming.AnnServeStream.corpusIndex(corpus)
+    val allQueries = Tables.embeddings(spark, TestSpark.sf)
+      .select("vec_id", "embedding").where(col("vec_id") % 10 === 0)
+    val expected = graft.streaming.AnnServeStream
+      .serveBatch(allQueries, vecsRel, buckets).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    spark.catalog.clearCache()
+    assert(got.toSet === expected,
+      s"got ${got.length} answers, expected ${expected.size}")
+    assert(got.nonEmpty, "vacuous: no ANN answers at this SF")
+  }
+
   test("sessionizer restarts from checkpoint; file-sink output == batch, exactly once") {
     val in = Files.createTempDirectory("rec_in").toString
     val out = Files.createTempDirectory("rec_out").toString
