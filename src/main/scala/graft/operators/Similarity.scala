@@ -293,6 +293,39 @@ object Similarity extends QueryModule {
       .orderBy($"keep_id", $"drop_id")
   }
 
+  /** Per-vector int8 scalar quantization — the memory lever of
+    * billion-vector ANN (fp32 → uint8 codes = 4× smaller corpus, the
+    * format FAISS SQ8 / most vector stores serve from): per vector,
+    * min-max range → 255 equal steps → `floor` codes, plus the
+    * reconstruction the scorer would use and its mean absolute error.
+    * Everything is a per-row map over the array (codegen'd higher-order
+    * functions, no shuffle but the presentation sort), and every step is
+    * IEEE-deterministic double arithmetic with an identical fold order in
+    * the DuckDB oracle, so codes AND error are bit-exact across engines.
+    * Degenerate constant vectors (hi == lo) get code 0 everywhere by the
+    * same CASE in both engines. */
+  def quantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .withColumn("v", $"embedding".cast("array<double>"))
+      .withColumn("lo", array_min($"v"))
+      .withColumn("hi", array_max($"v"))
+      .withColumn("codes", expr(
+        """transform(v, x -> CAST(CASE WHEN hi > lo
+          |  THEN floor((x - lo) * 255.0 / (hi - lo)) ELSE 0 END AS INT))""".stripMargin))
+      .withColumn("err", expr(
+        """aggregate(zip_with(v, codes, (x, q) ->
+          |            abs(x - (lo + CAST(q AS DOUBLE) * (hi - lo) / 255.0))),
+          |          CAST(0 AS DOUBLE), (acc, d) -> acc + d)""".stripMargin) / size($"v"))
+      .select(
+        $"vec_id",
+        round($"lo", 6).as("lo"),
+        round($"hi", 6).as("hi"),
+        expr("aggregate(codes, 0, (a, q) -> a + q)").as("code_sum"),
+        round($"err", 6).as("mean_abs_err"))
+      .orderBy($"vec_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (topkBruteForce _),
     "sim_topk_ivf"        -> (topkIvf _),
@@ -300,6 +333,7 @@ object Similarity extends QueryModule {
     "sim_ann_multiprobe"  -> (topkLshMultiprobe _),
     "sim_label_profile"   -> (labelProfile _),
     "sim_semdedup"        -> (semDedup _),
+    "sim_quantize_int8"   -> (quantizeInt8 _),
   )
 
   // Shared oracle preamble: vectors as doubles with precomputed norms.
@@ -463,5 +497,26 @@ object Similarity extends QueryModule {
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |GROUP BY label
         |ORDER BY label""".stripMargin,
+    // Identical double sequence as the Spark plan: per-element
+    // (x - lo) * 255.0 / (hi - lo) → floor → int code; dequant
+    // lo + code * (hi - lo) / 255.0; error folded in array order.
+    "sim_quantize_int8" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi, len(v) AS n FROM e0),
+        |c AS (
+        |  SELECT vec_id, v, lo, hi, n,
+        |         list_transform(v, x -> CAST(CASE WHEN hi > lo
+        |           THEN floor((x - lo) * 255.0 / (hi - lo)) ELSE 0 END AS INT)) AS codes
+        |  FROM q
+        |)
+        |SELECT vec_id,
+        |       round(lo, 6) AS lo,
+        |       round(hi, 6) AS hi,
+        |       list_reduce(list_prepend(0, codes), (a, b) -> a + b) AS code_sum,
+        |       round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |               list_transform(generate_series(1, n), i ->
+        |                 abs(v[i] - (lo + CAST(codes[i] AS DOUBLE) * (hi - lo) / 255.0)))),
+        |               (a, b) -> a + b) / n, 6) AS mean_abs_err
+        |FROM c ORDER BY vec_id""".stripMargin,
   )
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table — the text half of
@@ -276,6 +277,40 @@ object TextOps extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Per-doc top-3 keyword extraction by tf-idf with a RATIONAL idf
+    * (tf·N/df, no logarithm): the corpus-statistics keyword profile a
+    * boilerplate/topic scan runs per document. The log link is monotone in
+    * df for fixed tf only, so rankings can differ from log-idf where tf
+    * and df trade off — chosen deliberately because ln() is
+    * libm-dependent and would break the cross-engine bit-exact gate; the
+    * operator contract (two aggregations + vocabulary join + per-doc
+    * window top-k) is identical either way, and a log-idf variant is one
+    * expression swap.
+    *
+    * Scale: tf is one (doc, term) shuffle with map-side combine, df one
+    * term-keyed shuffle over the ALREADY-AGGREGATED tf relation (vocab-
+    * sized, not corpus-sized), the join is term-keyed between two
+    * aggregated relations, and the corpus size joins in as a broadcast
+    * scalar. Hot terms skew the df agg's key, but its input is one row
+    * per (doc, term) — bounded by corpus size, salting unneeded. */
+  def tfidfTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val tf = docs.select($"doc_id", explode(tok).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val byDoc = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term".asc)
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", $"tf" * $"n_docs" / $"df")
+      .withColumn("rnk", row_number().over(byDoc))
+      .where($"rnk" <= 3)
+      .select($"doc_id", $"rnk", $"term", $"tf", $"df",
+              round($"score", 6).as("tfidf"))
+      .orderBy($"doc_id", $"rnk")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_stats" -> (tokenStats _),
     "text_quality"     -> (quality _),
@@ -285,6 +320,7 @@ object TextOps extends QueryModule {
     "text_repetition"  -> (repetition _),
     "text_heuristic_filters" -> (heuristicFilters _),
     "text_quality_score" -> (qualityScore _),
+    "text_tfidf_topk" -> (tfidfTopK _),
   )
 
   private def hitsSql(markers: Seq[String]): String = {
@@ -437,6 +473,26 @@ object TextOps extends QueryModule {
          |       round(logit, 6) AS quality_logit,
          |       CASE WHEN logit >= $QsKeep THEN 1 ELSE 0 END AS keep
          |FROM z ORDER BY doc_id""".stripMargin,
+    // Ranking runs on the identical (tf * N) / df double in both engines
+    // (single integer division — IEEE-deterministic), tie-break term ASC.
+    "text_tfidf_topk" ->
+      """WITH tf AS (
+        |  SELECT doc_id, t AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  GROUP BY 1, 2
+        |),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |r AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |         (tf.tf * n.n_docs) / df.df AS score,
+        |         row_number() OVER (PARTITION BY tf.doc_id
+        |             ORDER BY (tf.tf * n.n_docs) / df.df DESC, tf.term ASC) AS rnk
+        |  FROM tf JOIN df USING (term) CROSS JOIN n
+        |)
+        |SELECT doc_id, rnk, term, tf, df, round(score, 6) AS tfidf
+        |FROM r WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
     "text_ngram_freq" ->
       """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents
         |           WHERE len(string_split(text, ' ')) >= 2),

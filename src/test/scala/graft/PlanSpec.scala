@@ -114,6 +114,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning"), p)
   }
 
+  test("int8 quantization is a per-row map: no UDF, no hash exchange") {
+    val p = executedPlan("sim_quantize_int8")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+    // only the presentation sort's range partitioning may shuffle
+    assert(!p.contains("hashpartitioning"), p)
+  }
+
+  test("tfidf joins aggregated relations; the corpus count broadcasts") {
+    val p = executedPlan("text_tfidf_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
   test("quality-score probe is a codegen'd projection: no UDF, no agg shuffle") {
     val p = executedPlan("text_quality_score")
     assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
