@@ -42,7 +42,11 @@ object AnnServeStream {
     * Pure batch-side function, shared by the streaming and batch forms —
     * queries need NOT be corpus members (signatures are computed from the
     * query vectors with the same fixed planes the corpus was indexed
-    * with). */
+    * with). Id convention: a corpus vector whose `vec_id` EQUALS the
+    * query's id is excluded from that query's answers (the kernel's
+    * don't-return-yourself rule) — callers whose query ids share the
+    * corpus id space get self-free answers; disjoint id spaces are
+    * unaffected. */
   def serveBatch(queries: DataFrame, corpusVecs: DataFrame,
                  corpusBuckets: DataFrame, k: Int = 5): DataFrame = {
     val q = SemDedupStream.prepVecs(queries)

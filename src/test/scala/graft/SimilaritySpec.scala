@@ -41,4 +41,27 @@ class SimilaritySpec extends AnyFunSuite {
     val r = recallAt5(lsh)
     assert(r > 0.05, s"LSH recall@5 = $r")
   }
+
+  test("int8 quantization: error bounded by one step, range preserved") {
+    val rows = Similarity.quantizeInt8(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, hi, err) = (r.getDouble(1), r.getDouble(2), r.getDouble(4))
+      assert(hi >= lo, s"vec ${r.getLong(0)}: hi $hi < lo $lo")
+      // floor-quantization puts every value within one step of its
+      // reconstruction, so the mean absolute error is bounded by
+      // step = (hi - lo) / 255 (plus the rounding of the reported values)
+      assert(err <= (hi - lo) / 255.0 + 1e-6,
+        s"vec ${r.getLong(0)}: err $err exceeds step ${(hi - lo) / 255.0}")
+    }
+  }
+
+  test("corpus invariant: embeddings are fixed-width, never empty") {
+    // quantization (min-max over the array) and every dot-product kernel
+    // assume non-empty fixed-dim vectors; fail loudly on regeneration
+    val bad = graft.Tables.embeddings(spark, TestSpark.sf)
+      .where(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("embedding")) =!= 64).count()
+    assert(bad == 0L, s"$bad embeddings are not 64-dim")
+  }
 }
