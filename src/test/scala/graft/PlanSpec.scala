@@ -114,6 +114,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning"), p)
   }
 
+  test("expensive dedup/pipeline queries never fall back to all-pairs plans") {
+    // The three most expensive bench queries: their scale story is that
+    // candidate generation is always a posting-key equi-join. Pin that no
+    // plan change ever reintroduces a cartesian/broadcast-nested-loop pair
+    // enumeration (the broadcast SEMI/ANTI joins they do use are hash
+    // joins, which stay allowed).
+    Seq("dedup_clusters", "dedup_ngram_jaccard", "pipe_corpus_curation").foreach { q =>
+      val p = simple(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+      assert(!p.contains("ScalaUDF"), s"$q:\n$p")
+    }
+  }
+
   test("int8 quantization is a per-row map: no UDF, no hash exchange") {
     val p = executedPlan("sim_quantize_int8")
     assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
