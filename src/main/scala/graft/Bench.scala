@@ -81,9 +81,14 @@ object Bench {
     // it's the tail of sbt's own compile (~<2); anything above 2.0 means
     // another workload is sharing the cores and the numbers measure the
     // host, not the engine. (load_after is NOT checked: it includes the
-    // bench's own 32 threads and is legitimately high.)
-    val contaminated =
-      try loadBefore.toDouble > 2.0 catch { case _: Throwable => false }
+    // bench's own 32 threads and is legitimately high.) When the load is
+    // UNKNOWN (loadAvg() sentinel "-1": no readable /proc/loadavg) the flag
+    // is null, not false — the artifact must never vouch for a cleanliness
+    // it could not observe.
+    val contaminated = loadBefore.toDoubleOption match {
+      case Some(l) if l >= 0 => (l > 2.0).toString
+      case _ => "null"
+    }
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","load_before":$loadBefore,"load_after":${loadAvg()},"contaminated":$contaminated}"""
     println(line)

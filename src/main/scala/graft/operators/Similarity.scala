@@ -152,8 +152,12 @@ object Similarity extends QueryModule {
     * the identical signatures. */
   /** Sign-LSH `(vec_id, tbl, bucket)` signatures over a [[vecs]]
     * relation — split out so the scale bench can measure candidate
-    * volume directly. Persist when consumed from multiple branches. */
-  private[graft] def lshBuckets(e: DataFrame): DataFrame = {
+    * volume directly. Persist when consumed from multiple branches.
+    * `keep` carries extra columns through the explode (e.g. `v`/`norm`
+    * for a SMALL query side, saving a re-derivation + join) — leave empty
+    * for the corpus side, where duplicating vectors ×TABLES would bloat
+    * the shuffle. */
+  private[graft] def lshBuckets(e: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val withBits = e.withColumn("bits",
       array((0 until TABLES * BITS).map(h => (dotConst(col("v"), planes(h)) > 0).cast("int")): _*))
     val tableCols = (0 until TABLES).map { t =>
@@ -161,8 +165,8 @@ object Similarity extends QueryModule {
              (0 until BITS).map(j => element_at(col("bits"), t * BITS + j + 1) * lit(1 << j))
                .reduce(_ + _).as("bucket"))
     }
-    withBits.select(col("vec_id"), explode(array(tableCols: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    withBits.select(col("vec_id") +: keep.map(col) :+ explode(array(tableCols: _*)).as("tb"): _*)
+      .select(col("vec_id") +: keep.map(col) :+ col("tb.tbl").as("tbl") :+ col("tb.bucket").as("bucket"): _*)
   }
 
   /** Query→candidate pairs from an LSH bucket join, carrying the query
@@ -178,21 +182,10 @@ object Similarity extends QueryModule {
   }
 
   def topkLsh(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val e = vecs(s, dir)
     // persisted: consumed by the query side and the corpus side of the join
+    val e = vecs(s, dir)
     val buckets = lshBuckets(e).persist()
-    val cand = lshCandidates(e, buckets)
-
-    val byQuery = Window.partitionBy($"query_id").orderBy($"score".desc, $"neighbor_id".asc)
-    cand.join(e.select($"vec_id".as("neighbor_id"), $"v".as("nv"), $"norm".as("nnorm")),
-              "neighbor_id")
-      .withColumn("dot", vectorDot($"qv", $"nv"))
-      .withColumn("score", round($"dot" / ($"qnorm" * $"nnorm"), 6))
-      .withColumn("rnk", row_number().over(byQuery))
-      .where($"rnk" <= K)
-      .select($"query_id", $"neighbor_id", $"rnk", $"score")
-      .orderBy($"query_id", $"rnk")
+    rankTopK(lshCandidates(e, buckets), e)
   }
 
   /** Multi-probe LSH ANN (Lv et al., "Multi-probe LSH", VLDB'07): each
@@ -211,16 +204,22 @@ object Similarity extends QueryModule {
     * bucket plus the [[BITS]] Hamming-1 flips in every table, then joins
     * corpus signatures on (tbl, bucket). Split out so the streaming
     * serving job ([[graft.streaming.AnnServeStream]]) runs the identical
-    * kernel over out-of-corpus query vectors. */
-  private[graft] def multiprobeCandidates(qb: DataFrame, corpusBuckets: DataFrame): DataFrame =
-    qb.withColumn("flip",
+    * kernel over out-of-corpus query vectors. `excludeSelf` applies the
+    * don't-return-yourself rule — REQUIRED when queries are corpus
+    * members (the registered query), wrong for serving streams whose ids
+    * are unrelated to corpus ids (a numerically colliding id would drop a
+    * legitimate neighbor). */
+  private[graft] def multiprobeCandidates(qb: DataFrame, corpusBuckets: DataFrame,
+                                          excludeSelf: Boolean = true): DataFrame = {
+    val joined = qb.withColumn("flip",
         explode(array((lit(0) +: (0 until BITS).map(j => lit(1 << j))): _*)))
       .withColumn("bucket", col("bucket").bitwiseXOR(col("flip")))
       .join(corpusBuckets.select(col("vec_id").as("neighbor_id"), col("tbl"), col("bucket")),
         Seq("tbl", "bucket"))
-      .where(col("neighbor_id") =!= col("query_id"))
+    (if (excludeSelf) joined.where(col("neighbor_id") =!= col("query_id")) else joined)
       .select(col("query_id"), col("qv"), col("qnorm"), col("neighbor_id"))
       .distinct()
+  }
 
   /** Exact-cosine ranking of `(query_id, qv, qnorm, neighbor_id)`
     * candidates against the corpus vector relation: top-`k` per query on

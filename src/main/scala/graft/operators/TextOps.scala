@@ -126,6 +126,23 @@ object TextOps extends QueryModule {
       .limit(20)
   }
 
+  /** documents staged with `toks` / `n_tokens` (filtered ≥ 3) — the
+    * shared head of the repetition / heuristic-filter / quality-score
+    * family, extracted so the three operators (and their oracles) cannot
+    * silently diverge on tokenization. */
+  private def tokenized(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", tok)
+      .withColumn("n_tokens", size(col("toks")))
+      .where(col("n_tokens") >= 3)
+
+  /** Adjacent-token bigram array over a [[tokenized]] frame. */
+  private val bigramsCol = expr(
+    "transform(sequence(0, n_tokens - 2), i -> concat(toks[i], ' ', toks[i + 1]))")
+
+  /** Stopword hit count over a [[tokenized]] frame. */
+  private val stopHitsCol = expr("size(filter(toks, t -> t = 'the' OR t = 'a'))")
+
   /** Longest run of equal adjacent elements in an array column, as a
     * single codegen'd `aggregate` fold — per-row, zero shuffles. The
     * struct state is (prev element, current run, best run). Also the
@@ -153,12 +170,8 @@ object TextOps extends QueryModule {
     * is bit-stable. */
   def repetition(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
-      .withColumn("toks", tok)
-      .withColumn("n_tokens", size($"toks"))
-      .where($"n_tokens" >= 3)
-      .withColumn("bigrams", expr(
-        "transform(sequence(0, n_tokens - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+    tokenized(s, dir)
+      .withColumn("bigrams", bigramsCol)
       .withColumn("trigrams", expr(
         "transform(sequence(0, n_tokens - 3), i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))"))
       // top_bigram_n is materialized once and reused for the fraction:
@@ -193,16 +206,12 @@ object TextOps extends QueryModule {
     * shuffle is the presentation sort. */
   def heuristicFilters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
-      .withColumn("toks", tok)
-      .withColumn("n_tokens", size($"toks"))
-      .where($"n_tokens" >= 3)
+    tokenized(s, dir)
       .withColumn("mean_wlen", round(
         expr("aggregate(toks, 0, (a, t) -> a + length(t))") / $"n_tokens", 6))
       .withColumn("ttr", round(size(array_distinct($"toks")) / $"n_tokens", 6))
-      .withColumn("n_stop", size(expr("filter(toks, t -> t = 'the' OR t = 'a')")))
-      .withColumn("bigrams", expr(
-        "transform(sequence(0, n_tokens - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+      .withColumn("n_stop", stopHitsCol)
+      .withColumn("bigrams", bigramsCol)
       .withColumn("top_bigram_frac",
         round(maxRun("array_sort(bigrams)") / size($"bigrams"), 6))
       .withColumn("ok_len",
@@ -245,20 +254,15 @@ object TextOps extends QueryModule {
     * one projection — no UDF, no model-server hop. */
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
-      .withColumn("toks", tok)
-      .withColumn("n_tokens", size($"toks"))
-      .where($"n_tokens" >= 3)
+    tokenized(s, dir)
       .withColumn("f_len", least($"n_tokens" / lit(50.0), lit(1.0)))
       .withColumn("f_ttr", size(array_distinct($"toks")) / $"n_tokens")
-      .withColumn("f_stop",
-        size(expr("filter(toks, t -> t = 'the' OR t = 'a')")) / $"n_tokens")
+      .withColumn("f_stop", stopHitsCol / $"n_tokens")
       .withColumn("f_alpha",
         size(regexp_extract_all($"text", lit("[a-z]+"), lit(0))) / $"n_tokens")
       .withColumn("f_wlen",
         expr("aggregate(toks, 0, (a, t) -> a + length(t))") / $"n_tokens" / lit(10.0))
-      .withColumn("bigrams", expr(
-        "transform(sequence(0, n_tokens - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+      .withColumn("bigrams", bigramsCol)
       .withColumn("f_rep", maxRun("array_sort(bigrams)") / size($"bigrams"))
       .withColumn("logit",
         lit(QsBias) + lit(QsWLen) * $"f_len" + lit(QsWTtr) * $"f_ttr"

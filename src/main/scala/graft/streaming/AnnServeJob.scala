@@ -42,33 +42,38 @@ object AnnServeStream {
     * Pure batch-side function, shared by the streaming and batch forms —
     * queries need NOT be corpus members (signatures are computed from the
     * query vectors with the same fixed planes the corpus was indexed
-    * with). Id convention: a corpus vector whose `vec_id` EQUALS the
-    * query's id is excluded from that query's answers (the kernel's
-    * don't-return-yourself rule) — callers whose query ids share the
-    * corpus id space get self-free answers; disjoint id spaces are
-    * unaffected. */
+    * with), and query ids are treated as an UNRELATED id space: a corpus
+    * vector numerically sharing a query's id is still a legitimate
+    * neighbor (no self-exclusion — a query that IS in the corpus gets
+    * itself back at rank 1 with score 1.0, which is the honest serving
+    * answer). The query relation is derived ONCE: signatures carry
+    * `v`/`norm` through the explode (queries are the small side), so no
+    * second scan or re-norm join is needed. */
   def serveBatch(queries: DataFrame, corpusVecs: DataFrame,
                  corpusBuckets: DataFrame, k: Int = 5): DataFrame = {
-    val q = SemDedupStream.prepVecs(queries)
-    val qb = Similarity.lshBuckets(q)
-      .join(q.select(col("vec_id"), col("v").as("qv"), col("norm").as("qnorm")), "vec_id")
-      .select(col("vec_id").as("query_id"), col("qv"), col("qnorm"),
+    val qb = Similarity.lshBuckets(SemDedupStream.prepVecs(queries), keep = Seq("v", "norm"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"),
               col("tbl"), col("bucket"))
     Similarity.rankTopK(
-      Similarity.multiprobeCandidates(qb, corpusBuckets), corpusVecs, k)
+      Similarity.multiprobeCandidates(qb, corpusBuckets, excludeSelf = false),
+      corpusVecs, k)
   }
 
   /** foreachBatch driver: starts the streaming query answering each
     * micro-batch of `queries` (a STREAMING `(vec_id, embedding)` frame)
-    * against the prepared index. */
+    * against the prepared index. The single streaming entry point — the
+    * checkpointed [[AnnServeJob]] routes through here. */
   def start(queries: DataFrame, corpusVecs: DataFrame, corpusBuckets: DataFrame,
-            k: Int = 5)(onBatch: (DataFrame, Long) => Unit): StreamingQuery =
-    queries.writeStream
+            k: Int = 5, checkpoint: Option[String] = None)
+           (onBatch: (DataFrame, Long) => Unit): StreamingQuery = {
+    var w = queries.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         onBatch(serveBatch(batch, corpusVecs, corpusBuckets, k), epochId)
       }
-      .start()
+    checkpoint.foreach(c => w = w.option("checkpointLocation", c))
+    w.start()
+  }
 }
 
 /** Runnable, checkpointed form of [[AnnServeStream]] (template:
@@ -96,15 +101,11 @@ object AnnServeJob {
     val stream = spark.readStream.schema(querySchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(inputDir)
-    val query = stream.writeStream
-      .outputMode("update")
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        AnnServeStream.serveBatch(batch.select("vec_id", "embedding"),
-            vecsRel, buckets, k)
-          .write.mode("overwrite").parquet(s"$outputDir/epoch=$epochId")
-      }
-      .start()
+      .select("vec_id", "embedding")
+    val query = AnnServeStream.start(stream, vecsRel, buckets, k,
+      checkpoint = Some(checkpointDir)) { (answers, epochId) =>
+      answers.write.mode("overwrite").parquet(s"$outputDir/epoch=$epochId")
+    }
     // Release the per-run cached index when THIS query terminates (same
     // pattern as DedupStreamJob): keyed on the query id, idempotent.
     val qid = query.id

@@ -202,6 +202,46 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally corpusIdx.unpersist()
   }
 
+  test("streaming ANN serving: micro-batched answers == one-shot serve") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = TestSpark.sf
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    // corpus = even ids; query stream = odd ids (disjoint from the corpus,
+    // the serving-shaped case: no self-exclusion semantics in play)
+    val (vecsRel, buckets) = graft.streaming.AnnServeStream.corpusIndex(
+      emb.where(col("vec_id") % 2 === 0))
+    try {
+      val odds = emb.where(col("vec_id") % 2 === 1)
+      def answersOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      val oneShot = answersOf(
+        graft.streaming.AnnServeStream.serveBatch(odds, vecsRel, buckets))
+      assert(oneShot.nonEmpty, "vacuous: no ANN answers at this SF")
+      // answers only name corpus (even) vectors
+      oneShot.foreach { case (_, n, _, _) => assert(n % 2 == 0, s"neighbor $n") }
+
+      val in = MemoryStream[(Long, Array[Float])]
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Double)]
+      val q = graft.streaming.AnnServeStream.start(
+        in.toDF().toDF("vec_id", "embedding"), vecsRel, buckets) { (answers, _) =>
+        got ++= answers.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      }
+      try {
+        val rows = odds.as[(Long, Array[Float])].collect().toSeq
+        rows.grouped(math.max(1, rows.size / 3 + 1)).foreach { chunk =>
+          in.addData(chunk: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      assert(got.size == got.toSet.size, "an answer was emitted twice across batches")
+      // answers are per-query functions of the fixed corpus: micro-batch
+      // boundaries cannot change the set
+      assert(got.toSet == oneShot)
+    } finally { vecsRel.unpersist(); buckets.unpersist() }
+  }
+
   test("streaming dedup maxDf: corpus-df governed, micro-batch invariant, ⊆ exact") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
