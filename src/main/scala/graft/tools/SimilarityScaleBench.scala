@@ -70,6 +70,26 @@ object SimilarityScaleBench {
     println(s"""{"check":"ann_multiprobe_recall_at_5","sf":"$sfDir","pairs":${bruteNbrs.size},"recall":${r3(recallOf(mpNbrs))}}""")
     println(s"""{"check":"ann_ivf_recall_at_5","sf":"$sfDir","pairs":${bruteNbrs.size},"recall":${r3(recallOf(ivfNbrs))}}""")
 
+    // ---- 1c. ANN serving-kernel throughput at the bench SF: one-shot
+    // serveBatch over the standard query set (the per-trigger work of
+    // AnnServeJob), timed warm through the full-plan noop sink.
+    {
+      val embAll = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+      val (vecsRel, buckets) = graft.streaming.AnnServeStream.corpusIndex(embAll)
+      val queries = embAll.where($"vec_id" % 50 === 0)
+      def serveOnce(): Double = {
+        val t0 = System.nanoTime()
+        graft.streaming.AnnServeStream.serveBatch(queries, vecsRel, buckets)
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      serveOnce() // warm the serve-path codegen
+      val sec = Seq(serveOnce(), serveOnce()).min
+      val nq = queries.count()
+      vecsRel.unpersist(); buckets.unpersist()
+      println(s"""{"bench":"ann_serve_batch","sf":"$sfDir","queries":$nq,"sec":${r3(sec)},"qps":${r3(nq / sec)}}""")
+    }
+
     // ---- 2a. E2LSH profile-candidate selectivity as users grow K×
     val ev = Tables.events(spark, sfDir)
     Seq(1, 2, 5, 10).foreach { k =>
