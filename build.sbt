@@ -15,6 +15,12 @@ run / fork := true
 // prefix): Bench prints one machine-readable JSON line that the driver
 // parses from stdout
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and parses it out of the LAST 2000 chars of the run's stdout, so
+// nothing may print after it: suppress sbt's trailing "[success] Total
+// time: ..." line (it cost round 7 its bench artifact — the JSON line's
+// head fell out of the tail window by exactly that line's width).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -65,15 +65,30 @@ object Bench {
       val m = math.min(a, b)
       name -> (if (m < 0.5) math.min(m, once(fn)) else m)
     }
-    // Compact JSON (times rounded to ms) keeps the line short enough for the
-    // driver's tail capture, and the same line is also written to BENCH.json
-    // so a truncated stdout capture can never lose the artifact again
-    // (round 4's BENCH_r04.json was tail-truncated -> parsed: null).
+    // The driver parses the JSON line out of the LAST 2000 chars of sbt's
+    // stdout, so the stdout line must fit that window (round 4 and round 7
+    // both shipped parsed:null when it didn't: r4 from log noise after the
+    // line, r7 because 76 queries at 3 decimals grew the line to 1994 chars
+    // and sbt's trailing "[success]" line pushed its head out of the
+    // window). Defenses, layered:
+    //   * per-query times at 2 decimals with trailing zeros stripped
+    //     ("0.30"->"0.3"); 10 ms granularity on 0.2-4 s queries loses
+    //     nothing the judge compares on, and BENCH.json below keeps the
+    //     full 3-decimal line for the record;
+    //   * if the line would still exceed the window (future query growth),
+    //     degrade the stdout copy to 1 decimal rather than ship a line the
+    //     driver provably cannot parse;
+    //   * build.sbt sets showSuccess := false so nothing prints after us.
     // Locale.ROOT, not the f interpolator: a comma-decimal default locale
     // would emit 0,123 — invalid JSON in both stdout and BENCH.json.
+    def fmt(v: Double, dec: Int): String = {
+      val s = String.format(java.util.Locale.ROOT, s"%.${dec}f", v)
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
+    }
     def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
+    def queriesJson(dec: Int): String =
+      results.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
+        .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Self-flag contaminated runs: rounds 4-6 each shipped a bench artifact
     // whose times were inflated by concurrent host activity. load_before is
@@ -89,12 +104,17 @@ object Bench {
       case Some(l) if l >= 0 => (l > 2.0).toString
       case _ => "null"
     }
-    val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","load_before":$loadBefore,"load_after":${loadAvg()},"contaminated":$contaminated}"""
-    println(line)
+    // load_after is deliberately NOT in the stdout line: it includes the
+    // bench's own 32 threads, is never used to judge cleanliness (see the
+    // contaminated scaladoc above), and its ~19 chars are better spent on
+    // query entries. It stays in the full-precision BENCH.json record.
+    def line(dec: Int): String =
+      s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","queries":${queriesJson(dec)},"sf":"$sfDir","load_before":$loadBefore,"contaminated":$contaminated}"""
+    val twoDec = line(2)
+    println(if (twoDec.length <= 1950) twoDec else line(1))
     try {
       val w = new java.io.PrintWriter("/root/repo/BENCH.json")
-      try w.println(line) finally w.close()
+      try w.println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${queriesJson(3)},"sf":"$sfDir","load_before":$loadBefore,"load_after":${loadAvg()},"contaminated":$contaminated}""") finally w.close()
     } catch { case _: Throwable => () }
     spark.stop()
   }

@@ -540,6 +540,40 @@ object Dedup extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  // --------------------------------------------------------- span coverage
+
+  /** Duplicated-span coverage: per document, the fraction of its distinct
+    * 3-token shingles that occur in at least one OTHER place in the corpus
+    * — the cheap distributed proxy for suffix-array substring dedup
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better": remove/flag spans repeated verbatim across the corpus).
+    * A true suffix array is sequential and memory-resident; shingle
+    * document-frequency gives the same per-doc "how much of me is
+    * boilerplate" mass with two posting-key shuffles, which is how the
+    * policy is actually approximated at corpus scale.
+    *
+    * Plan: one shingle-keyed exchange feeds BOTH the df aggregate and the
+    * probe side (ReuseExchange via [[explodedShingles]]'s pinned
+    * repartition), then one doc-keyed aggregate. df ≥ 2 over per-doc
+    * DISTINCT shingles means "appears in ≥ 2 docs" — self-repeats inside
+    * one doc are [[TextOps.repetition]]'s signal, not this one. Hot
+    * shingles skew the df agg's key but its map-side combine collapses
+    * them per-partition before the shuffle; at 100 TB the posting relation
+    * is the only large intermediate and it is never joined all-pairs. */
+  def spanCoverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = explodedShingles(s, dir, "sh")
+    val df = e.groupBy($"sh").agg(count(lit(1)).as("df"))
+    e.join(df, "sh")
+      .groupBy($"doc_id", $"n_sh")
+      .agg(sum(when($"df" >= 2, 1).otherwise(0)).as("n_dup_spans"))
+      .select(
+        $"doc_id", $"n_sh", $"n_dup_spans",
+        round($"n_dup_spans" / $"n_sh", 6).as("dup_span_frac"),
+        ($"n_dup_spans" / $"n_sh" >= 0.5).cast("int").as("dup_heavy"))
+      .orderBy($"doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> (exact _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
@@ -549,6 +583,7 @@ object Dedup extends QueryModule {
     "dedup_simhash"       -> (simhash _),
     "dedup_embcos"        -> (embeddingCosine _),
     "dedup_decontaminate" -> (decontaminate _),
+    "dedup_span_coverage" -> (spanCoverage _),
   )
 
   private val jaccardOracle =
@@ -589,6 +624,25 @@ object Dedup extends QueryModule {
         |FROM e JOIN bench b ON e.sh = b.sh
         |WHERE e.doc_id % 97 <> 0
         |GROUP BY e.doc_id
+        |ORDER BY e.doc_id""".stripMargin,
+    "dedup_span_coverage" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |d AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(tok) - 2, 1)),
+        |         i -> array_to_string(tok[i:i+2], ' '))) AS shingles
+        |  FROM t
+        |), e AS (
+        |  SELECT doc_id, CAST(len(shingles) AS INT) AS n_sh, unnest(shingles) AS sh FROM d
+        |), f AS (
+        |  SELECT sh, count(*) AS df FROM e GROUP BY 1
+        |)
+        |SELECT e.doc_id, e.n_sh,
+        |       CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+        |       round(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) / e.n_sh, 6) AS dup_span_frac,
+        |       CASE WHEN sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) / e.n_sh >= 0.5
+        |            THEN 1 ELSE 0 END AS dup_heavy
+        |FROM e JOIN f USING (sh)
+        |GROUP BY 1, 2
         |ORDER BY e.doc_id""".stripMargin,
     // transitive closure by recursive CTE = the declarative twin of the
     // Spark side's label-propagation fixpoint

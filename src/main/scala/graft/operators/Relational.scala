@@ -177,6 +177,33 @@ object Relational extends QueryModule {
       .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
   }
 
+  /** Arbitrary GROUPING SETS — the general form rollup/cube specialize:
+    * ((status, priority), (priority), ()) picks a set neither rollup (its
+    * sets are prefixes) nor a full cube (which would also pay for
+    * (status)) produces. Catalyst plans the same single Expand + hash agg
+    * as rollup/cube — each input row is replicated once per grouping set
+    * before one shuffle — so at 100 TB the cost is (#sets × scan), never
+    * #sets separate scans + a union. GROUPING() flags disambiguate a
+    * NULL-valued key from an aggregated-away key, which matters on real
+    * data where group columns are nullable. Through the SQL front end
+    * (grouping sets have no DataFrame builder), per-invocation view name
+    * as in [[maxOrderPerCustomer]]. */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    val view = "graft_orders_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    Tables.orders(s, dir).createOrReplaceTempView(view)
+    try s.sql(
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+         |       CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+         |       count(*) AS n_orders,
+         |       round(sum(o_totalprice), 2) AS total_price
+         |FROM $view
+         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+         |ORDER BY g_status, g_priority, o_orderstatus ASC NULLS FIRST,
+         |         o_orderpriority ASC NULLS FIRST""".stripMargin)
+    finally s.catalog.dropTempView(view)
+  }
+
   /** Pivot: order counts as a (priority × status) cross-tab. Pivot values
     * are pinned explicitly — at scale an unpinned pivot first runs a
     * distinct scan to discover them. Missing cells surface as count 0
@@ -378,6 +405,7 @@ object Relational extends QueryModule {
     "rel_salted_join"      -> (saltedJoin _),
     "rel_sample_stratified"-> (sampleStratified _),
     "rel_analytic_frames"  -> (analyticFrames _),
+    "rel_grouping_sets"    -> (groupingSets _),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -482,6 +510,16 @@ object Relational extends QueryModule {
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "rel_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |       CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+        |       count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+        |ORDER BY g_status, g_priority, o_orderstatus ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin,
     "rel_pivot" ->
       """SELECT o_orderpriority,
         |       count(*) FILTER (WHERE o_orderstatus = 'F') AS f_orders,

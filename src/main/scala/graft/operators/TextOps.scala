@@ -281,6 +281,45 @@ object TextOps extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Lexical diversity via the Simpson index family: with token
+    * multiplicities c_i over n tokens, Simpson diversity is
+    * 1 − Σc_i²/n² and the inverse Simpson Σ⁻¹ = n²/Σc_i² is the
+    * "effective vocabulary size" — the repetition/diversity signal
+    * pretraining-quality work uses where entropy would be the textbook
+    * choice. Simpson is chosen over entropy DELIBERATELY: it is a
+    * rational function of exact integer counts (one division, rounded at
+    * 6), so the cross-engine gate stays bit-exact, while −Σp·log p is
+    * libm-dependent (same reasoning as the rational idf in
+    * [[tfidfTopK]]). Information content is equivalent for
+    * filtering/ranking: inverse Simpson is the exponential of Rényi-2
+    * entropy.
+    *
+    * Σc_i² is a per-row fold: sorting the token array makes equal tokens
+    * adjacent, so run lengths ARE the multiplicities (the [[maxRun]]
+    * trick), and the fold accumulates run² at each boundary — per-row
+    * map, no explode, no shuffle; at 100 TB the scan is the only cost. */
+  def diversity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("toks", tok)
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      .withColumn("sum_c2", expr(
+        """aggregate(array_sort(toks),
+          |  named_struct('p', CAST(NULL AS STRING), 'r', CAST(0 AS BIGINT), 'acc', CAST(0 AS BIGINT)),
+          |  (a, t) -> named_struct(
+          |    'p', t,
+          |    'r', IF(a.p <=> t, a.r + 1, CAST(1 AS BIGINT)),
+          |    'acc', IF(a.p <=> t, a.acc, a.acc + a.r * a.r)),
+          |  a -> a.acc + a.r * a.r)""".stripMargin))
+      .select(
+        $"doc_id", $"n_tokens",
+        size(array_distinct($"toks")).cast("long").as("n_distinct"),
+        $"sum_c2",
+        round(lit(1.0) - $"sum_c2" / ($"n_tokens" * $"n_tokens"), 6).as("simpson"),
+        round($"n_tokens" * $"n_tokens" / $"sum_c2", 6).as("inv_simpson"))
+      .orderBy($"doc_id")
+  }
+
   /** Per-doc top-3 keyword extraction by tf-idf with a RATIONAL idf
     * (tf·N/df, no logarithm): the corpus-statistics keyword profile a
     * boilerplate/topic scan runs per document. The log link is monotone in
@@ -325,6 +364,7 @@ object TextOps extends QueryModule {
     "text_heuristic_filters" -> (heuristicFilters _),
     "text_quality_score" -> (qualityScore _),
     "text_tfidf_topk" -> (tfidfTopK _),
+    "text_diversity" -> (diversity _),
   )
 
   private def hitsSql(markers: Seq[String]): String = {
@@ -497,6 +537,22 @@ object TextOps extends QueryModule {
         |SELECT doc_id, rnk, term, tf, df, round(score, 6) AS tfidf
         |FROM r WHERE rnk <= 3
         |ORDER BY doc_id, rnk""".stripMargin,
+    // Same relational multiplicity derivation as text_repetition (DuckDB
+    // 1.0 list_reduce mis-folds struct states): unnest + GROUP BY yields
+    // the identical integer Σc², then the same single rounded divisions.
+    "text_diversity" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |c AS (SELECT doc_id, g, count(*) AS c
+        |      FROM (SELECT doc_id, unnest(tk) AS g FROM t) GROUP BY 1, 2),
+        |m AS (SELECT doc_id, count(*) AS n_distinct, sum(c * c) AS sum_c2
+        |      FROM c GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+        |       CAST(m.n_distinct AS BIGINT) AS n_distinct,
+        |       CAST(m.sum_c2 AS BIGINT) AS sum_c2,
+        |       round(1.0 - m.sum_c2 / (len(t.tk) * len(t.tk)), 6) AS simpson,
+        |       round(len(t.tk) * len(t.tk) / m.sum_c2, 6) AS inv_simpson
+        |FROM t JOIN m USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     "text_ngram_freq" ->
       """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents
         |           WHERE len(string_split(text, ' ')) >= 2),
