@@ -110,8 +110,14 @@ object Bench {
     // query entries. It stays in the full-precision BENCH.json record.
     def line(dec: Int): String =
       s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","queries":${queriesJson(dec)},"sf":"$sfDir","load_before":$loadBefore,"contaminated":$contaminated}"""
-    val twoDec = line(2)
-    println(if (twoDec.length <= 1950) twoDec else line(1))
+    // Driver tails ~2000 chars of stdout: emit the most precise line that
+    // fits. The final fallback drops the per-query map entirely (replaced by
+    // a marker with the query count) so the artifact can never ship a line
+    // that is valid-JSON-truncated-into-garbage — full precision always
+    // lands in BENCH.json below regardless.
+    val noQueries =
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":{"_omitted_n":${results.size}},"sf":"$sfDir","load_before":$loadBefore,"contaminated":$contaminated}"""
+    println(Seq(line(2), line(1)).find(_.length <= 1950).getOrElse(noQueries))
     try {
       val w = new java.io.PrintWriter("/root/repo/BENCH.json")
       try w.println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${queriesJson(3)},"sf":"$sfDir","load_before":$loadBefore,"load_after":${loadAvg()},"contaminated":$contaminated}""") finally w.close()

@@ -300,7 +300,12 @@ object TextOps extends QueryModule {
     * map, no explode, no shuffle; at 100 TB the scan is the only cost. */
   def diversity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // NULL text is filtered on BOTH sides (here and in the oracle's t CTE):
+    // without the filter Spark keeps the row with NULL n_tokens/sum_c2 while
+    // the oracle's inner JOIN drops it (unnest(NULL) yields no rows) — a
+    // row-count mismatch the moment the corpus contains a NULL document.
     Tables.documents(s, dir)
+      .where($"text".isNotNull)
       .withColumn("toks", tok)
       .withColumn("n_tokens", size($"toks").cast("long"))
       .withColumn("sum_c2", expr(
@@ -541,7 +546,8 @@ object TextOps extends QueryModule {
     // 1.0 list_reduce mis-folds struct states): unnest + GROUP BY yields
     // the identical integer Σc², then the same single rounded divisions.
     "text_diversity" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |           WHERE text IS NOT NULL),
         |c AS (SELECT doc_id, g, count(*) AS c
         |      FROM (SELECT doc_id, unnest(tk) AS g FROM t) GROUP BY 1, 2),
         |m AS (SELECT doc_id, count(*) AS n_distinct, sum(c * c) AS sum_c2
