@@ -474,6 +474,35 @@ object EventOps extends QueryModule {
 
   /** Keyed first-event extraction (streaming dedup-by-key analog):
     * earliest event per (user_id, event_type), ties broken by event_id. */
+  /** Event-path transition matrix: per user, order events by the unique
+    * (ts, event_id) key and count every consecutive `from_type → to_type`
+    * hop, with the exact integer microsecond gap sum — the Markov-chain /
+    * user-path view that completes the sessionize / funnel / retention
+    * product-analytics family (what "top next action after a view" style
+    * path mining reads). avg_gap_s is ONE double division chain over the
+    * exact integer sums, deterministically rounded in both engines.
+    *
+    * Scale: one user-keyed window shuffle (the same key sessionize and
+    * firstPerKey already use — a co-partitioned pipeline reuses the
+    * exchange), then an agg onto ≤|event_types|² keys with map-side
+    * combine, so the second shuffle moves a few dozen rows regardless of
+    * input size. No skew risk: the window key is user_id, not type. */
+  def transitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us".asc, $"event_id".asc)
+    Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("us"))
+      .withColumn("to_type", lead($"event_type", 1).over(w))
+      .withColumn("gap_us", lead($"us", 1).over(w) - $"us")
+      .where($"to_type".isNotNull)
+      .select($"event_type".as("from_type"), $"to_type", $"gap_us")
+      .groupBy($"from_type", $"to_type")
+      .agg(count(lit(1)).as("n"), sum($"gap_us").as("sum_gap_us"))
+      .withColumn("avg_gap_s",
+        round($"sum_gap_us".cast("double") / $"n" / lit(1000000.0), 6))
+      .orderBy($"from_type", $"to_type")
+  }
+
   def firstPerKey(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"user_id", $"event_type")
@@ -503,6 +532,7 @@ object EventOps extends QueryModule {
     "ev_retention"      -> (retention _),
     "ev_outliers"       -> (outliers _),
     "ev_validity"       -> (validityIntervals _),
+    "ev_transitions"    -> (transitions _),
   )
 
   /** The E2LSH profile plane matrix as SQL VALUES rows `(h, plane DOUBLE[])`. */
@@ -523,6 +553,24 @@ object EventOps extends QueryModule {
       |ORDER BY window_start, a.event_type""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    // Same unique (ts, event_id) total order on both sides; gaps are exact
+    // integer microsecond sums, and avg_gap_s is the identical double
+    // division chain (sum → /n → /1e6 → round 6) in both engines.
+    "ev_transitions" ->
+      """WITH o AS (
+        |  SELECT event_type,
+        |         lead(event_type) OVER w AS to_type,
+        |         lead(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT event_type AS from_type, to_type,
+        |       count(*) AS n, CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+        |       round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1000000.0, 6)
+        |         AS avg_gap_s
+        |FROM o WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY from_type, to_type""".stripMargin,
     "ev_hourly_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start,
         |       count(*) AS n_events, round(sum(value), 2) AS total_value

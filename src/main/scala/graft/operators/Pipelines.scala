@@ -135,17 +135,75 @@ object Pipelines extends QueryModule {
       .orderBy($"shard")
   }
 
+  /** Dataset-card summary: the per-(lang, source) release table a corpus
+    * publisher ships alongside a dataset drop — document and token mass,
+    * exact-duplicate burden, short-doc burden, token-length range. Every
+    * aggregate is an exact integer sum/min/max with at most ONE final
+    * double division (rounded at 6), so the card is bit-stable
+    * cross-engine and order-independent.
+    *
+    * Scale: exact-dup counting is one md5(text)-keyed agg (the identical
+    * shuffle [[Dedup.exact]] already runs — at 100 TB the 16-byte digest
+    * shuffles, never the text), one digest-keyed join back, then one
+    * (lang, source) agg with map-side combine onto a handful of keys. */
+  def datasetCard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"lang", $"source", md5($"text").as("h"),
+        size(split($"text", " ")).cast("long").as("n_tok"))
+    val dupCounts = docs.groupBy($"h").agg(count(lit(1)).as("copies"))
+    docs.join(dupCounts, "h")
+      .groupBy($"lang", $"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("n_tokens"),
+        sum(when($"copies" > 1, 1L).otherwise(0L)).as("n_exact_dup_docs"),
+        sum(when($"n_tok" < 20, 1L).otherwise(0L)).as("n_short_docs"),
+        min($"n_tok").as("min_tokens"),
+        max($"n_tok").as("max_tokens"))
+      .withColumn("avg_doc_tokens",
+        round($"n_tokens".cast("double") / $"n_docs", 6))
+      .withColumn("dup_ratio",
+        round($"n_exact_dup_docs".cast("double") / $"n_docs", 6))
+      .orderBy($"lang", $"source")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_corpus_curation" -> (corpusCuration _),
     "pipe_domain_mix"      -> (domainMix _),
     "pipe_pack_sequences"  -> (packSequences _),
     "pipe_shard_assign"    -> (shardAssign _),
+    "pipe_dataset_card"    -> (datasetCard _),
   )
 
   // The oracle re-composes the SAME stages from the individual oracles'
   // CTEs: quality (TextOps), near-dup pairs (Dedup jaccard), anti join,
   // per-lang profile.
   override def oracles: Map[String, String] = Map(
+    // Integer sums + one rounded division per ratio; dup membership via
+    // the same md5(text) digest both engines compute over UTF-8 text.
+    "pipe_dataset_card" ->
+      """WITH d AS (
+        |  SELECT lang, source, md5(text) AS h,
+        |         len(string_split(text, ' ')) AS n_tok
+        |  FROM documents
+        |), c AS (SELECT h, count(*) AS copies FROM d GROUP BY 1)
+        |SELECT lang, source,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_exact_dup_docs,
+        |       CAST(sum(CASE WHEN n_tok < 20 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_short_docs,
+        |       min(n_tok) AS min_tokens,
+        |       max(n_tok) AS max_tokens,
+        |       round(CAST(sum(n_tok) AS DOUBLE) / count(*), 6)
+        |         AS avg_doc_tokens,
+        |       round(CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 6) AS dup_ratio
+        |FROM d JOIN c USING (h)
+        |GROUP BY 1, 2
+        |ORDER BY lang, source""".stripMargin,
     "pipe_corpus_curation" ->
       s"""WITH t AS (
          |  SELECT doc_id,
