@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryModule, Tables}
 import graft.functions.VectorDot.vectorDot
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` / `embeddings` — the dedup
@@ -574,6 +575,61 @@ object Dedup extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Content-defined chunking (CDC) dedup: Rabin-style chunking at the
+    * token level — a chunk boundary falls after token i whenever the
+    * md5-derived 60-bit hash of the 4-token window ending at i is ≡ 0
+    * mod 8 (mean chunk ≈ 8 tokens), so boundaries are decided by LOCAL
+    * content and survive insertions/deletions elsewhere in the document —
+    * the property that lets CDC find shared spans exact shingle-df
+    * ([[spanCoverage]]) and whole-doc hashing ([[exact]]) both miss.
+    * Chunks then dedupe by content digest; the output is the duplicated-
+    * chunk table (≥ 2 copies, ≥ 4 tokens) a storage-style dedup layer
+    * would extract, with copy and document counts per chunk.
+    *
+    * Scale: per-token rows carry only (doc_id, pos, token) — the window
+    * hash and running chunk number are per-doc window functions over the
+    * SAME (doc_id, pos) sort, so Catalyst computes both in ONE window
+    * exchange; chunk assembly is a (doc_id, chunk_no) agg that combines
+    * map-side, and the final digest agg shuffles 16-byte digests, never
+    * chunk text (the digest is computed before the global shuffle). Skew
+    * is bounded: a chunk digest's multiplicity is the dup count itself. */
+  /** The per-document chunk table (doc_id, chunk_no, chunk_md5, n_tok)
+    * behind [[cdcChunks]], exposed on an arbitrary `(doc_id, text)` frame
+    * so specs can assert CDC's defining property (boundary locality: an
+    * edit perturbs only the chunks it touches) on constructed inputs. */
+  private[graft] def cdcChunkTable(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val byPos = Window.partitionBy($"doc_id").orderBy($"pos")
+    docs
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+      .withColumn("g4", concat_ws(" ",
+        lag($"w", 3).over(byPos), lag($"w", 2).over(byPos),
+        lag($"w", 1).over(byPos), $"w"))
+      .withColumn("brk", when($"pos" >= 3 &&
+        conv(substring(md5($"g4"), 1, 15), 16, 10).cast("long") % 8 === 0, 1)
+        .otherwise(0))
+      .withColumn("chunk_no", coalesce(
+        sum($"brk").over(byPos.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .groupBy($"doc_id", $"chunk_no")
+      .agg(
+        md5(array_join(transform(array_sort(collect_list(struct($"pos", $"w"))),
+          x => x("w")), " ")).as("chunk_md5"),
+        count(lit(1)).as("n_tok"))
+  }
+
+  def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    cdcChunkTable(Tables.documents(s, dir)).groupBy($"chunk_md5")
+      .agg(
+        max($"n_tok").as("n_tok"),
+        count(lit(1)).as("n_copies"),
+        countDistinct($"doc_id").as("n_docs"))
+      .where($"n_copies" >= 2 && $"n_tok" >= 4)
+      .orderBy($"chunk_md5")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> (exact _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
@@ -584,6 +640,7 @@ object Dedup extends QueryModule {
     "dedup_embcos"        -> (embeddingCosine _),
     "dedup_decontaminate" -> (decontaminate _),
     "dedup_span_coverage" -> (spanCoverage _),
+    "dedup_cdc_chunks"    -> (cdcChunks _),
   )
 
   private val jaccardOracle =
@@ -603,6 +660,31 @@ object Dedup extends QueryModule {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    // Same md5-derived 60-bit window hash, same mod-8 boundary rule, same
+    // exclusive running boundary count; chunk text re-assembled in pos
+    // order so digests match byte-for-byte.
+    "dedup_cdc_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |p AS (SELECT doc_id, i - 1 AS pos, tok[i] AS w,
+        |             CASE WHEN i >= 4 THEN array_to_string(tok[i-3:i], ' ') END AS g4
+        |      FROM t, unnest(generate_series(1, len(tok))) AS g(i)),
+        |b AS (SELECT doc_id, pos, w,
+        |             CASE WHEN g4 IS NOT NULL AND
+        |                  CAST(CAST(('0x' || substr(md5(g4), 1, 15)) AS UBIGINT) AS BIGINT) % 8 = 0
+        |             THEN 1 ELSE 0 END AS brk FROM p),
+        |c AS (SELECT doc_id, pos, w,
+        |             COALESCE(sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_no
+        |      FROM b),
+        |ch AS (SELECT doc_id, chunk_no, string_agg(w, ' ' ORDER BY pos) AS chunk_text,
+        |              count(*) AS n_tok
+        |       FROM c GROUP BY 1, 2)
+        |SELECT md5(chunk_text) AS chunk_md5,
+        |       CAST(max(n_tok) AS BIGINT) AS n_tok,
+        |       count(*) AS n_copies,
+        |       count(DISTINCT doc_id) AS n_docs
+        |FROM ch GROUP BY 1 HAVING count(*) >= 2 AND max(n_tok) >= 4
+        |ORDER BY chunk_md5""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin,

@@ -139,6 +139,20 @@ class CurationOpsSpec extends AnyFunSuite {
       s"shard imbalance: ${counts.mkString(",")}")
   }
 
+  test("dataset card: partitions the corpus exactly (doc and token mass)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val card = Pipelines.datasetCard(spark, TestSpark.sf).collect()
+    assert(card.map(_.getLong(2)).sum === docs.count())
+    val totalTok = docs.select(sum(size(split(col("text"), " "))))
+      .collect().head.getLong(0)
+    assert(card.map(_.getLong(3)).sum === totalTok)
+    // dup accounting: per-group dup docs never exceed the group size
+    card.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(2), s"dups > docs in ${r.getString(0)}/${r.getString(1)}")
+    }
+  }
+
   // --------------------------------------------------------------- semdedup
 
   test("semdedup pairs are true high-cosine pairs (subset of brute force)") {

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Dedup
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Cross-validation of the approximate dedup operators against the exact
@@ -76,6 +77,35 @@ class DedupSpec extends AnyFunSuite {
        === rows(Dedup.incrementalImpl(spark, tmp, None)))
     // non-vacuous: the real corpus's near-dup pairs are still found
     assert(rows(Dedup.ngramJaccardImpl(spark, tmp, Some(100L))).nonEmpty)
+  }
+
+  test("cdc chunking: boundary locality — an early edit leaves later chunks intact") {
+    // The property that justifies CDC over fixed-width chunking: because
+    // boundaries depend only on the local 4-token window, inserting a
+    // token near the front re-chunks at most the prefix up to the first
+    // boundary at/after the edit; every later chunk digest survives. A
+    // fixed-width chunker would shift every subsequent chunk instead.
+    import spark.implicits._
+    // every token distinct (i is embedded) so chunk digests are distinct
+    // and set arithmetic below counts chunks, not collapsed repeats
+    val base = (0 until 400).map(i => s"w${i}x${(i * 37) % 101}").mkString(" ")
+    val edited = "zzz " + base
+    val docs = Seq((0L, base), (1L, edited), (2L, base)).toDF("doc_id", "text")
+    val chunks = Dedup.cdcChunkTable(docs).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getLong(1)).map(_.getString(2)).toVector
+      }
+    val (a, b) = (chunks(0L), chunks(1L))
+    // identical text → identical chunk sequence
+    assert(chunks(2L) === a)
+    // all original chunks except a bounded prefix reappear verbatim
+    val shared = a.toSet.intersect(b.toSet)
+    assert(a.size > 20, s"degenerate chunking: only ${a.size} chunks")
+    assert(shared.size >= a.size - 3,
+      s"edit perturbed ${a.size - shared.size} of ${a.size} chunks — not local")
+    // and the perturbation is at the FRONT: the suffixes align exactly
+    assert(a.takeRight(a.size - 3) === b.takeRight(a.size - 3))
   }
 
   test("clusters: driver union-find path == distributed label-propagation path") {

@@ -50,4 +50,13 @@ class EventOpsSpec extends AnyFunSuite {
     val b = EventOps.trendLag(spark, TestSpark.sf).collect().toSeq
     assert(a === b)
   }
+
+  test("transitions: conservation — every user contributes exactly n-1 hops") {
+    val ev = graft.Tables.events(spark, TestSpark.sf)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    val m = EventOps.transitions(spark, TestSpark.sf).collect()
+    assert(m.map(_.getLong(2)).sum === expected)
+    // gaps are event-time-ordered, so never negative
+    assert(m.forall(_.getLong(3) >= 0L), "negative gap sum: ordering broken")
+  }
 }

@@ -135,6 +135,33 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("ahash pairs: match a local single-threaded reimplementation exactly") {
+    // Independent oracle in Scala: recompute every signature through the
+    // same real codec round trip, then brute-force the banded-blocking +
+    // Hamming rule. The distributed operator must reproduce it exactly.
+    val docs = graft.Tables.documents(spark, TestSpark.sf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val sig = docs.map { case (id, t) =>
+      val px = MultimodalCodec.decodePng(
+        MultimodalCodec.encodePng(ByteFeatures.meanBuckets(t.getBytes("UTF-8"), 64), 8, 8))
+      val avg = px.map(_.toLong).sum / 64
+      id -> px.zipWithIndex.foldLeft(0L) { case (h, (p, i)) =>
+        if (p > avg) h | (1L << i) else h
+      }
+    }.toMap
+    def bands(h: Long): Seq[Long] = (0 until 4).map(b => (h >>> (16 * b)) & 0xffffL)
+    val ids = sig.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      if bands(sig(a)).zip(bands(sig(b))).exists { case (x, y) => x == y }
+      d = java.lang.Long.bitCount(sig(a) ^ sig(b)) if d <= 16
+    } yield (a, b) -> d).toMap
+    val got = Multimodal.ahashPairs(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(expected.nonEmpty, "reimplementation found no pairs — vacuous spec")
+    assert(got === expected)
+  }
+
   test("corpus invariant: documents.text is all-ASCII (oracle convention)") {
     // The payload-bucket oracles compare character-indexed SQL against
     // byte-indexed Scala; they agree only while the corpus is pure ASCII.
