@@ -108,16 +108,25 @@ object Bench {
     // bench's own 32 threads, is never used to judge cleanliness (see the
     // contaminated scaladoc above), and its ~19 chars are better spent on
     // query entries. It stays in the full-precision BENCH.json record.
+    // The stdout copy shortens sf to its basename: the driver's window is
+    // 2000 chars and at 83 queries every constant byte matters; BENCH.json
+    // below keeps the full path for the record.
+    val sfShort = new java.io.File(sfDir).getName
     def line(dec: Int): String =
-      s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","queries":${queriesJson(dec)},"sf":"$sfDir","load_before":$loadBefore,"contaminated":$contaminated}"""
-    // Driver tails ~2000 chars of stdout: emit the most precise line that
-    // fits. The final fallback drops the per-query map entirely (replaced by
-    // a marker with the query count) so the artifact can never ship a line
-    // that is valid-JSON-truncated-into-garbage — full precision always
-    // lands in BENCH.json below regardless.
+      s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","queries":${queriesJson(dec)},"sf":"$sfShort","load_before":$loadBefore,"contaminated":$contaminated}"""
+    // Driver tails 2000 chars of stdout (showSuccess := false keeps sbt
+    // from printing after us, so only our own trailing newline spends the
+    // margin): emit the most precise line that fits, degrading 2-dec →
+    // 1-dec → whole seconds. The final fallback drops the per-query map
+    // entirely (replaced by a marker with the query count) so the artifact
+    // can never ship a line that is valid-JSON-truncated-into-garbage —
+    // full 3-decimal precision always lands in BENCH.json regardless.
+    // Measured at 83 queries: 2-dec 2056, 1-dec 1976, 0-dec 1813 chars —
+    // the ladder keeps per-query stdout data until ~90 queries, the marker
+    // guards beyond that.
     val noQueries =
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":{"_omitted_n":${results.size}},"sf":"$sfDir","load_before":$loadBefore,"contaminated":$contaminated}"""
-    println(Seq(line(2), line(1)).find(_.length <= 1950).getOrElse(noQueries))
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":{"_omitted_n":${results.size}},"sf":"$sfShort","load_before":$loadBefore,"contaminated":$contaminated}"""
+    println(Seq(line(2), line(1), line(0)).find(_.length <= 1985).getOrElse(noQueries))
     try {
       val w = new java.io.PrintWriter("/root/repo/BENCH.json")
       try w.println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${queriesJson(3)},"sf":"$sfDir","load_before":$loadBefore,"load_after":${loadAvg()},"contaminated":$contaminated}""") finally w.close()
