@@ -514,8 +514,101 @@ object EventOps extends QueryModule {
       .orderBy($"user_id", $"event_type")
   }
 
+  /** Robust anomaly detection via median / MAD (the Iglewicz–Hoaglin
+    * modified z-score): unlike the p99-threshold [[outliers]] and any
+    * mean/stddev z-score, the median and MAD are unaffected by the
+    * outliers themselves (50% breakdown point), so a burst of bad values
+    * cannot mask itself by inflating the threshold.
+    *
+    * Two exact-percentile aggregations per event_type (median of values,
+    * then median of absolute deviations), each a single shuffle onto a
+    * handful of keys with the per-type scalars broadcast back — the
+    * events table itself never re-shuffles. At 100 TB swap `percentile`
+    * for `percentile_approx` (constant-memory sketch) at the cost of the
+    * exact oracle; the plan shape is identical. Flagging runs on the
+    * ROUNDED score so the cut at 3.5 is reproducible cross-engine. */
+  def anomalyMad(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val med = ev.groupBy($"event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("absdev", abs($"value" - $"med"))
+    val mad = dev.groupBy($"event_type")
+      .agg(expr("percentile(absdev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .withColumn("robust_z", round(lit(0.6745) * ($"value" - $"med") / $"mad", 6))
+      .where(abs($"robust_z") > 3.5)
+      .select($"event_type", $"event_id", $"value", $"robust_z")
+      .orderBy($"event_type", $"event_id")
+  }
+
+  /** Watermark-delay audit: how late do events actually arrive, and what
+    * fraction would a given watermark drop? Arrival order is event_id
+    * (the ingest sequence); per event_type a running high-water-mark of
+    * event time is carried along arrival order, and an event's lateness
+    * is how far the clock had already advanced past it when it arrived —
+    * exactly the quantity Structured Streaming's `withWatermark` bounds.
+    * The output (max / p50 / p95 / p99 lateness + the drop rate of a
+    * 10-minute watermark) is the table you read before choosing the
+    * delay for the streaming jobs in [[graft.streaming]].
+    *
+    * Scale: the running max is an analytic partitioned BY KEY — each
+    * event_type's arrival sequence sorts independently (one shuffle, no
+    * single-partition global order), matching how per-key watermarks
+    * shard in production. Lateness stays in exact integer microseconds
+    * until the final per-type percentile aggregation. */
+  def latenessAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("hwm", max($"ts").over(w))
+      .withColumn("late_us", unix_micros($"hwm") - unix_micros($"ts"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        max($"late_us").as("max_late_us"),
+        round(expr("percentile(late_us, 0.5)"), 6).as("p50_late_us"),
+        round(expr("percentile(late_us, 0.95)"), 6).as("p95_late_us"),
+        round(expr("percentile(late_us, 0.99)"), 6).as("p99_late_us"),
+        sum(when($"late_us" > 600000000L, 1L).otherwise(0L)).as("n_dropped_10m"),
+        round(sum(when($"late_us" > 600000000L, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("drop_rate_10m"))
+      .orderBy($"event_type")
+  }
+
+  /** Time-grid gap fill: the dense (event_type × hour) grid over the
+    * corpus's full time range with zero-filled empty cells — what every
+    * downstream charting / forecasting / SLA job wants instead of a
+    * sparse aggregate where absence is ambiguous.
+    *
+    * The grid derives from one scalar min/max aggregation (a 1-row
+    * `sequence()` explode) crossed with the distinct keys — both sides
+    * are tiny and broadcast; the only data-sized operation is the
+    * pre-aggregated hourly count (one shuffle with map-side combine).
+    * At 100 TB the hour axis grows with TIME, not data volume, so the
+    * grid stays broadcastable by construction. */
+  def gapFill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_type", date_trunc("hour", $"ts").as("h"))
+    val grid = ev.agg(min($"h").as("h0"), max($"h").as("h1"))
+      .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val types = ev.select($"event_type").distinct()
+    val counts = ev.groupBy($"event_type", $"h").agg(count(lit(1)).as("n"))
+    grid.crossJoin(types)
+      .join(broadcast(counts), Seq("event_type", "h"), "left")
+      .select($"event_type", $"h".as("hour_start"),
+        coalesce($"n", lit(0L)).as("n_events"))
+      .orderBy($"event_type", $"hour_start")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_hourly_counts"  -> (hourlyCounts _),
+    "ev_anomaly_mad"    -> (anomalyMad _),
+    "ev_lateness_audit" -> (latenessAudit _),
+    "ev_gap_fill"       -> (gapFill _),
     "ev_10min_by_type"  -> (tenMinByType _),
     "ev_classify_geo"   -> (classifyGeo _),
     "ev_trend_join"     -> (trendJoin _),
@@ -754,5 +847,58 @@ object EventOps extends QueryModule {
         |)
         |WHERE rn = 1
         |ORDER BY user_id, event_type""".stripMargin,
+    // Same median→deviation→median chain; quantile_cont matches Spark's
+    // exact `percentile` interpolation, and the 3.5 cut runs on the
+    // round-6 score in both engines.
+    "ev_anomaly_mad" ->
+      """WITH m AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1
+        |), d AS (
+        |  SELECT e.event_type, e.event_id, e.value, m.med,
+        |         abs(e.value - m.med) AS absdev
+        |  FROM events e JOIN m USING (event_type)
+        |), md AS (
+        |  SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+        |  FROM d GROUP BY 1
+        |)
+        |SELECT d.event_type, d.event_id, d.value,
+        |       round(0.6745 * (d.value - d.med) / md.mad, 6) AS robust_z
+        |FROM d JOIN md USING (event_type)
+        |WHERE abs(round(0.6745 * (d.value - d.med) / md.mad, 6)) > 3.5
+        |ORDER BY d.event_type, d.event_id""".stripMargin,
+    // Running event-time high-water-mark along arrival (event_id) order
+    // per type; lateness stays integer microseconds (epoch_us) until the
+    // final percentile, mirroring unix_micros on the Spark side.
+    "ev_lateness_audit" ->
+      """WITH l AS (
+        |  SELECT event_type,
+        |         epoch_us(max(ts) OVER (PARTITION BY event_type ORDER BY event_id ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |           - epoch_us(ts) AS late_us
+        |  FROM events
+        |)
+        |SELECT event_type,
+        |       count(*) AS n_events,
+        |       max(late_us) AS max_late_us,
+        |       round(quantile_cont(late_us, 0.5), 6) AS p50_late_us,
+        |       round(quantile_cont(late_us, 0.95), 6) AS p95_late_us,
+        |       round(quantile_cont(late_us, 0.99), 6) AS p99_late_us,
+        |       CAST(sum(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_dropped_10m,
+        |       round(CAST(sum(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 6) AS drop_rate_10m
+        |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ev_gap_fill" ->
+      """WITH e AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h FROM events
+        |), b AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+        |g AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b),
+        |t AS (SELECT DISTINCT event_type FROM e),
+        |c AS (SELECT event_type, h, count(*) AS n FROM e GROUP BY 1, 2)
+        |SELECT t.event_type, g.h AS hour_start, COALESCE(c.n, 0) AS n_events
+        |FROM g CROSS JOIN t
+        |LEFT JOIN c ON c.event_type = t.event_type AND c.h = g.h
+        |ORDER BY t.event_type, hour_start""".stripMargin,
   )
 }

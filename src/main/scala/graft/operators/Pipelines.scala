@@ -168,8 +168,40 @@ object Pipelines extends QueryModule {
       .orderBy($"lang", $"source")
   }
 
+  private val NStages = 4
+
+  /** Curriculum staging: rank the corpus by quality score and cut it
+    * into 4 equal-size stages (easy→hard curriculum order for training),
+    * emitting the per-stage manifest (doc count, quality range, token
+    * mass) a trainer consumes to schedule data. The stage boundary is an
+    * `ntile` over a DETERMINISTIC total order (round-6 score, doc_id
+    * tie-break), so re-running the job reproduces the same stages.
+    *
+    * Scale: `ntile` over a global order is a range-partitioned total
+    * sort (Spark samples boundaries; no single-partition funnel), and
+    * the only thing sorted is the (doc_id, score, n_tokens) triple —
+    * never the text. At 100 TB the cheaper variant is width_bucket on
+    * approx-quantile boundaries (one pass, no sort) at the cost of
+    * ±ε stage sizes; the exact-ntile form here is what the oracle can
+    * pin bit-for-bit. */
+  def curriculum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byQuality = Window.orderBy($"quality_score".asc, $"doc_id".asc)
+    TextOps.quality(s, dir)
+      .select($"doc_id", $"n_tokens", $"quality_score")
+      .withColumn("stage", ntile(NStages).over(byQuality))
+      .groupBy($"stage")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min($"quality_score").as("min_quality"),
+        max($"quality_score").as("max_quality"),
+        sum($"n_tokens").cast("long").as("sum_tokens"))
+      .orderBy($"stage")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_corpus_curation" -> (corpusCuration _),
+    "pipe_curriculum"      -> (curriculum _),
     "pipe_domain_mix"      -> (domainMix _),
     "pipe_pack_sequences"  -> (packSequences _),
     "pipe_shard_assign"    -> (shardAssign _),
@@ -294,5 +326,30 @@ object Pipelines extends QueryModule {
          |       min(doc_id) AS min_doc_id,
          |       max(doc_id) AS max_doc_id
          |FROM d GROUP BY shard ORDER BY shard""".stripMargin,
+    // Same quality CTE as pipe_corpus_curation; ntile over the identical
+    // (score, doc_id) total order yields identical stage membership.
+    "pipe_curriculum" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         len(string_split(text, ' ')) AS n_tokens,
+         |         len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         |         len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) AS n_stop
+         |  FROM documents
+         |), q AS (
+         |  SELECT doc_id, n_tokens,
+         |         round(0.4 * (n_distinct / n_tokens)
+         |             + 0.3 * (1.0 - n_stop / n_tokens)
+         |             + 0.3 * least(n_tokens / 50.0, 1.0), 6) AS quality_score
+         |  FROM t
+         |), staged AS (
+         |  SELECT n_tokens, quality_score,
+         |         ntile($NStages) OVER (ORDER BY quality_score ASC, doc_id ASC) AS stage
+         |  FROM q
+         |)
+         |SELECT stage, count(*) AS n_docs,
+         |       min(quality_score) AS min_quality,
+         |       max(quality_score) AS max_quality,
+         |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM staged GROUP BY stage ORDER BY stage""".stripMargin,
   )
 }

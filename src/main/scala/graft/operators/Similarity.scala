@@ -325,8 +325,58 @@ object Similarity extends QueryModule {
       .orderBy($"vec_id")
   }
 
+  private val RrfC = 60    // standard RRF damping constant
+  private val LegK = 100   // candidates taken from each retrieval leg
+  private val FusedK = 20  // final fused result size
+
+  /** Hybrid retrieval with reciprocal-rank fusion (RRF): a dense leg
+    * (cosine against the query vector, vec_id 0) and a lexical leg (term
+    * frequency of the query terms over `documents`, which shares the
+    * 0..N id space with `embeddings`) each produce a top-100 ranking;
+    * fusion scores every candidate `Σ 1/(60 + rank)` over the legs it
+    * appears in and returns the fused top-20. Rank fusion needs no score
+    * calibration between legs — only ranks cross the boundary — which is
+    * why RRF is the default hybrid combiner in Elasticsearch/Vespa-class
+    * engines.
+    *
+    * Scale: each leg is an independent top-k (per-leg TakeOrdered heaps,
+    * corpus never shuffles; the dense leg is one broadcast-query scan
+    * like [[topkBruteForce]], the lexical leg a codegen'd filter+count
+    * per doc). The fusion itself joins two k-row lists — driver-trivial
+    * at any corpus size; legs can be swapped for their ANN / inverted-
+    * index variants without touching the fusion. */
+  def rrfFusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, dir)
+    val q = broadcast(e.filter($"vec_id" === 0)
+      .select($"v".as("qv"), $"norm".as("qnorm")))
+    val vecLeg = e.filter($"vec_id" =!= 0).crossJoin(q)
+      .withColumn("vscore", round(vectorDot($"v", $"qv") / ($"norm" * $"qnorm"), 6))
+      .withColumn("vrank",
+        row_number().over(Window.orderBy($"vscore".desc, $"vec_id".asc)))
+      .where($"vrank" <= LegK)
+      .select($"vec_id".as("id"), $"vrank")
+    val lexLeg = Tables.documents(s, dir)
+      .withColumn("lscore", round(
+        size(expr("filter(split(text, ' '), t -> t = 'spark' OR t = 'join')"))
+          / size(split($"text", " ")), 6))
+      .withColumn("lrank",
+        row_number().over(Window.orderBy($"lscore".desc, $"doc_id".asc)))
+      .where($"lrank" <= LegK)
+      .select($"doc_id".as("id"), $"lrank")
+    vecLeg.join(lexLeg, Seq("id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(RrfC) + $"vrank"), lit(0.0))
+          + coalesce(lit(1.0) / (lit(RrfC) + $"lrank"), lit(0.0)), 6))
+      .withColumn("rnk", row_number().over(Window.orderBy($"rrf".desc, $"id".asc)))
+      .where($"rnk" <= FusedK)
+      .select($"id", $"vrank", $"lrank", $"rrf", $"rnk")
+      .orderBy($"rnk")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (topkBruteForce _),
+    "sim_rrf_fusion"      -> (rrfFusion _),
     "sim_topk_ivf"        -> (topkIvf _),
     "sim_ann_lsh"         -> (topkLsh _),
     "sim_ann_multiprobe"  -> (topkLshMultiprobe _),
@@ -517,5 +567,39 @@ object Similarity extends QueryModule {
         |                 abs(v[i] - (lo + CAST(codes[i] AS DOUBLE) * (hi - lo) / 255.0)))),
         |               (a, b) -> a + b) / n, 6) AS mean_abs_err
         |FROM c ORDER BY vec_id""".stripMargin,
+    // Legs rank on the same round-6 scores with the same id tie-breaks;
+    // fusion adds the two exact doubles 1/(60+rank) before one round.
+    "sim_rrf_fusion" ->
+      s"""$vecCte,
+         |q AS (SELECT v AS qv, nrm AS qnrm FROM e WHERE vec_id = 0),
+         |vleg AS (
+         |  SELECT id, vrank FROM (
+         |    SELECT e.vec_id AS id,
+         |           row_number() OVER (
+         |             ORDER BY round(list_dot_product(e.v, q.qv) / (e.nrm * q.qnrm), 6) DESC,
+         |                      e.vec_id ASC) AS vrank
+         |    FROM e CROSS JOIN q WHERE e.vec_id <> 0)
+         |  WHERE vrank <= $LegK
+         |), lleg AS (
+         |  SELECT id, lrank FROM (
+         |    SELECT doc_id AS id,
+         |           row_number() OVER (
+         |             ORDER BY round(len(list_filter(string_split(text, ' '),
+         |                              t -> t = 'spark' OR t = 'join'))
+         |                            / len(string_split(text, ' ')), 6) DESC,
+         |                      doc_id ASC) AS lrank
+         |    FROM documents)
+         |  WHERE lrank <= $LegK
+         |), fused AS (
+         |  SELECT COALESCE(v.id, l.id) AS id, v.vrank, l.lrank,
+         |         round(COALESCE(CAST(1.0 AS DOUBLE) / ($RrfC + v.vrank), 0)
+         |             + COALESCE(CAST(1.0 AS DOUBLE) / ($RrfC + l.lrank), 0), 6) AS rrf
+         |  FROM vleg v FULL OUTER JOIN lleg l ON v.id = l.id
+         |)
+         |SELECT id, vrank, lrank, rrf,
+         |       row_number() OVER (ORDER BY rrf DESC, id ASC) AS rnk
+         |FROM fused
+         |QUALIFY rnk <= $FusedK
+         |ORDER BY rnk""".stripMargin,
   )
 }

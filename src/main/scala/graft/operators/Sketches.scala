@@ -132,8 +132,51 @@ object Sketches extends QueryModule {
       .orderBy($"user_id")
   }
 
+  // Zone-map audit granularity: one logical block per 250 orderkeys
+  // (~1k lineitem rows at sf0.01) and the ship-date cutoffs a pruning
+  // report is evaluated at.
+  private val BlockKeys = 250
+  private val PruneCutoffs = Seq("1997-01-01", "1999-01-01", "2001-01-01")
+
+  /** Zone-map (block min/max) pruning audit: build the per-block
+    * min/max/count index over `l_shipdate` that every columnar format
+    * keeps (parquet row-group stats, ORC stripe stats, Iceberg/Delta
+    * file stats), then measure — for each candidate predicate cutoff —
+    * what fraction of blocks and rows `l_shipdate >= cutoff` could skip
+    * without reading data. This is the report that tells you whether a
+    * corpus is worth re-clustering: on date-ordered data pruning
+    * approaches 100%; on this hash-ordered synthetic data it exposes
+    * near-zero skipping, which is exactly the signal.
+    *
+    * Scale: the index build is one scan + one agg onto n_rows/BlockKeys
+    * keys (map-side combined); the audit crosses that index with a
+    * constant cutoff list — at 100 TB the index is ~file-count-sized and
+    * the audit runs on stats alone, the same reason engines answer these
+    * queries from metadata without touching data. */
+  def blockPruning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blocks = Tables.lineitem(s, dir)
+      .select(expr(s"l_orderkey div $BlockKeys").as("block"), $"l_shipdate")
+      .groupBy($"block")
+      .agg(min($"l_shipdate").as("min_ship"), max($"l_shipdate").as("max_ship"),
+           count(lit(1)).as("n_rows"))
+    val cutoffs = PruneCutoffs.toDF("cutoff_s")
+      .select(to_timestamp($"cutoff_s").as("cutoff"))
+    blocks.crossJoin(broadcast(cutoffs))
+      .groupBy($"cutoff")
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when($"max_ship" < $"cutoff", 1L).otherwise(0L)).as("n_blocks_pruned"),
+        sum($"n_rows").as("n_rows_total"),
+        sum(when($"max_ship" < $"cutoff", $"n_rows").otherwise(0L)).as("n_rows_pruned"),
+        round(sum(when($"max_ship" < $"cutoff", 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("block_prune_ratio"))
+      .orderBy($"cutoff")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_exact_distinct"  -> (exactDistinct _),
+    "sketch_block_pruning"   -> (blockPruning _),
     "sketch_approx_distinct" -> (approxDistinct _),
     "sketch_quantiles"       -> (quantiles _),
     "sketch_summary_stats"   -> (summaryStats _),
@@ -186,5 +229,26 @@ object Sketches extends QueryModule {
          |FROM probes p JOIN counters c ON p.j = c.j AND p.bkt = c.bkt
          |GROUP BY 1, 2
          |ORDER BY user_id""".stripMargin,
+    "sketch_block_pruning" ->
+      s"""WITH blocks AS (
+         |  SELECT l_orderkey // $BlockKeys AS block,
+         |         min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+         |         count(*) AS n_rows
+         |  FROM lineitem GROUP BY 1
+         |), cutoffs AS (
+         |  SELECT CAST(c AS TIMESTAMP) AS cutoff
+         |  FROM (VALUES ${PruneCutoffs.map(c => s"('$c')").mkString(", ")}) AS t(c)
+         |)
+         |SELECT cutoff,
+         |       count(*) AS n_blocks,
+         |       CAST(sum(CASE WHEN max_ship < cutoff THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_blocks_pruned,
+         |       CAST(sum(n_rows) AS BIGINT) AS n_rows_total,
+         |       CAST(sum(CASE WHEN max_ship < cutoff THEN n_rows ELSE 0 END) AS BIGINT)
+         |         AS n_rows_pruned,
+         |       round(CAST(sum(CASE WHEN max_ship < cutoff THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / count(*), 6) AS block_prune_ratio
+         |FROM blocks CROSS JOIN cutoffs
+         |GROUP BY cutoff ORDER BY cutoff""".stripMargin,
   )
 }

@@ -1,0 +1,164 @@
+package graft
+
+import graft.operators.{EventOps, Pipelines, Similarity, Sketches}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the round-9 operators, beyond the value-level
+  * DuckDB oracle gate: the oracle proves the two engines agree, these
+  * prove the AGREED answer has the properties the operator advertises. */
+class Round9OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("anomaly_mad: flagged set is exactly the recomputed |modified z| > 3.5") {
+    // Recompute median/MAD per type driver-side with the same linear
+    // interpolation `percentile` uses, then re-derive the flag set.
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    def median(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      val pos = (s.length - 1) * 0.5
+      val lo = pos.toInt
+      val d = pos - lo
+      if (lo + 1 < s.length) s(lo) + (s(lo + 1) - s(lo)) * d else s(lo)
+    }
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (t, rows) =>
+      val med = median(rows.map(_._3))
+      val mad = median(rows.map(r => math.abs(r._3 - med)))
+      rows.filter { r =>
+        val z = BigDecimal(0.6745 * (r._3 - med) / mad)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        z.abs > 3.5
+      }.map(r => (t, r._2)).toSeq
+    }.toSet
+    val got = EventOps.anomalyMad(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "no outliers flagged at all — threshold dead")
+  }
+
+  test("anomaly_mad: robust to injected contamination where stddev z is not") {
+    // The point of MAD: contaminate ~5% of one event type with extreme
+    // values. The median/MAD threshold must keep flagging (most of) the
+    // original outliers (median moves a few ranks at most), while a
+    // mean/stddev z-score — whose mean and stddev the spikes inflate by
+    // orders of magnitude — flags NONE of them anymore (the classic
+    // masking failure).
+    import spark.implicits._
+    val base = Tables.events(spark, sf)
+      .where($"event_type" === "click")
+      .select($"event_id", $"value")
+    val n = (base.count() / 20).toInt
+    val spiked = base.unionByName(
+      spark.range(n).select(($"id" + 1000000L).as("event_id"),
+                            lit(1.0e6).as("value")))
+    def madFlags(df: org.apache.spark.sql.DataFrame, cut: Double): Set[Long] = {
+      val med = df.agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = df.crossJoin(broadcast(med))
+        .withColumn("absdev", abs($"value" - $"med"))
+      val mad = dev.agg(expr("percentile(absdev, 0.5)").as("mad"))
+      dev.crossJoin(broadcast(mad))
+        .where(abs(round(lit(0.6745) * ($"value" - $"med") / $"mad", 6)) > cut)
+        .where($"event_id" < 1000000L)
+        .select($"event_id").collect().map(_.getLong(0)).toSet
+    }
+    def stddevFlags(df: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val st = df.agg(avg($"value").as("mu"), stddev_pop($"value").as("sd"))
+      df.crossJoin(broadcast(st))
+        .where(abs(($"value" - $"mu") / $"sd") > 3.5)
+        .where($"event_id" < 1000000L)
+        .select($"event_id").collect().map(_.getLong(0)).toSet
+    }
+    // Borderline outliers (just past 3.5) legitimately move with the
+    // threshold as the median shifts a few ranks; the robustness claim is
+    // about STRONG outliers (|z| > 5, far beyond any few-rank shift):
+    // MAD must keep every one of them, stddev must keep none of anything.
+    val before = madFlags(base, 3.5)
+    val strong = madFlags(base, 5.0)
+    assert(strong.nonEmpty && strong.subsetOf(before))
+    assert(strong.subsetOf(madFlags(spiked, 3.5)),
+      "contamination masked a strong (|z|>5) outlier from the MAD detector")
+    assert((before intersect stddevFlags(spiked)).isEmpty,
+      "stddev z-score was expected to mask every original outlier under contamination")
+  }
+
+  test("lateness audit: quantiles ordered, lateness non-negative, rates consistent") {
+    val rows = EventOps.latenessAudit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, mx) = (r.getLong(1), r.getLong(2))
+      val (p50, p95, p99) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      val (nd, rate) = (r.getLong(6), r.getDouble(7))
+      assert(mx >= 0L, s"negative max lateness in $r")
+      assert(p50 <= p95 && p95 <= p99 && p99 <= mx.toDouble, s"quantiles disordered: $r")
+      assert(nd <= n && rate >= 0.0 && rate <= 1.0)
+      assert(math.abs(rate - nd.toDouble / n) < 1e-6)
+    }
+  }
+
+  test("gap fill: dense grid, counts conserved, zeros present") {
+    val g = EventOps.gapFill(spark, sf).collect()
+    val total = Tables.events(spark, sf).count()
+    val types = Tables.events(spark, sf).select("event_type").distinct().count()
+    assert(g.map(_.getLong(2)).sum === total, "gap fill lost or invented events")
+    assert(g.length % types === 0, "grid is not types x hours rectangular")
+    assert(g.map(r => (r.getString(0), r.getTimestamp(1))).distinct.length === g.length)
+    assert(g.exists(_.getLong(2) === 0L), "no zero-filled cells — not actually sparse")
+  }
+
+  test("block pruning: monotone in cutoff and consistent with a full scan") {
+    val rows = Sketches.blockPruning(spark, sf).collect()
+      .sortBy(_.getTimestamp(0).getTime)
+    assert(rows.length === 3)
+    // later cutoff can only prune MORE blocks/rows
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(2) <= b.getLong(2) && a.getLong(4) <= b.getLong(4))
+    }
+    // pruning is SOUND: a pruned block contains zero qualifying rows, so
+    // (qualifying rows) + (rows in pruned blocks) <= total
+    val li = Tables.lineitem(spark, sf)
+    rows.foreach { r =>
+      val qualifying = li.where(col("l_shipdate") >= lit(r.getTimestamp(0))).count()
+      assert(qualifying + r.getLong(4) <= r.getLong(3),
+        s"pruned blocks overlap qualifying rows at cutoff ${r.getTimestamp(0)}")
+    }
+  }
+
+  test("curriculum: stages partition the corpus evenly and in quality order") {
+    val st = Pipelines.curriculum(spark, sf).collect().sortBy(_.getInt(0))
+    val corpus = Tables.documents(spark, sf).count()
+    assert(st.map(_.getInt(0)).toSeq === (1 to 4))
+    assert(st.map(_.getLong(1)).sum === corpus)
+    assert(st.map(_.getLong(1)).max - st.map(_.getLong(1)).min <= 1L,
+      "ntile stages must differ by at most one doc")
+    st.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(3) <= b.getDouble(2),
+        s"stage ${a.getInt(0)} max quality exceeds stage ${b.getInt(0)} min")
+    }
+  }
+
+  test("rrf fusion: scores bounded, ids from the legs, both-leg hits outrank tails") {
+    val rows = Similarity.rrfFusion(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val maxRrf = BigDecimal(2.0 / 61.0).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    rows.foreach { r =>
+      val rrf = BigDecimal(r.getDouble(3))
+      assert(rrf > 0 && rrf <= maxRrf, s"rrf out of range: $r")
+      assert(!(r.isNullAt(1) && r.isNullAt(2)), s"candidate from neither leg: $r")
+    }
+    // ranks strictly descend in score (ties broken by id upstream)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(3) >= b.getDouble(3))
+      assert(a.getInt(4) < b.getInt(4))
+    }
+    // fused score is exactly the sum of the reciprocal-rank contributions
+    rows.foreach { r =>
+      val v = if (r.isNullAt(1)) 0.0 else 1.0 / (60 + r.getInt(1))
+      val l = if (r.isNullAt(2)) 0.0 else 1.0 / (60 + r.getInt(2))
+      val want = BigDecimal(v + l).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      assert(BigDecimal(r.getDouble(3)) === want, s"rrf != sum of contributions: $r")
+    }
+  }
+}
