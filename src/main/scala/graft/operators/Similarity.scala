@@ -345,25 +345,34 @@ object Similarity extends QueryModule {
     * per doc). The fusion itself joins two k-row lists — driver-trivial
     * at any corpus size; legs can be swapped for their ANN / inverted-
     * index variants without touching the fusion. */
+  /** Top-k leg ranking without a global window: `orderBy().limit(k)`
+    * plans as TakeOrderedAndProject (per-partition heaps, driver merge of
+    * k-row heads — no full sort, no single-partition shuffle of the
+    * corpus); `row_number` then runs over the ALREADY k-row result, so
+    * its unpartitioned window is bounded at LegK rows at any corpus
+    * size. */
+  private def rankLeg(scored: DataFrame, rankCol: String): DataFrame =
+    scored.orderBy(col("score").desc, col("id").asc).limit(LegK)
+      .withColumn(rankCol,
+        row_number().over(Window.orderBy(col("score").desc, col("id").asc)))
+      .select(col("id"), col(rankCol))
+
   def rrfFusion(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = vecs(s, dir)
     val q = broadcast(e.filter($"vec_id" === 0)
       .select($"v".as("qv"), $"norm".as("qnorm")))
-    val vecLeg = e.filter($"vec_id" =!= 0).crossJoin(q)
-      .withColumn("vscore", round(vectorDot($"v", $"qv") / ($"norm" * $"qnorm"), 6))
-      .withColumn("vrank",
-        row_number().over(Window.orderBy($"vscore".desc, $"vec_id".asc)))
-      .where($"vrank" <= LegK)
-      .select($"vec_id".as("id"), $"vrank")
-    val lexLeg = Tables.documents(s, dir)
-      .withColumn("lscore", round(
-        size(expr("filter(split(text, ' '), t -> t = 'spark' OR t = 'join')"))
-          / size(split($"text", " ")), 6))
-      .withColumn("lrank",
-        row_number().over(Window.orderBy($"lscore".desc, $"doc_id".asc)))
-      .where($"lrank" <= LegK)
-      .select($"doc_id".as("id"), $"lrank")
+    val vecLeg = rankLeg(
+      e.filter($"vec_id" =!= 0).crossJoin(q)
+        .select($"vec_id".as("id"),
+          round(vectorDot($"v", $"qv") / ($"norm" * $"qnorm"), 6).as("score")),
+      "vrank")
+    val lexLeg = rankLeg(
+      Tables.documents(s, dir)
+        .select($"doc_id".as("id"),
+          round(size(expr("filter(split(text, ' '), t -> t = 'spark' OR t = 'join')"))
+            / size(split($"text", " ")), 6).as("score")),
+      "lrank")
     vecLeg.join(lexLeg, Seq("id"), "full_outer")
       .withColumn("rrf", round(
         coalesce(lit(1.0) / (lit(RrfC) + $"vrank"), lit(0.0))
