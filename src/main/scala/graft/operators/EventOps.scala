@@ -527,16 +527,25 @@ object EventOps extends QueryModule {
     * for `percentile_approx` (constant-memory sketch) at the cost of the
     * exact oracle; the plan shape is identical. Flagging runs on the
     * ROUNDED score so the cut at 3.5 is reproducible cross-engine. */
-  def anomalyMad(s: SparkSession, dir: String): DataFrame = {
+  /** Per-type (median, MAD) threshold table — the "model" half of robust
+    * anomaly detection, also served to the streaming apply path
+    * ([[graft.streaming.EventStreamOps.scoreAnomalies]]): batch computes
+    * the robust statistics, the stream scores against them statelessly. */
+  private[graft] def madThresholds(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, dir)
     val med = ev.groupBy($"event_type")
       .agg(expr("percentile(value, 0.5)").as("med"))
-    val dev = ev.join(broadcast(med), "event_type")
+    ev.join(broadcast(med), "event_type")
       .withColumn("absdev", abs($"value" - $"med"))
-    val mad = dev.groupBy($"event_type")
-      .agg(expr("percentile(absdev, 0.5)").as("mad"))
-    dev.join(broadcast(mad), "event_type")
+      .groupBy($"event_type")
+      .agg(first($"med").as("med"), expr("percentile(absdev, 0.5)").as("mad"))
+  }
+
+  def anomalyMad(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .join(broadcast(madThresholds(s, dir)), "event_type")
       .withColumn("robust_z", round(lit(0.6745) * ($"value" - $"med") / $"mad", 6))
       .where(abs($"robust_z") > 3.5)
       .select($"event_type", $"event_id", $"value", $"robust_z")

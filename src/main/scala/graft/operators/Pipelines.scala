@@ -168,6 +168,42 @@ object Pipelines extends QueryModule {
       .orderBy($"lang", $"source")
   }
 
+  private val TokenBudget = 2000L
+
+  /** Token-budget quota sampling: each source contributes documents in a
+    * DETERMINISTIC hash-shuffled priority order until its token budget
+    * fills (a doc is taken while the tokens already taken are under
+    * budget, so the budget-crossing doc is included and the sample is
+    * never empty). This is the budget-driven counterpart of the
+    * rate-driven [[domainMix]] — how a 100 TB corpus is cut to "at most
+    * N tokens per domain" for a training mix, auditable and re-runnable
+    * because priority is `hash(doc_id)`, not `rand()`.
+    *
+    * Scale: one window partitioned BY SOURCE over (hash, doc_id) — the
+    * same per-shard independence as [[packSequences]]; nothing global.
+    * The audit output is one partial-aggregated groupBy onto |sources|
+    * keys. */
+  def quotaSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bySource = Window.partitionBy($"source").orderBy($"h", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select($"source", $"doc_id",
+        size(split($"text", " ")).cast("long").as("n_tok"))
+      .withColumn("h", docHash)
+      .withColumn("taken_before", coalesce(sum($"n_tok").over(bySource), lit(0L)))
+      .withColumn("kept", ($"taken_before" < TokenBudget).cast("int"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"kept").cast("long").as("n_kept"),
+        sum($"n_tok").as("tokens_total"),
+        sum($"n_tok" * $"kept").as("tokens_kept"),
+        round(sum($"n_tok" * $"kept").cast("double") / TokenBudget, 6)
+          .as("budget_fill"))
+      .orderBy($"source")
+  }
+
   private val NStages = 4
 
   /** Curriculum staging: rank the corpus by quality score and cut it
@@ -202,6 +238,7 @@ object Pipelines extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_corpus_curation" -> (corpusCuration _),
     "pipe_curriculum"      -> (curriculum _),
+    "pipe_quota_sample"    -> (quotaSample _),
     "pipe_domain_mix"      -> (domainMix _),
     "pipe_pack_sequences"  -> (packSequences _),
     "pipe_shard_assign"    -> (shardAssign _),
@@ -351,5 +388,33 @@ object Pipelines extends QueryModule {
          |       max(quality_score) AS max_quality,
          |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
          |FROM staged GROUP BY stage ORDER BY stage""".stripMargin,
+    // Same hash priority, same strict-before-budget keep rule; integer
+    // token arithmetic until the one final rounded division.
+    "pipe_quota_sample" ->
+      s"""WITH d AS (
+         |  SELECT source, doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |         $hashSql AS h
+         |  FROM documents
+         |), w AS (
+         |  SELECT source, n_tok,
+         |         CAST(COALESCE(sum(n_tok) OVER (PARTITION BY source
+         |             ORDER BY h, doc_id
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS BIGINT) AS taken_before
+         |  FROM d
+         |), k AS (
+         |  SELECT source, n_tok,
+         |         CASE WHEN taken_before < $TokenBudget THEN 1 ELSE 0 END AS kept
+         |  FROM w
+         |)
+         |SELECT source,
+         |       count(*) AS n_docs,
+         |       CAST(sum(kept) AS BIGINT) AS n_kept,
+         |       CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+         |       CAST(sum(n_tok * kept) AS BIGINT) AS tokens_kept,
+         |       round(CAST(sum(n_tok * kept) AS DOUBLE) / $TokenBudget, 6)
+         |         AS budget_fill
+         |FROM k GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -359,8 +359,47 @@ object TextOps extends QueryModule {
       .orderBy($"doc_id", $"rnk")
   }
 
+  /** Corpus-typicality score — a bigram language model without the
+    * logarithm: each document's bigram instances are scored by their
+    * corpus frequency, and the document's score is the mean corpus count
+    * of its bigrams (plus that mean normalized by the corpus bigram
+    * mass). This is the arithmetic core of perplexity-based quality
+    * filtering (CCNet-style: score text by how typical its n-grams are
+    * of a reference corpus) restated in RATIONAL arithmetic — sums,
+    * counts, two divisions — so the oracle pins it bit-for-bit, where a
+    * log-domain perplexity would hang engine agreement on libm.
+    *
+    * Scale: the bigram profile is one (bigram → count) partial-agg
+    * shuffle (the vocabulary relation, square-root-ish of corpus size);
+    * scoring joins doc-bigram instances to that profile on the bigram
+    * key and re-aggregates per doc. Nothing is ever quadratic; with the
+    * profile computed once and bucketed by bigram, re-scoring new data
+    * joins against it shuffle-free on one side. */
+  def typicality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bg = Tables.documents(s, dir)
+      .withColumn("toks", tok)
+      .where(size($"toks") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+        .as("bigram"))
+    val profile = bg.groupBy($"bigram").agg(count(lit(1)).as("c"))
+    val mass = profile.agg(sum($"c").as("t_mass"))
+    bg.join(profile, "bigram")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"c").as("sum_c"))
+      .crossJoin(broadcast(mass))
+      .select(
+        $"doc_id", $"n_bigrams",
+        round($"sum_c".cast("double") / $"n_bigrams", 6).as("avg_bigram_count"),
+        round($"sum_c".cast("double") / $"n_bigrams" / $"t_mass", 9)
+          .as("typicality"))
+      .orderBy($"doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_stats" -> (tokenStats _),
+    "text_typicality"  -> (typicality _),
     "text_quality"     -> (quality _),
     "text_langid"      -> (langId _),
     "text_fingerprint" -> (fingerprint _),
@@ -571,5 +610,29 @@ object TextOps extends QueryModule {
         |FROM bg GROUP BY bigram
         |ORDER BY n DESC, bigram ASC
         |LIMIT 20""".stripMargin,
+    // Same bigram extraction as text_ngram_freq; identical division
+    // chain (sum → /n_bigrams → /t_mass) before each round.
+    "text_typicality" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, len(toks) - 1),
+        |                i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        |  FROM t
+        |),
+        |profile AS (SELECT bigram, count(*) AS c FROM bg GROUP BY bigram),
+        |mass AS (SELECT CAST(sum(c) AS BIGINT) AS t_mass FROM profile),
+        |scored AS (
+        |  SELECT bg.doc_id, count(*) AS n_bigrams,
+        |         CAST(sum(p.c) AS BIGINT) AS sum_c
+        |  FROM bg JOIN profile p USING (bigram)
+        |  GROUP BY bg.doc_id
+        |)
+        |SELECT doc_id, n_bigrams,
+        |       round(CAST(sum_c AS DOUBLE) / n_bigrams, 6) AS avg_bigram_count,
+        |       round(CAST(sum_c AS DOUBLE) / n_bigrams / t_mass, 9) AS typicality
+        |FROM scored CROSS JOIN mass
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -37,6 +37,24 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreamOps {
 
+  /** Stateless streaming anomaly scoring against batch-computed robust
+    * thresholds — the standard "train batch, apply stream" split: the
+    * per-type (median, MAD) table comes from
+    * [[graft.operators.EventOps.madThresholds]] over the corpus at rest,
+    * is broadcast (it has |event_types| rows), and every micro-batch
+    * scores + filters in a map-only stage — no streaming state at all, so
+    * this composes with any downstream sink/mode and survives restarts
+    * trivially. Same round-6 score and 3.5 cut as the batch
+    * `ev_anomaly_mad`, so stream flags == batch flags on the same rows
+    * (StreamingOpsSpec). */
+  def scoreAnomalies(events: DataFrame, thresholds: DataFrame): DataFrame =
+    events
+      .join(broadcast(thresholds), "event_type")
+      .withColumn("robust_z",
+        round(lit(0.6745) * (col("value") - col("med")) / col("mad"), 6))
+      .where(abs(col("robust_z")) > 3.5)
+      .select(col("event_type"), col("event_id"), col("value"), col("robust_z"))
+
   def watermarkedTenMin(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "30 minutes")

@@ -150,4 +150,42 @@ class PlanSpec extends AnyFunSuite {
     // presentation sort's range partitioning)
     assert(!p.contains("hashpartitioning"), p)
   }
+
+  test("rrf legs are TakeOrdered heaps, never a global sort of the corpus") {
+    val p = executedPlan("sim_rrf_fusion")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the only Window operators run AFTER the k-row take (rank
+    // assignment + fusion rank) — no window may consume a scan directly,
+    // which in this plan shows up as a window above an exchange of the
+    // un-limited corpus. Cheap proxy: every SinglePartition exchange in
+    // the plan feeds from a TakeOrdered/limited child, so the corpus
+    // never funnels through one partition.
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("anomaly_mad broadcasts the per-type scalars back to the scan") {
+    val p = executedPlan("ev_anomaly_mad")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
+  test("gap fill: grid side joins the broadcast pre-aggregated cells") {
+    val p = executedPlan("ev_gap_fill")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // corpus side reads only (event_type, ts)
+    val f = formatted("ev_gap_fill")
+    val readSchema = f.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("props") && !readSchema.contains("value"), readSchema)
+  }
+
+  test("block pruning reads only (l_orderkey, l_shipdate) and partial-aggregates") {
+    val f = formatted("sketch_block_pruning")
+    val readSchema = f.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_comment"),
+      readSchema)
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_shipdate"),
+      readSchema)
+    assert(f.contains("HashAggregate"), f) // map-side combine of block stats
+  }
 }

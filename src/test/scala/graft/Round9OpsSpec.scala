@@ -139,6 +139,34 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("quota sample: budget semantics hold per source") {
+    val rows = Pipelines.quotaSample(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, nKept) = (r.getLong(1), r.getLong(2))
+      val (total, kept) = (r.getLong(3), r.getLong(4))
+      assert(nKept >= 1L && nKept <= nDocs, s"kept count out of range: $r")
+      assert(kept <= total)
+      // an under-budget source is taken whole; the keep rule only bites
+      // once the budget is crossed
+      if (total <= 2000L) assert(nKept === nDocs, s"under-budget source truncated: $r")
+      assert(math.abs(r.getDouble(5) - kept.toDouble / 2000.0) < 1e-6)
+    }
+    // deterministic: a re-run yields the identical audit
+    assert(Pipelines.quotaSample(spark, sf).collect().toSeq ===
+      rows.toSeq)
+  }
+
+  test("typicality: bounded, self-inclusive, and corpus-mass normalized") {
+    val rows = operators.TextOps.typicality(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // every bigram instance counts at least itself in the profile
+      assert(r.getDouble(2) >= 1.0, s"avg corpus count below 1: $r")
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0, s"typicality out of (0,1]: $r")
+    }
+  }
+
   test("rrf fusion: scores bounded, ids from the legs, both-leg hits outrank tails") {
     val rows = Similarity.rrfFusion(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 20)

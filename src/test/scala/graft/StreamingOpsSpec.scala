@@ -284,4 +284,35 @@ class StreamingOpsSpec extends AnyFunSuite {
       assert(exact.nonEmpty, "vacuous: no exact pairs at this SF")
     } finally corpusIdx.unpersist()
   }
+
+  test("streaming anomaly scoring flags exactly the batch MAD outliers") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // "train" on the corpus at rest, then replay the same events as a
+    // 3-batch stream: the stateless apply must flag exactly the batch set
+    // regardless of micro-batch composition.
+    val thresholds = graft.operators.EventOps.madThresholds(spark, sf)
+      .as[(String, Double, Double)].collect().toSeq
+      .toDF("event_type", "med", "mad")
+    val batchFlags = graft.operators.EventOps.anomalyMad(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3))).toSet
+    val events = Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Ev].collect().toSeq
+    val in = MemoryStream[Ev]
+    val q = EventStreamOps.scoreAnomalies(in.toDF(), thresholds)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("anomaly_out").start()
+    try {
+      events.grouped(events.size / 3 + 1).foreach { chunk =>
+        in.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("anomaly_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(3))).toSet
+      assert(got == batchFlags, "stream flags != batch flags")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
 }
