@@ -209,23 +209,46 @@ object Pipelines extends QueryModule {
   /** Curriculum staging: rank the corpus by quality score and cut it
     * into 4 equal-size stages (easy→hard curriculum order for training),
     * emitting the per-stage manifest (doc count, quality range, token
-    * mass) a trainer consumes to schedule data. The stage boundary is an
-    * `ntile` over a DETERMINISTIC total order (round-6 score, doc_id
-    * tie-break), so re-running the job reproduces the same stages.
+    * mass) a trainer consumes to schedule data. Stages follow SQL
+    * `ntile` semantics over a DETERMINISTIC total order (round-6 score,
+    * doc_id tie-break) — the DuckDB oracle pins them with a real NTILE —
+    * so re-running the job reproduces the same stages.
     *
-    * Scale: `ntile` over a global order is a range-partitioned total
-    * sort (Spark samples boundaries; no single-partition funnel), and
-    * the only thing sorted is the (doc_id, score, n_tokens) triple —
-    * never the text. At 100 TB the cheaper variant is width_bucket on
-    * approx-quantile boundaries (one pass, no sort) at the cost of
-    * ±ε stage sizes; the exact-ntile form here is what the oracle can
-    * pin bit-for-bit. */
+    * Scale: an UNPARTITIONED `ntile` window would funnel the whole
+    * corpus through one partition (Spark's WindowExec requires each
+    * window partition on a single task — with no PARTITION BY that is
+    * ALL rows), so this uses the scalable exact-ranking pattern instead:
+    * a range-partitioned total sort of only the (doc_id, n_tokens,
+    * score) triple — never the text — then `zipWithIndex`, which turns
+    * per-partition offsets (one tiny driver array) into exact global
+    * ranks without moving data again. The NTILE bucket for a rank is
+    * then pure arithmetic: with n rows and k stages the first n%k
+    * stages take ceil(n/k) rows, the rest floor(n/k). At 100 TB the
+    * cheaper variant is width_bucket on approx-quantile boundaries (one
+    * pass, no sort) at the cost of ±ε stage sizes; the exact form here
+    * is what the oracle can pin bit-for-bit. */
   def curriculum(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val byQuality = Window.orderBy($"quality_score".asc, $"doc_id".asc)
-    TextOps.quality(s, dir)
-      .select($"doc_id", $"n_tokens", $"quality_score")
-      .withColumn("stage", ntile(NStages).over(byQuality))
+    val scored = TextOps.quality(s, dir)
+      .select($"doc_id".cast("long"), $"n_tokens".cast("long"),
+        $"quality_score")
+      .as[(Long, Long, Double)]
+    val n = scored.count()
+    val base = n / NStages
+    val extra = n % NStages // first `extra` stages hold base+1 rows
+    val cut = extra * (base + 1) // ranks 1..cut fall in the big stages
+    scored
+      .orderBy($"quality_score".asc, $"doc_id".asc)
+      .rdd.zipWithIndex()
+      .map { case ((_, nTokens, score), idx) =>
+        val r = idx + 1 // 1-based global rank in the sorted order
+        val stage =
+          if (base == 0) r.toInt // degenerate n < NStages corpus
+          else if (r <= cut) ((r - 1) / (base + 1) + 1).toInt
+          else (extra + (r - cut - 1) / base + 1).toInt
+        (stage, nTokens, score)
+      }
+      .toDF("stage", "n_tokens", "quality_score")
       .groupBy($"stage")
       .agg(
         count(lit(1)).as("n_docs"),

@@ -189,4 +189,31 @@ class Round9OpsSpec extends AnyFunSuite {
       assert(BigDecimal(r.getDouble(3)) === want, s"rrf != sum of contributions: $r")
     }
   }
+
+  test("curriculum: rank arithmetic matches a real ntile window, no WindowExec in plan") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.TextOps
+    // Reference: the single-partition ntile window (fine at test scale,
+    // the exact shape the scalable implementation replaced).
+    val byQuality = Window.orderBy(col("quality_score").asc, col("doc_id").asc)
+    val want = TextOps.quality(spark, sf)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .withColumn("stage", ntile(4).over(byQuality))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("quality_score")).as("min_quality"),
+        max(col("quality_score")).as("max_quality"),
+        sum(col("n_tokens")).cast("long").as("sum_tokens"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    val got = Pipelines.curriculum(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    assert(got === want)
+    val plan = Pipelines.curriculum(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "curriculum must not plan a window — the unpartitioned ntile " +
+        "window funnels the whole corpus through one task")
+  }
 }
