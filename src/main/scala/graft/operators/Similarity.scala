@@ -383,8 +383,116 @@ object Similarity extends QueryModule {
       .orderBy($"rnk")
   }
 
+  private val RpDim = 16 // projected dimensionality (64 → 16)
+
+  /** ±1 sign matrix for the Johnson-Lindenstrauss projection: row j is
+    * output coordinate j's signs over the 64 input dims. Sign entries
+    * (not Gaussians) keep every product v_i·s_ji exact in binary, and
+    * the 1/√16 = 1/4 normalizer is a power of two — the whole projection
+    * is float-exact given the input, so the oracle reproduces it
+    * bit-for-bit. */
+  private[graft] val rpSigns: Array[Array[Int]] =
+    Array.tabulate(RpDim) { j =>
+      Array.tabulate(DIM) { d => if ((lcg(j.toLong * DIM + d + 131L) & 1L) == 0L) 1 else -1 }
+    }
+
+  /** Random-projection dimensionality reduction (Achlioptas-style sign
+    * JL): 64-dim embeddings → 16 dims via a fixed ±1/√16 matrix, with a
+    * per-vector norm-distortion audit (‖p‖²/‖v‖² — unit mean in
+    * expectation; per-vector tails widen when the corpus is strongly
+    * structured, which is exactly what the audit column exposes before
+    * anyone trusts the reduced vectors). This is the cheap
+    * preprocessing step before coarse
+    * clustering / dedup at 100 TB: 4× narrower vectors for every
+    * downstream shuffle, at a distortion this query measures rather than
+    * assumes.
+    *
+    * Scale: one corpus scan, 16 codegen'd [[ConstVectorDot]] projections
+    * per row, no shuffle but the presentation sort. The sign matrix is a
+    * plan literal (any real d'·d matrix small enough to inline stays
+    * one; larger ones broadcast). */
+  def randProject(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, dir)
+    val proj = array((0 until RpDim).map { j =>
+      dotConst($"v", rpSigns(j).map(_.toDouble)) / 4.0d
+    }: _*)
+    e.withColumn("p", proj)
+      .select(
+        $"vec_id",
+        round(vectorDot($"v", $"v"), 6).as("orig_sq"),
+        round(vectorDot($"p", $"p"), 6).as("proj_sq"),
+        round(vectorDot($"p", $"p") / vectorDot($"v", $"v"), 6).as("distortion"))
+      .orderBy($"vec_id")
+  }
+
+  private val PqBlocks = 4 // subvectors per vector
+  private val PqSub = DIM / PqBlocks // dims per subvector
+  private val PqK = 4 // centroids per subvector codebook
+
+  /** Codebook centroid (b, c), padded to the full 64 dims (nonzero only
+    * on block b's 16): padding lets the block dot product run through
+    * the same codegen'd full-width [[ConstVectorDot]] as every other
+    * projection in this module. Entries are exact rationals k/4000
+    * (≈ ±0.25, the corpus coordinate scale). */
+  private[graft] val pqCentInts: Array[Array[Array[Long]]] =
+    Array.tabulate(PqBlocks, PqK) { (b, c) =>
+      Array.tabulate(DIM) { d =>
+        if (d / PqSub == b)
+          lcg((b * PqK + c).toLong * DIM + d + 977L) % 2001L - 1000L
+        else 0L
+      }
+    }
+  private[graft] val pqCentroids: Array[Array[Array[Double]]] =
+    pqCentInts.map(_.map(_.map(_ / 4000.0)))
+
+  /** Σcᵢ² per centroid, folded in array order — the same sequential sum
+    * DuckDB's `list_dot_product(pc, pc)` performs, so the two engines
+    * hold bit-identical constants. */
+  private[graft] val pqCC: Array[Array[Double]] =
+    pqCentroids.map(_.map(pc => pc.foldLeft(0.0)((acc, x) => acc + x * x)))
+
+  /** Product quantization (PQ) encoding — THE memory-bound storage for
+    * billion-vector ANN (IVF-PQ): each vector splits into 4 subvectors,
+    * each assigned its nearest of 4 codebook centroids; the vector is
+    * then 4 small codes (here 8 bits total vs 256 bytes of floats).
+    * Emits the codes plus the exact squared reconstruction error.
+    *
+    * The argmin never computes ‖v_b − c‖² directly: over a fixed block,
+    * argmin_c ‖v_b − c‖² = argmin_c (‖c‖² − 2·v_b·c) — the ‖v_b‖² term
+    * is constant across candidates — so scoring is one codegen'd
+    * [[ConstVectorDot]] per (block, centroid) against precomputed ‖c‖²
+    * literals. The true error is recovered at the end as
+    * ‖v‖² + Σ_b s_b (adding back the dropped ‖v_b‖² mass), and ties
+    * break to the lowest code in both engines.
+    *
+    * Scale: one corpus scan, 16 dot products per row, no shuffle but
+    * the presentation sort; codes become the corpus's storage columns. */
+  def pqCodes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, dir)
+    // s(b, c) = ‖c‖² − 2·(v · pc) — smaller ⇔ closer, per block
+    def score(b: Int, c: Int) =
+      lit(pqCC(b)(c)) - lit(2.0) * dotConst($"v", pqCentroids(b)(c))
+    val withBest = (0 until PqBlocks).foldLeft(e) { (df, b) =>
+      val ss = (0 until PqK).map(c => score(b, c))
+      val m = least(ss: _*)
+      val code = (0 until PqK).foldRight(lit(-1): org.apache.spark.sql.Column) {
+        (c, el) => when(ss(c) === m, lit(c)).otherwise(el)
+      }
+      df.withColumn(s"s$b", m).withColumn(s"code$b", code)
+    }
+    withBest.select(
+      $"vec_id", $"code0", $"code1", $"code2", $"code3",
+      round(vectorDot($"v", $"v") + $"s0" + $"s1" + $"s2" + $"s3", 6)
+        .as("err_sq"))
+      .orderBy($"vec_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (topkBruteForce _),
+    "sim_rand_project"    -> (randProject _),
+    "sim_pq_codes"        -> (pqCodes _),
     "sim_rrf_fusion"      -> (rrfFusion _),
     "sim_topk_ivf"        -> (topkIvf _),
     "sim_ann_lsh"         -> (topkLsh _),
@@ -409,7 +517,75 @@ object Similarity extends QueryModule {
       s"($h, list_transform([${row.mkString(",")}], k -> k / 1000.0))"
     }.mkString(",\n")
 
+  /** The JL sign matrix as SQL VALUES rows `(j, sv DOUBLE[])`. */
+  private def rpSqlValues: String =
+    rpSigns.zipWithIndex.map { case (row, j) =>
+      s"($j, CAST([${row.mkString(",")}] AS DOUBLE[]))"
+    }.mkString(",\n")
+
+  /** The padded PQ codebook as SQL VALUES rows `(b, c, pc DOUBLE[])` —
+    * the same k/4000 rationals the Spark literals hold. */
+  private def pqSqlValues: String =
+    (for (b <- 0 until PqBlocks; c <- 0 until PqK) yield
+      s"($b, $c, list_transform([${pqCentInts(b)(c).mkString(",")}], k -> k / 4000.0))"
+    ).mkString(",\n")
+
   override def oracles: Map[String, String] = Map(
+    // Projection = list(dot / 4.0 ORDER BY j): the same 16 sequential
+    // ±1 dots and power-of-two normalizer as the Spark plan; norms and
+    // the distortion ratio divide unrounded, then round(…, 6).
+    "sim_rand_project" ->
+      s"""$vecCte,
+         |sg AS (SELECT * FROM (VALUES
+         |$rpSqlValues
+         |) AS t(j, sv)),
+         |p AS (
+         |  SELECT e.vec_id,
+         |         list(list_dot_product(e.v, sg.sv) / 4.0 ORDER BY sg.j) AS pv
+         |  FROM e CROSS JOIN sg GROUP BY e.vec_id
+         |)
+         |SELECT e.vec_id,
+         |       round(list_dot_product(e.v, e.v), 6) AS orig_sq,
+         |       round(list_dot_product(p.pv, p.pv), 6) AS proj_sq,
+         |       round(list_dot_product(p.pv, p.pv)
+         |             / list_dot_product(e.v, e.v), 6) AS distortion
+         |FROM e JOIN p USING (vec_id)
+         |ORDER BY vec_id""".stripMargin,
+    // Same ‖c‖² − 2·(v·pc) scoring (‖c‖² recomputed as the identical
+    // sequential self-dot), min per (vec, block), lowest code on ties,
+    // and the same left-to-right ‖v‖² + s0 + s1 + s2 + s3 error sum.
+    "sim_pq_codes" ->
+      s"""$vecCte,
+         |cent AS (SELECT * FROM (VALUES
+         |$pqSqlValues
+         |) AS t(b, c, pc)),
+         |sc AS (
+         |  SELECT e.vec_id, cent.b, cent.c,
+         |         list_dot_product(cent.pc, cent.pc)
+         |           - 2.0 * list_dot_product(e.v, cent.pc) AS sbc
+         |  FROM e CROSS JOIN cent
+         |),
+         |best AS (SELECT vec_id, b, min(sbc) AS m FROM sc GROUP BY vec_id, b),
+         |codes AS (
+         |  SELECT sc.vec_id, sc.b, min(best.m) AS m, min(sc.c) AS code
+         |  FROM sc JOIN best ON sc.vec_id = best.vec_id AND sc.b = best.b
+         |                   AND sc.sbc = best.m
+         |  GROUP BY sc.vec_id, sc.b
+         |),
+         |vv AS (SELECT vec_id, list_dot_product(v, v) AS v2 FROM e)
+         |SELECT vv.vec_id,
+         |       max(CASE WHEN b = 0 THEN code END) AS code0,
+         |       max(CASE WHEN b = 1 THEN code END) AS code1,
+         |       max(CASE WHEN b = 2 THEN code END) AS code2,
+         |       max(CASE WHEN b = 3 THEN code END) AS code3,
+         |       round(vv.v2
+         |             + max(CASE WHEN b = 0 THEN m END)
+         |             + max(CASE WHEN b = 1 THEN m END)
+         |             + max(CASE WHEN b = 2 THEN m END)
+         |             + max(CASE WHEN b = 3 THEN m END), 6) AS err_sq
+         |FROM codes JOIN vv ON codes.vec_id = vv.vec_id
+         |GROUP BY vv.vec_id, vv.v2
+         |ORDER BY vv.vec_id""".stripMargin,
     "sim_topk_bruteforce" ->
       s"""$vecCte
          |SELECT query_id, neighbor_id, rnk, score FROM (

@@ -397,8 +397,84 @@ object TextOps extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  private val PmiMinCount = 5
+  private val PmiTopK = 20
+
+  /** Collocation mining: top-20 adjacent-token bigrams by association
+    * lift p(ab) / (p(a)·p(b)) — the monotone-in-PMI rational core of the
+    * PMI collocation score (the caller takes the log, keeping this
+    * libm-free so the oracle pins it bit-for-bit). Bigrams seen fewer
+    * than 5 times are screened out first (PMI's classic low-count
+    * instability). The division chain is order-pinned:
+    * (c_ab/c_a) · (N/c_b) · (N/N_bigrams).
+    *
+    * Scale: unigram and bigram counts are two partially-aggregated token
+    * shuffles; the unigram vocabulary is broadcast-sized, so attaching
+    * c_a / c_b is two broadcast joins; corpus totals ride along as
+    * broadcast scalar rows; the final top-20 is a TakeOrdered heap —
+    * the corpus itself never sorts. */
+  def pmiBigrams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toksDf = Tables.documents(s, dir).withColumn("toks", tok)
+    val uni = toksDf.select(explode($"toks").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("cw")).persist()
+    val totals = broadcast(uni.agg(sum($"cw").as("n_uni")))
+    val bgCounts = toksDf.where(size($"toks") >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS a, toks[i + 1] AS b))")).as("p"))
+      .select($"p.a".as("a"), $"p.b".as("b"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("cab"))
+    val bgTotal = broadcast(bgCounts.agg(sum($"cab").as("n_big")))
+    bgCounts.where($"cab" >= PmiMinCount)
+      .join(broadcast(uni.select($"w".as("a"), $"cw".as("ca"))), "a")
+      .join(broadcast(uni.select($"w".as("b"), $"cw".as("cb"))), "b")
+      .crossJoin(totals).crossJoin(bgTotal)
+      .withColumn("lift", round(
+        ($"cab".cast("double") / $"ca") * ($"n_uni".cast("double") / $"cb")
+          * ($"n_uni".cast("double") / $"n_big"), 6))
+      .select($"a", $"b", $"cab", $"lift")
+      .orderBy($"lift".desc, $"a".asc, $"b".asc)
+      .limit(PmiTopK)
+  }
+
+  private val Blocklist = Seq("slow", "fast", "merge")
+  private val BlockMaxRate = 0.08
+  private def blockPred(neg: Boolean): String = {
+    val hit = Blocklist.map(t => s"t = '$t'").mkString(" OR ")
+    if (neg) s"NOT ($hit)" else hit
+  }
+
+  /** Blocklist screening + scrub — the term-blocklist stage every
+    * public curation pipeline runs (C4's bad-words screen is this
+    * operator with a longer list): per doc, the blocklist hit count and
+    * rate, the keep/drop decision at an 8% rate threshold, and the md5
+    * digest of the SCRUBBED text (hits removed, single-space rejoin) so
+    * the oracle pins the rewrite itself, not just the counts.
+    *
+    * Scale: one scan, all per-row codegen'd array folds, no shuffle but
+    * the presentation sort; the blocklist itself is a plan literal
+    * (a production list of ~1k terms would broadcast a set instead —
+    * same single-scan shape). */
+  def blocklistScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("toks", tok)
+      .withColumn("n_tokens", size($"toks"))
+      .withColumn("n_hits",
+        expr(s"size(filter(toks, t -> ${blockPred(neg = false)}))"))
+      .withColumn("hit_rate", round($"n_hits".cast("double") / $"n_tokens", 6))
+      .select(
+        $"doc_id", $"n_tokens", $"n_hits", $"hit_rate",
+        ($"hit_rate" <= BlockMaxRate).cast("int").as("kept"),
+        md5(expr(s"concat_ws(' ', filter(toks, t -> ${blockPred(neg = true)}))"))
+          .as("scrub_digest"))
+      .orderBy($"doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_stats" -> (tokenStats _),
+    "text_pmi_bigrams" -> (pmiBigrams _),
+    "text_blocklist"   -> (blocklistScrub _),
     "text_typicality"  -> (typicality _),
     "text_quality"     -> (quality _),
     "text_langid"      -> (langId _),
@@ -610,6 +686,46 @@ object TextOps extends QueryModule {
         |FROM bg GROUP BY bigram
         |ORDER BY n DESC, bigram ASC
         |LIMIT 20""".stripMargin,
+    // Identical order-pinned division chain (c_ab/c_a)·(N/c_b)·
+    // (N/N_big); parallel unnest zips the two shifted token lists into
+    // adjacent pairs exactly as the Spark transform(sequence) does.
+    "text_pmi_bigrams" ->
+      s"""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+         |uc AS (SELECT unnest(toks) AS w FROM t),
+         |u AS (SELECT w, count(*) AS cw FROM uc GROUP BY w),
+         |nu AS (SELECT CAST(sum(cw) AS BIGINT) AS n_uni FROM u),
+         |bg AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+         |                i -> toks[i])) AS a,
+         |         unnest(list_transform(generate_series(1, len(toks) - 1),
+         |                i -> toks[i + 1])) AS b
+         |  FROM t WHERE len(toks) >= 2
+         |),
+         |bc AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY a, b),
+         |nb AS (SELECT CAST(sum(cab) AS BIGINT) AS n_big FROM bc)
+         |SELECT a, b, cab,
+         |       round((CAST(cab AS DOUBLE) / ua.cw)
+         |           * (CAST(n_uni AS DOUBLE) / ub.cw)
+         |           * (CAST(n_uni AS DOUBLE) / n_big), 6) AS lift
+         |FROM bc
+         |JOIN u ua ON bc.a = ua.w
+         |JOIN u ub ON bc.b = ub.w
+         |CROSS JOIN nu CROSS JOIN nb
+         |WHERE cab >= $PmiMinCount
+         |ORDER BY lift DESC, a ASC, b ASC
+         |LIMIT $PmiTopK""".stripMargin,
+    // Scrub digest: same token filter, single-space rejoin, md5 — the
+    // oracle recomputes the rewritten text, not just the counts.
+    "text_blocklist" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+         |SELECT doc_id, len(toks) AS n_tokens,
+         |       len(list_filter(toks, t -> ${blockPred(neg = false)})) AS n_hits,
+         |       round(CAST(len(list_filter(toks, t -> ${blockPred(neg = false)})) AS DOUBLE)
+         |             / len(toks), 6) AS hit_rate,
+         |       CASE WHEN round(CAST(len(list_filter(toks, t -> ${blockPred(neg = false)})) AS DOUBLE)
+         |             / len(toks), 6) <= $BlockMaxRate THEN 1 ELSE 0 END AS kept,
+         |       md5(array_to_string(list_filter(toks, t -> ${blockPred(neg = true)}), ' ')) AS scrub_digest
+         |FROM t ORDER BY doc_id""".stripMargin,
     // Same bigram extraction as text_ngram_freq; identical division
     // chain (sum → /n_bigrams → /t_mass) before each round.
     "text_typicality" ->

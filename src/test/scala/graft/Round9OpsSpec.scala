@@ -216,4 +216,101 @@ class Round9OpsSpec extends AnyFunSuite {
       "curriculum must not plan a window — the unpartitioned ntile " +
         "window funnels the whole corpus through one task")
   }
+
+  private def vecsOf(dir: String): Map[Long, Array[Double]] =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+
+  test("pq codes: -2·dot+cc algebra equals the direct |v-c|^2 argmin and error") {
+    val vecs = vecsOf(sf)
+    val cents = Similarity.pqCentroids
+    Similarity.pqCodes(spark, sf).collect().foreach { r =>
+      val v = vecs(r.getLong(0))
+      var err = 0.0
+      (0 until 4).foreach { b =>
+        // direct definition: squared distance on the block's 16 dims
+        val d2 = (0 until 4).map { c =>
+          var s = 0.0
+          (b * 16 until b * 16 + 16).foreach { i =>
+            val d = v(i) - cents(b)(c)(i); s += d * d
+          }
+          (s, c)
+        }
+        val (bestD2, bestC) = d2.min
+        assert(r.getInt(1 + b) === bestC,
+          s"vec ${r.getLong(0)} block $b: code ${r.getInt(1 + b)} != direct argmin $bestC")
+        err += bestD2
+      }
+      assert(math.abs(r.getDouble(5) - err) < 1e-6,
+        s"vec ${r.getLong(0)}: err_sq ${r.getDouble(5)} != direct $err")
+      assert(r.getDouble(5) >= 0.0)
+    }
+  }
+
+  test("rand project: distortion concentrates near 1 and projection is linear") {
+    val rows = Similarity.randProject(spark, sf).collect()
+    val dist = rows.map(_.getDouble(3))
+    // Per-vector distortion is heavy-tailed on this corpus (the synthetic
+    // embeddings are strongly structured, far from isotropic — exactly
+    // the case the audit column exists to expose); the unbiasedness of
+    // the estimator is what must hold: non-negative everywhere, mean ≈ 1.
+    assert(dist.forall(_ >= 0.0), "squared-norm ratio went negative")
+    val mean = dist.sum / dist.length
+    assert(mean > 0.7 && mean < 1.3, s"mean distortion $mean not near 1")
+    // spot-recompute one vector's projected norm from the sign matrix
+    val vecs = vecsOf(sf)
+    val v = vecs(vecs.keys.min)
+    val p = Similarity.rpSigns.map(row =>
+      row.zip(v).foldLeft(0.0)((a, sv) => a + sv._1 * sv._2) / 4.0)
+    val p2 = p.foldLeft(0.0)((a, x) => a + x * x)
+    val got = rows.find(_.getLong(0) == vecs.keys.min).get.getDouble(2)
+    assert(math.abs(got - p2) < 1e-6)
+  }
+
+  test("pmi bigrams: lift recomputes from raw corpus counts") {
+    val docs = Tables.documents(spark, sf).select(col("text"))
+      .collect().map(_.getString(0))
+    val toks = docs.map(_.split(" ", -1).toSeq)
+    val uni = toks.flatten.groupBy(identity).map { case (w, g) => (w, g.size.toLong) }
+    val nUni = uni.values.sum
+    val bigrams = toks.filter(_.size >= 2)
+      .flatMap(t => t.zip(t.tail)).groupBy(identity)
+      .map { case (p, g) => (p, g.size.toLong) }
+    val nBig = bigrams.values.sum
+    val got = operators.TextOps.pmiBigrams(spark, sf).collect()
+    assert(got.length === 20)
+    got.foreach { r =>
+      val (a, b, cab) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(bigrams((a, b)) === cab)
+      val lift = BigDecimal(
+        (cab.toDouble / uni(a)) * (nUni.toDouble / uni(b)) * (nUni.toDouble / nBig))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      assert(BigDecimal(r.getDouble(3)) === lift, s"lift mismatch for ($a,$b)")
+    }
+  }
+
+  test("blocklist: scrub digest and keep flag recompute per doc") {
+    val block = Set("slow", "fast", "merge")
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = operators.TextOps.blocklistScrub(spark, sf).collect()
+    assert(rows.length === docs.size)
+    assert(rows.exists(_.getInt(4) == 0), "no doc dropped — threshold dead")
+    assert(rows.exists(_.getInt(4) == 1), "every doc dropped — threshold dead")
+    rows.foreach { r =>
+      val toks = docs(r.getLong(0)).split(" ", -1)
+      val hits = toks.count(block)
+      assert(r.getInt(2) === hits)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(toks.filterNot(block).mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getString(5) === md)
+      val rate = BigDecimal(hits.toDouble / toks.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      assert((r.getInt(4) == 1) === (rate <= BigDecimal("0.08")))
+    }
+  }
 }
