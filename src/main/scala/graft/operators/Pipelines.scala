@@ -204,6 +204,44 @@ object Pipelines extends QueryModule {
       .orderBy($"source")
   }
 
+  private val MixBudget = 1000000L // total training-token budget
+
+  /** Mixture-epoch planning — the data-mixing arithmetic a trainer runs
+    * before a job (the DoReMi/Pile-style "how many epochs of each
+    * domain" table): each source gets a target share of the token
+    * budget proportional to its mixture weight; dividing by what the
+    * source actually has yields its repeat factor (epochs), flagging
+    * domains that must oversample (repeat > 1). Weights here cycle
+    * 100/200/300/400 permille-like units by source index (a stand-in
+    * for the user-supplied mixture config).
+    *
+    * Scale: one partially-aggregated groupBy(source) over (source,
+    * n_tokens) pairs, then a broadcast scalar join for the weight
+    * total — source cardinality is tiny at any corpus size, and the
+    * corpus itself never reshuffles. All divisions are order-pinned
+    * ((w·B)/W then /avail) so the oracle reproduces them exactly. */
+  def mixEpochs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perSrc = Tables.documents(s, dir)
+      .groupBy($"source")
+      .agg(sum(size(split($"text", " "))).cast("long").as("avail_tokens"))
+      .withColumn("weight",
+        (substring($"source", 4, 10).cast("int") % 4 + 1) * 100)
+    val wTotal = broadcast(perSrc.agg(sum($"weight").cast("long").as("w_total")))
+    perSrc.crossJoin(wTotal)
+      .select(
+        $"source", $"avail_tokens", $"weight",
+        round(($"weight" * MixBudget).cast("double") / $"w_total", 6)
+          .as("needed_tokens"),
+        round((($"weight" * MixBudget).cast("double") / $"w_total")
+          / $"avail_tokens", 6).as("repeat_factor"),
+        ceil(round((($"weight" * MixBudget).cast("double") / $"w_total")
+          / $"avail_tokens", 6)).cast("long").as("n_epochs"),
+        (round((($"weight" * MixBudget).cast("double") / $"w_total")
+          / $"avail_tokens", 6) > 1.0).cast("int").as("oversampled"))
+      .orderBy($"source")
+  }
+
   private val NStages = 4
 
   /** Curriculum staging: rank the corpus by quality score and cut it
@@ -261,6 +299,7 @@ object Pipelines extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_corpus_curation" -> (corpusCuration _),
     "pipe_curriculum"      -> (curriculum _),
+    "pipe_mix_epochs"      -> (mixEpochs _),
     "pipe_quota_sample"    -> (quotaSample _),
     "pipe_domain_mix"      -> (domainMix _),
     "pipe_pack_sequences"  -> (packSequences _),
@@ -333,6 +372,27 @@ object Pipelines extends QueryModule {
          |  AND doc.doc_id NOT IN (SELECT doc_id FROM losers)
          |GROUP BY doc.lang
          |ORDER BY doc.lang""".stripMargin,
+    // Same order-pinned division chain ((w·B)/W then /avail); ceil on
+    // the ROUNDED repeat factor in both engines.
+    "pipe_mix_epochs" ->
+      s"""WITH d AS (
+         |  SELECT source, CAST(substring(source, 4, 10) AS INT) AS src_num,
+         |         len(string_split(text, ' ')) AS n_tok
+         |  FROM documents
+         |), a AS (
+         |  SELECT source, CAST(sum(n_tok) AS BIGINT) AS avail_tokens,
+         |         (min(src_num) % 4 + 1) * 100 AS weight
+         |  FROM d GROUP BY source
+         |), w AS (SELECT CAST(sum(weight) AS BIGINT) AS w_total FROM a)
+         |SELECT source, avail_tokens, weight,
+         |       round(CAST(weight * $MixBudget AS DOUBLE) / w_total, 6) AS needed_tokens,
+         |       round((CAST(weight * $MixBudget AS DOUBLE) / w_total)
+         |             / avail_tokens, 6) AS repeat_factor,
+         |       CAST(ceil(round((CAST(weight * $MixBudget AS DOUBLE) / w_total)
+         |             / avail_tokens, 6)) AS BIGINT) AS n_epochs,
+         |       CASE WHEN round((CAST(weight * $MixBudget AS DOUBLE) / w_total)
+         |             / avail_tokens, 6) > 1.0 THEN 1 ELSE 0 END AS oversampled
+         |FROM a CROSS JOIN w ORDER BY source""".stripMargin,
     "pipe_domain_mix" ->
       s"""WITH d AS (
          |  SELECT source, CAST(substring(source, 4, 10) AS INT) AS src_num,

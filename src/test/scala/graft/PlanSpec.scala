@@ -151,6 +151,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning"), p)
   }
 
+  test("vector compression (JL projection, PQ encode) is a per-row codegen'd map") {
+    for (q <- Seq("sim_rand_project", "sim_pq_codes")) {
+      val p = executedPlan(q)
+      assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), s"$q: $p")
+      // one corpus scan, per-row dots; only the presentation sort shuffles
+      assert(!p.contains("hashpartitioning"), s"$q: $p")
+      assert(p.contains("*("), s"$q not in WholeStageCodegen: $p")
+    }
+  }
+
+  test("pmi joins broadcast the vocabulary and scalar totals; no corpus sort") {
+    val p = executedPlan("text_pmi_bigrams")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("blocklist scrub is a single-pass scan (only the presentation sort shuffles)") {
+    val p = executedPlan("text_blocklist")
+    assert(!p.contains("ScalaUDF") && !p.contains("hashpartitioning"), p)
+  }
+
   test("rrf legs are TakeOrdered heaps, never a global sort of the corpus") {
     val p = executedPlan("sim_rrf_fusion")
     assert(p.contains("TakeOrderedAndProject"), p)

@@ -291,6 +291,22 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mix epochs: budget conserved, epochs = ceil(repeat), flags consistent") {
+    val rows = Pipelines.mixEpochs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val needed = rows.map(_.getDouble(3)).sum
+    assert(math.abs(needed - 1000000.0) < 1e-3,
+      s"per-source budget shares must sum to the budget, got $needed")
+    rows.foreach { r =>
+      val (avail, rep, epochs, over) =
+        (r.getLong(1), r.getDouble(4), r.getLong(5), r.getInt(6))
+      assert(math.abs(rep * avail - r.getDouble(3)) < 1.0,
+        s"repeat·avail != needed for ${r.getString(0)}")
+      assert(epochs === math.ceil(rep).toLong)
+      assert((over == 1) === (rep > 1.0))
+    }
+  }
+
   test("blocklist: scrub digest and keep flag recompute per doc") {
     val block = Set("slow", "fast", "merge")
     val docs = Tables.documents(spark, sf)
