@@ -426,73 +426,137 @@ object Similarity extends QueryModule {
       .orderBy($"vec_id")
   }
 
-  private val PqBlocks = 4 // subvectors per vector
-  private val PqSub = DIM / PqBlocks // dims per subvector
-  private val PqK = 4 // centroids per subvector codebook
+  private[graft] val PqBlocks = 8 // subvectors per vector
+  private[graft] val PqSub = DIM / PqBlocks // dims per subvector (8)
+  private val PqShortlist = 200 // ADC shortlist size before exact rerank
 
-  /** Codebook centroid (b, c), padded to the full 64 dims (nonzero only
-    * on block b's 16): padding lets the block dot product run through
-    * the same codegen'd full-width [[ConstVectorDot]] as every other
-    * projection in this module. Entries are exact rationals k/4000
-    * (≈ ±0.25, the corpus coordinate scale). */
-  private[graft] val pqCentInts: Array[Array[Array[Long]]] =
-    Array.tabulate(PqBlocks, PqK) { (b, c) =>
-      Array.tabulate(DIM) { d =>
-        if (d / PqSub == b)
-          lcg((b * PqK + c).toLong * DIM + d + 977L) % 2001L - 1000L
-        else 0L
-      }
+  /** The PQ codebook donors `(cid, cv)`: block b's 16-entry sub-codebook
+    * is the b-th 8-dim slice of the first 16 corpus vectors — the same
+    * sample-as-codebook convention as IVF's [[centroidsOf]], and
+    * data-derived, so the oracle rebuilds it from the table rather than
+    * trusting literals. A production pipeline k-means-refines the
+    * codebook offline and ships it as exactly this kind of tiny
+    * broadcast relation. */
+  private def pqDonors(e: DataFrame): DataFrame =
+    broadcast(e.filter(col("vec_id") < NCENT)
+      .select(col("vec_id").as("cid"), col("v").as("cv")))
+
+  /** Adds the 8 per-block scores `s_b = ‖c_b‖² − 2·(x_b · c_b)` to a
+    * (row × donor) pair frame — the rank-equivalent of the block squared
+    * distance (the ‖x_b‖² term is constant across candidates), so
+    * everything stays in codegen'd slice + [[VectorDot]] folds. `vcol`
+    * names the row's vector column (`v` for the corpus, `qv` for
+    * queries). */
+  private def pqScores(pairs: DataFrame, vcol: String): DataFrame =
+    (0 until PqBlocks).foldLeft(pairs) { (df, b) =>
+      val xs = slice(col(vcol), b * PqSub + 1, PqSub)
+      val cs = slice(col("cv"), b * PqSub + 1, PqSub)
+      df.withColumn(s"s$b", vectorDot(cs, cs) - lit(2.0) * vectorDot(xs, cs))
     }
-  private[graft] val pqCentroids: Array[Array[Array[Double]]] =
-    pqCentInts.map(_.map(_.map(_ / 4000.0)))
 
-  /** Σcᵢ² per centroid, folded in array order — the same sequential sum
-    * DuckDB's `list_dot_product(pc, pc)` performs, so the two engines
-    * hold bit-identical constants. */
-  private[graft] val pqCC: Array[Array[Double]] =
-    pqCentroids.map(_.map(pc => pc.foldLeft(0.0)((acc, x) => acc + x * x)))
+  /** `(vec_id, m0..m7)` where `m_b = struct(sc, c)` is block b's argmin
+    * (score, donor id) — one broadcast crossJoin against the 16 donors
+    * and ONE partially-aggregated groupBy: the lexicographic struct-min
+    * combines map-side, so only one row per vector reaches the shuffle,
+    * and ties break to the lowest donor id in both engines. */
+  private def pqAssign(e: DataFrame): DataFrame = {
+    val scored = pqScores(e.crossJoin(pqDonors(e)), "v")
+    val aggs = (0 until PqBlocks).map { b =>
+      min(struct(col(s"s$b").as("sc"), col("cid").as("c"))).as(s"m$b")
+    }
+    scored.groupBy(col("vec_id")).agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Product quantization (PQ) encoding — THE memory-bound storage for
-    * billion-vector ANN (IVF-PQ): each vector splits into 4 subvectors,
-    * each assigned its nearest of 4 codebook centroids; the vector is
-    * then 4 small codes (here 8 bits total vs 256 bytes of floats).
-    * Emits the codes plus the exact squared reconstruction error.
+    * billion-vector ANN (IVF-PQ): each 64-dim vector splits into 8
+    * 8-dim blocks, each assigned its nearest sub-codebook entry; the
+    * vector is then 8 small codes (8 bytes at a 16-entry codebook vs
+    * 512 bytes of doubles). Emits the codes plus the exact squared
+    * reconstruction error ‖v − recon(v)‖², recovered as
+    * ‖v‖² + Σ_b s_b without ever materializing difference vectors.
     *
-    * The argmin never computes ‖v_b − c‖² directly: over a fixed block,
-    * argmin_c ‖v_b − c‖² = argmin_c (‖c‖² − 2·v_b·c) — the ‖v_b‖² term
-    * is constant across candidates — so scoring is one codegen'd
-    * [[ConstVectorDot]] per (block, centroid) against precomputed ‖c‖²
-    * literals. The true error is recovered at the end as
-    * ‖v‖² + Σ_b s_b (adding back the dropped ‖v_b‖² mass), and ties
-    * break to the lowest code in both engines.
-    *
-    * Scale: one corpus scan, 16 dot products per row, no shuffle but
-    * the presentation sort; codes become the corpus's storage columns. */
+    * Scale: the corpus scans once against the 16 broadcast donors; the
+    * struct-min aggregation combines map-side so the single shuffle
+    * carries one row per vector. The emitted codes are the storage
+    * columns [[topkPqAdc]] serves from. */
   def pqCodes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = vecs(s, dir)
-    // s(b, c) = ‖c‖² − 2·(v · pc) — smaller ⇔ closer, per block
-    def score(b: Int, c: Int) =
-      lit(pqCC(b)(c)) - lit(2.0) * dotConst($"v", pqCentroids(b)(c))
-    val withBest = (0 until PqBlocks).foldLeft(e) { (df, b) =>
-      val ss = (0 until PqK).map(c => score(b, c))
-      val m = least(ss: _*)
-      val code = (0 until PqK).foldRight(lit(-1): org.apache.spark.sql.Column) {
-        (c, el) => when(ss(c) === m, lit(c)).otherwise(el)
-      }
-      df.withColumn(s"s$b", m).withColumn(s"code$b", code)
+    val codeCols = (0 until PqBlocks).map(b => col(s"m$b.c").as(s"code$b"))
+    val err = (0 until PqBlocks).foldLeft(vectorDot($"v", $"v")) {
+      (acc, b) => acc + col(s"m$b.sc")
     }
-    withBest.select(
-      $"vec_id", $"code0", $"code1", $"code2", $"code3",
-      round(vectorDot($"v", $"v") + $"s0" + $"s1" + $"s2" + $"s3", 6)
-        .as("err_sq"))
+    pqAssign(e).join(e.select($"vec_id", $"v"), "vec_id")
+      .select($"vec_id" +: codeCols :+ round(err, 6).as("err_sq"): _*)
       .orderBy($"vec_id")
+  }
+
+  /** PQ asymmetric-distance top-k — how IVF-PQ engines actually SERVE:
+    * each query precomputes its 8×16 lookup table
+    * `lut(b, c) = ‖c_b‖² − 2·(q_b · c_b)` (128 8-dim dots per QUERY,
+    * once, on the broadcast side); every candidate is then ADC-scored
+    * from its 8 PQ CODES alone — `‖q‖² + Σ_b lut(b, code_b)` =
+    * ‖q − recon(x)‖², the distance to the candidate's quantized
+    * reconstruction — and the ADC top-[[PqShortlist]] shortlist is
+    * re-ranked by EXACT cosine (the FAISS two-stage serving pipeline).
+    * Output schema matches [[topkBruteForce]], so recall is a direct
+    * set comparison. Recall is governed by the shortlist fraction R/n
+    * for a fixed codebook — measured @5: 0.95 at sf0.01 (R/n 40%) and
+    * 0.68 at sf0.1 (R/n 10%), the highest-recall approximate path in
+    * the library at the bench SF (multiprobe LSH 0.62); the full
+    * R-sweep is in BASELINE.md and the Round9OpsSpec floor is 0.5.
+    *
+    * Scale: the ADC stage joins per-query LUT rows to candidates on
+    * (query, code) — the candidate payload is 8 small codes, not 64
+    * doubles (~64× less candidate traffic than brute force; in
+    * production the codes are the STORED columns and the scan reads
+    * ~8 bytes/vector). Only the R×queries shortlist rows ever fetch
+    * real vectors for the exact re-rank — the gather pattern of
+    * serving. R governs the recall/traffic trade and scales with k,
+    * not the corpus. */
+  def topkPqAdc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, dir)
+    val codes = pqAssign(e).select(
+      col("vec_id").as("neighbor_id") +:
+        (0 until PqBlocks).map(b => col(s"m$b.c").as(s"code$b")): _*)
+    val q = queriesOf(e).withColumn("qq", vectorDot($"qv", $"qv"))
+    val lut = pqScores(q.select($"query_id", $"qv").crossJoin(pqDonors(e)), "qv")
+    val cand = (0 until PqBlocks).foldLeft(
+      codes.crossJoin(broadcast(q.select($"query_id", $"qq")))
+        .where($"neighbor_id" =!= $"query_id")) { (df, b) =>
+      df.join(
+        broadcast(lut.select($"query_id", $"cid".as(s"code$b"),
+          col(s"s$b").as(s"l$b"))),
+        Seq("query_id", s"code$b"))
+    }
+    val adcSum = (0 until PqBlocks).foldLeft($"qq": org.apache.spark.sql.Column) {
+      (acc, b) => acc + col(s"l$b")
+    }
+    val shortW = Window.partitionBy($"query_id")
+      .orderBy($"adc".asc, $"neighbor_id".asc)
+    val short = cand.withColumn("adc", round(adcSum, 6))
+      .withColumn("srnk", row_number().over(shortW))
+      .where($"srnk" <= PqShortlist)
+      .select($"query_id", $"neighbor_id")
+    val byQuery = Window.partitionBy($"query_id")
+      .orderBy($"score".desc, $"neighbor_id".asc)
+    short
+      .join(e.select($"vec_id".as("neighbor_id"), $"v".as("nv"), $"norm".as("nnorm")),
+        "neighbor_id")
+      .join(broadcast(q.select($"query_id", $"qv", $"qnorm")), "query_id")
+      .withColumn("score", round(vectorDot($"qv", $"nv") / ($"qnorm" * $"nnorm"), 6))
+      .withColumn("rnk", row_number().over(byQuery))
+      .where($"rnk" <= K)
+      .select($"query_id", $"neighbor_id", $"rnk", $"score")
+      .orderBy($"query_id", $"rnk")
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (topkBruteForce _),
     "sim_rand_project"    -> (randProject _),
     "sim_pq_codes"        -> (pqCodes _),
+    "sim_topk_pqadc"      -> (topkPqAdc _),
     "sim_rrf_fusion"      -> (rrfFusion _),
     "sim_topk_ivf"        -> (topkIvf _),
     "sim_ann_lsh"         -> (topkLsh _),
@@ -523,12 +587,37 @@ object Similarity extends QueryModule {
       s"($j, CAST([${row.mkString(",")}] AS DOUBLE[]))"
     }.mkString(",\n")
 
-  /** The padded PQ codebook as SQL VALUES rows `(b, c, pc DOUBLE[])` —
-    * the same k/4000 rationals the Spark literals hold. */
-  private def pqSqlValues: String =
-    (for (b <- 0 until PqBlocks; c <- 0 until PqK) yield
-      s"($b, $c, list_transform([${pqCentInts(b)(c).mkString(",")}], k -> k / 4000.0))"
-    ).mkString(",\n")
+  /** Block score `‖c_b‖² − 2·(x_b · c_b)` over list slices — the
+    * identical slice + sequential-dot arithmetic of [[pqScores]]. */
+  private def pqSliceDot(vExpr: String): String = {
+    def sl(e: String) = s"list_slice($e, t.b*$PqSub+1, t.b*$PqSub+$PqSub)"
+    s"""list_dot_product(${sl("cent.cv")}, ${sl("cent.cv")})
+       |           - 2.0 * list_dot_product(${sl(vExpr)}, ${sl("cent.cv")})""".stripMargin
+  }
+
+  /** Shared PQ oracle CTEs: the data-derived codebook (block slices of
+    * the first NCENT vectors), per-(vector, block) scores, argmin codes
+    * with lowest-donor ties, and the wide (code0.., m0..) pivot. */
+  private def pqCodesCte: String =
+    s"""cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $NCENT),
+       |sc AS (
+       |  SELECT e.vec_id, t.b, cent.cid,
+       |         ${pqSliceDot("e.v")} AS sbc
+       |  FROM e CROSS JOIN cent CROSS JOIN generate_series(0, ${PqBlocks - 1}) t(b)
+       |),
+       |best AS (SELECT vec_id, b, min(sbc) AS m FROM sc GROUP BY vec_id, b),
+       |codes AS (
+       |  SELECT sc.vec_id, sc.b, min(best.m) AS m, min(sc.cid) AS code
+       |  FROM sc JOIN best ON sc.vec_id = best.vec_id AND sc.b = best.b
+       |                   AND sc.sbc = best.m
+       |  GROUP BY sc.vec_id, sc.b
+       |),
+       |ct AS (
+       |  SELECT vec_id,
+       |${(0 until PqBlocks).map(b => s"         max(CASE WHEN b = $b THEN code END) AS code$b").mkString(",\n")},
+       |${(0 until PqBlocks).map(b => s"         max(CASE WHEN b = $b THEN m END) AS m$b").mkString(",\n")}
+       |  FROM codes GROUP BY vec_id
+       |)""".stripMargin
 
   override def oracles: Map[String, String] = Map(
     // Projection = list(dot / 4.0 ORDER BY j): the same 16 sequential
@@ -551,41 +640,57 @@ object Similarity extends QueryModule {
          |             / list_dot_product(e.v, e.v), 6) AS distortion
          |FROM e JOIN p USING (vec_id)
          |ORDER BY vec_id""".stripMargin,
-    // Same ‖c‖² − 2·(v·pc) scoring (‖c‖² recomputed as the identical
-    // sequential self-dot), min per (vec, block), lowest code on ties,
-    // and the same left-to-right ‖v‖² + s0 + s1 + s2 + s3 error sum.
+    // Same slice-dot scoring, min per (vec, block), lowest donor on
+    // ties, and the same left-to-right ‖v‖² + s0 + … + s7 error sum.
     "sim_pq_codes" ->
       s"""$vecCte,
-         |cent AS (SELECT * FROM (VALUES
-         |$pqSqlValues
-         |) AS t(b, c, pc)),
-         |sc AS (
-         |  SELECT e.vec_id, cent.b, cent.c,
-         |         list_dot_product(cent.pc, cent.pc)
-         |           - 2.0 * list_dot_product(e.v, cent.pc) AS sbc
-         |  FROM e CROSS JOIN cent
+         |$pqCodesCte
+         |SELECT e.vec_id, ${(0 until PqBlocks).map(b => s"code$b").mkString(", ")},
+         |       round(list_dot_product(e.v, e.v)${(0 until PqBlocks).map(b => s" + m$b").mkString}, 6) AS err_sq
+         |FROM ct JOIN e ON ct.vec_id = e.vec_id
+         |ORDER BY e.vec_id""".stripMargin,
+    // Same code assignment as sim_pq_codes; the per-query LUT is the
+    // identical slice-dot arithmetic; ADC sums left-to-right
+    // qq + l0 + … + l7 exactly as the Spark plan; the ascending-ADC
+    // top-100 shortlist is then re-ranked by the exact bruteforce
+    // cosine chain.
+    "sim_topk_pqadc" ->
+      s"""$vecCte,
+         |$pqCodesCte,
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm,
+         |             list_dot_product(v, v) AS qq
+         |      FROM e WHERE vec_id % 50 = 0),
+         |lut AS (
+         |  SELECT q.query_id, t.b, cent.cid,
+         |         ${pqSliceDot("q.qv")} AS l
+         |  FROM q CROSS JOIN cent CROSS JOIN generate_series(0, ${PqBlocks - 1}) t(b)
          |),
-         |best AS (SELECT vec_id, b, min(sbc) AS m FROM sc GROUP BY vec_id, b),
-         |codes AS (
-         |  SELECT sc.vec_id, sc.b, min(best.m) AS m, min(sc.c) AS code
-         |  FROM sc JOIN best ON sc.vec_id = best.vec_id AND sc.b = best.b
-         |                   AND sc.sbc = best.m
-         |  GROUP BY sc.vec_id, sc.b
+         |cand AS (
+         |  SELECT q.query_id, ct.vec_id AS neighbor_id,
+         |         round(q.qq${(0 until PqBlocks).map(b => s" + l$b.l").mkString}, 6) AS adc
+         |  FROM q
+         |  CROSS JOIN ct
+         |${(0 until PqBlocks).map(b => s"  JOIN lut l$b ON l$b.query_id = q.query_id AND l$b.b = $b AND l$b.cid = ct.code$b").mkString("\n")}
+         |  WHERE ct.vec_id <> q.query_id
          |),
-         |vv AS (SELECT vec_id, list_dot_product(v, v) AS v2 FROM e)
-         |SELECT vv.vec_id,
-         |       max(CASE WHEN b = 0 THEN code END) AS code0,
-         |       max(CASE WHEN b = 1 THEN code END) AS code1,
-         |       max(CASE WHEN b = 2 THEN code END) AS code2,
-         |       max(CASE WHEN b = 3 THEN code END) AS code3,
-         |       round(vv.v2
-         |             + max(CASE WHEN b = 0 THEN m END)
-         |             + max(CASE WHEN b = 1 THEN m END)
-         |             + max(CASE WHEN b = 2 THEN m END)
-         |             + max(CASE WHEN b = 3 THEN m END), 6) AS err_sq
-         |FROM codes JOIN vv ON codes.vec_id = vv.vec_id
-         |GROUP BY vv.vec_id, vv.v2
-         |ORDER BY vv.vec_id""".stripMargin,
+         |short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |               ORDER BY adc ASC, neighbor_id ASC) AS srnk
+         |    FROM cand) WHERE srnk <= $PqShortlist
+         |)
+         |SELECT query_id, neighbor_id, rnk, score FROM (
+         |  SELECT s.query_id, s.neighbor_id,
+         |         round(list_dot_product(q.qv, e.v) / (q.qnrm * e.nrm), 6) AS score,
+         |         row_number() OVER (PARTITION BY s.query_id
+         |             ORDER BY round(list_dot_product(q.qv, e.v) / (q.qnrm * e.nrm), 6) DESC,
+         |                      s.neighbor_id ASC) AS rnk
+         |  FROM short s
+         |  JOIN e ON e.vec_id = s.neighbor_id
+         |  JOIN q ON q.query_id = s.query_id
+         |) WHERE rnk <= $K
+         |ORDER BY query_id, rnk""".stripMargin,
     "sim_topk_bruteforce" ->
       s"""$vecCte
          |SELECT query_id, neighbor_id, rnk, score FROM (

@@ -151,13 +151,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning"), p)
   }
 
-  test("vector compression (JL projection, PQ encode) is a per-row codegen'd map") {
-    for (q <- Seq("sim_rand_project", "sim_pq_codes")) {
+  test("JL projection is a per-row codegen'd map") {
+    val p = executedPlan("sim_rand_project")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+    // one corpus scan, per-row dots; only the presentation sort shuffles
+    assert(!p.contains("hashpartitioning"), p)
+    assert(p.contains("*("), s"not in WholeStageCodegen: $p")
+  }
+
+  test("PQ encode: broadcast donors, map-side struct-min combine, no corpus sort-merge") {
+    for (q <- Seq("sim_pq_codes", "sim_topk_pqadc")) {
       val p = executedPlan(q)
       assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), s"$q: $p")
-      // one corpus scan, per-row dots; only the presentation sort shuffles
-      assert(!p.contains("hashpartitioning"), s"$q: $p")
-      assert(p.contains("*("), s"$q not in WholeStageCodegen: $p")
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+        s"$q donors must broadcast: $p")
+      assert(p.contains("partial_min"),
+        s"$q struct-min must combine map-side (one shuffled row per vector): $p")
+      assert(!p.contains("SortMergeJoin"), s"$q: $p")
     }
   }
 

@@ -223,30 +223,47 @@ class Round9OpsSpec extends AnyFunSuite {
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
 
-  test("pq codes: -2·dot+cc algebra equals the direct |v-c|^2 argmin and error") {
+  test("pq codes: -2·dot algebra equals the direct |v_b - c_b|^2 argmin and error") {
     val vecs = vecsOf(sf)
-    val cents = Similarity.pqCentroids
+    val nb = Similarity.PqBlocks
+    val sub = Similarity.PqSub
+    val donors = (0L until 16L).map(vecs) // codebook = first 16 vectors
     Similarity.pqCodes(spark, sf).collect().foreach { r =>
       val v = vecs(r.getLong(0))
       var err = 0.0
-      (0 until 4).foreach { b =>
-        // direct definition: squared distance on the block's 16 dims
-        val d2 = (0 until 4).map { c =>
+      (0 until nb).foreach { b =>
+        // direct definition: squared distance on the block's dims
+        val d2 = (0 until donors.size).map { c =>
           var s = 0.0
-          (b * 16 until b * 16 + 16).foreach { i =>
-            val d = v(i) - cents(b)(c)(i); s += d * d
+          (b * sub until b * sub + sub).foreach { i =>
+            val d = v(i) - donors(c)(i); s += d * d
           }
           (s, c)
         }
         val (bestD2, bestC) = d2.min
-        assert(r.getInt(1 + b) === bestC,
-          s"vec ${r.getLong(0)} block $b: code ${r.getInt(1 + b)} != direct argmin $bestC")
+        assert(r.getLong(1 + b) === bestC.toLong,
+          s"vec ${r.getLong(0)} block $b: code ${r.getLong(1 + b)} != direct argmin $bestC")
         err += bestD2
       }
-      assert(math.abs(r.getDouble(5) - err) < 1e-6,
-        s"vec ${r.getLong(0)}: err_sq ${r.getDouble(5)} != direct $err")
-      assert(r.getDouble(5) >= 0.0)
+      assert(math.abs(r.getDouble(1 + nb) - err) < 1e-6,
+        s"vec ${r.getLong(0)}: err_sq ${r.getDouble(1 + nb)} != direct $err")
+      assert(r.getDouble(1 + nb) >= 0.0)
     }
+  }
+
+  test("pq adc serving: recall@5 vs exact brute force clears the measured floor") {
+    val truth = Similarity.topkBruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val got = Similarity.topkPqAdc(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.keySet === truth.keySet)
+    val recalls = truth.map { case (q, t) => got(q).intersect(t).size.toDouble / t.size }
+    val mean = recalls.sum / recalls.size
+    // measured 0.94 at sf0.001 and sf0.01, 0.68 at sf0.1 (shortlist
+    // R=200); floor set with slack for corpus regeneration
+    assert(mean >= 0.5, s"ADC+rerank recall@5 $mean below floor")
   }
 
   test("rand project: distortion concentrates near 1 and projection is linear") {
