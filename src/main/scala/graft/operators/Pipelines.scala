@@ -267,10 +267,14 @@ object Pipelines extends QueryModule {
     * is what the oracle can pin bit-for-bit. */
   def curriculum(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // persisted: consumed by three jobs (count, zipWithIndex's size
+    // pass, the final aggregation) — without the cache each would redo
+    // the full quality scan; the driver harnesses clearCache per query
     val scored = TextOps.quality(s, dir)
       .select($"doc_id".cast("long"), $"n_tokens".cast("long"),
         $"quality_score")
       .as[(Long, Long, Double)]
+      .persist()
     val n = scored.count()
     val base = n / NStages
     val extra = n % NStages // first `extra` stages hold base+1 rows

@@ -390,19 +390,27 @@ object Similarity extends QueryModule {
     * (not Gaussians) keep every product v_i·s_ji exact in binary, and
     * the 1/√16 = 1/4 normalizer is a power of two — the whole projection
     * is float-exact given the input, so the oracle reproduces it
-    * bit-for-bit. */
+    * bit-for-bit. The sign is the POPCOUNT PARITY of the LCG's high 32
+    * bits, not a single output bit: an LCG's low bit is pure input
+    * parity (every row would be identical — a rank-1 "projection") and
+    * even single high bits stay correlated across the row-major seeds;
+    * the parity fold mixes all of them (measured max inter-row
+    * correlation 0.31 ≈ the 2.5/√64 random-matrix expectation). */
   private[graft] val rpSigns: Array[Array[Int]] =
     Array.tabulate(RpDim) { j =>
-      Array.tabulate(DIM) { d => if ((lcg(j.toLong * DIM + d + 131L) & 1L) == 0L) 1 else -1 }
+      Array.tabulate(DIM) { d =>
+        val h = lcg(j.toLong * DIM + d + 131L) >>> 32
+        if (java.lang.Long.bitCount(h) % 2 == 0) 1 else -1
+      }
     }
 
   /** Random-projection dimensionality reduction (Achlioptas-style sign
     * JL): 64-dim embeddings → 16 dims via a fixed ±1/√16 matrix, with a
     * per-vector norm-distortion audit (‖p‖²/‖v‖² — unit mean in
-    * expectation; per-vector tails widen when the corpus is strongly
-    * structured, which is exactly what the audit column exposes before
-    * anyone trusts the reduced vectors). This is the cheap
-    * preprocessing step before coarse
+    * expectation, measured concentrated in [0.23, 2.23] on this corpus;
+    * the audit column is what a pipeline checks before trusting the
+    * reduced vectors). This is the cheap preprocessing step before
+    * coarse
     * clustering / dedup at 100 TB: 4× narrower vectors for every
     * downstream shuffle, at a distortion this query measures rather than
     * assumes.
@@ -501,7 +509,7 @@ object Similarity extends QueryModule {
     * re-ranked by EXACT cosine (the FAISS two-stage serving pipeline).
     * Output schema matches [[topkBruteForce]], so recall is a direct
     * set comparison. Recall is governed by the shortlist fraction R/n
-    * for a fixed codebook — measured @5: 0.95 at sf0.01 (R/n 40%) and
+    * for a fixed codebook — measured @5: 0.94 at sf0.01 (R/n 40%) and
     * 0.68 at sf0.1 (R/n 10%), the highest-recall approximate path in
     * the library at the bench SF (multiprobe LSH 0.62); the full
     * R-sweep is in BASELINE.md and the Round9OpsSpec floor is 0.5.
@@ -652,7 +660,7 @@ object Similarity extends QueryModule {
     // Same code assignment as sim_pq_codes; the per-query LUT is the
     // identical slice-dot arithmetic; ADC sums left-to-right
     // qq + l0 + … + l7 exactly as the Spark plan; the ascending-ADC
-    // top-100 shortlist is then re-ranked by the exact bruteforce
+    // top-PqShortlist shortlist is then re-ranked by the exact bruteforce
     // cosine chain.
     "sim_topk_pqadc" ->
       s"""$vecCte,

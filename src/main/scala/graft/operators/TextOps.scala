@@ -457,7 +457,12 @@ object TextOps extends QueryModule {
     * same single-scan shape). */
   def blocklistScrub(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // NULL text filtered on BOTH sides (oracle WHERE text IS NOT NULL):
+    // Spark's concat_ws treats a null array as empty (md5("")) while
+    // DuckDB's array_to_string yields NULL — aligning by exclusion, the
+    // library's NULL-document convention (see diversity).
     Tables.documents(s, dir)
+      .where($"text".isNotNull)
       .withColumn("toks", tok)
       .withColumn("n_tokens", size($"toks"))
       .withColumn("n_hits",
@@ -717,7 +722,8 @@ object TextOps extends QueryModule {
     // Scrub digest: same token filter, single-space rejoin, md5 — the
     // oracle recomputes the rewritten text, not just the counts.
     "text_blocklist" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |           FROM documents WHERE text IS NOT NULL)
          |SELECT doc_id, len(toks) AS n_tokens,
          |       len(list_filter(toks, t -> ${blockPred(neg = false)})) AS n_hits,
          |       round(CAST(len(list_filter(toks, t -> ${blockPred(neg = false)})) AS DOUBLE)

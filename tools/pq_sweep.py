@@ -35,10 +35,12 @@ def sweep(sf_dir, rs=(100, 200, 300, 500)):
         rec = []
         for q in q_idx:
             qv = V[q]
-            adc = ((qv[None, :] - recon) ** 2).sum(1)
+            # both engines rank round(score, 6) with vec_id tie-breaks;
+            # stable argsort on the rounded values reproduces that order
+            adc = np.round(((qv[None, :] - recon) ** 2).sum(1), 6)
             adc[q] = np.inf
             short = set(np.argsort(adc, kind="stable")[:R])
-            cos = (V @ qv) / (norms * norms[q])
+            cos = np.round((V @ qv) / (norms * norms[q]), 6)
             cos[q] = -np.inf
             true5 = set(np.argsort(-cos, kind="stable")[:5])
             rec.append(len(true5 & short) / 5)
