@@ -613,8 +613,34 @@ object EventOps extends QueryModule {
       .orderBy($"event_type", $"hour_start")
   }
 
+  private val HistWidth = 10.0
+
+  /** Fixed-width value-distribution histogram per event type — the
+    * data-profiling primitive a quality monitor computes per batch
+    * (bucket counts + within-type shares; pair with [[anomalyMad]] for
+    * the alerting side). Bucket = floor(value / 10), so bucket bounds
+    * are exact rationals and the oracle reproduces them bit-for-bit.
+    *
+    * Scale: the heavy work is ONE partially-aggregated
+    * groupBy(type, bucket) over the raw events; the share window then
+    * runs on the already-aggregated (type × bucket) grid — thousands of
+    * rows at any corpus size, never the raw stream. */
+  def histogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byType = Window.partitionBy($"event_type")
+    Tables.events(s, dir)
+      .withColumn("bucket", floor($"value" / HistWidth).cast("long"))
+      .groupBy($"event_type", $"bucket")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lo", $"bucket" * HistWidth)
+      .withColumn("share", round($"n" / sum($"n").over(byType), 6))
+      .select($"event_type", $"bucket", $"lo", $"n", $"share")
+      .orderBy($"event_type", $"bucket")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_hourly_counts"  -> (hourlyCounts _),
+    "ev_histogram"      -> (histogram _),
     "ev_anomaly_mad"    -> (anomalyMad _),
     "ev_lateness_audit" -> (latenessAudit _),
     "ev_gap_fill"       -> (gapFill _),
@@ -898,6 +924,17 @@ object EventOps extends QueryModule {
         |       round(CAST(sum(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END) AS DOUBLE)
         |             / count(*), 6) AS drop_rate_10m
         |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Same floor(value/10) bucketing; the share divides BIGINT/BIGINT
+    // (double division in both engines) then rounds.
+    "ev_histogram" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+        |         count(*) AS n
+        |  FROM events GROUP BY event_type, bucket
+        |)
+        |SELECT event_type, bucket, bucket * CAST(10.0 AS DOUBLE) AS lo, n,
+        |       round(n / sum(n) OVER (PARTITION BY event_type), 6) AS share
+        |FROM h ORDER BY event_type, bucket""".stripMargin,
     "ev_gap_fill" ->
       """WITH e AS (
         |  SELECT event_type, date_trunc('hour', ts) AS h FROM events

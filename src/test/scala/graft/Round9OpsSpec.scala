@@ -310,6 +310,27 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("histogram: counts conserved per type, shares sum to 1, buckets contain values") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val rows = EventOps.histogram(spark, sf).collect()
+    val byType = rows.groupBy(_.getString(0))
+    assert(byType.keySet === ev.map(_._1).toSet)
+    byType.foreach { case (t, rs) =>
+      assert(rs.map(_.getLong(3)).sum === ev.count(_._1 == t).toLong)
+      val shareSum = rs.map(_.getDouble(4)).sum
+      assert(math.abs(shareSum - 1.0) < 1e-4, s"$t shares sum to $shareSum")
+    }
+    rows.foreach { r =>
+      assert(r.getDouble(2) === r.getLong(1) * 10.0)
+      val n = ev.count { case (t, v) =>
+        t == r.getString(0) && math.floor(v / 10.0).toLong == r.getLong(1)
+      }
+      assert(n.toLong === r.getLong(3))
+    }
+  }
+
   test("mix epochs: budget conserved, epochs = ceil(repeat), flags consistent") {
     val rows = Pipelines.mixEpochs(spark, sf).collect()
     assert(rows.nonEmpty)
