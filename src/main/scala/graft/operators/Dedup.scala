@@ -630,8 +630,42 @@ object Dedup extends QueryModule {
       .orderBy($"chunk_md5")
   }
 
+  /** Cross-source duplication matrix — the curation diagnostic behind
+    * "which feeds re-publish which": for every (ordered) source pair,
+    * the shingle-set overlap |A∩B| and Jaccard |A∩B|/|A∪B|. High
+    * off-diagonal mass tells a pipeline to dedup ACROSS those sources
+    * before mixing, not just within them.
+    *
+    * Scale: the unit of work is the DISTINCT (source, shingle) relation
+    * — one shuffle — and the self-join on shingle has BOUNDED fan-out:
+    * a shingle present in k of the S sources yields C(k,2) ≤ C(S,2)
+    * pair rows (S is tiny — 20 here), so no shingle can explode the
+    * join regardless of how many documents contain it. Set sizes ride
+    * in as a broadcast; integer arithmetic until the one Jaccard
+    * division. */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val srcSh = Tables.documents(s, dir)
+      .withColumn("shingles", graft.functions.ShingleArray.shingleArray($"text"))
+      .select($"source", explode($"shingles").as("sh"))
+      .distinct()
+      .persist()
+    val sizes = srcSh.groupBy($"source").agg(count(lit(1)).as("n_sh"))
+    srcSh.as("a").join(srcSh.as("b"), Seq("sh"))
+      .where($"a.source" < $"b.source")
+      .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.select($"source".as("src_a"), $"n_sh".as("n_a"))), "src_a")
+      .join(broadcast(sizes.select($"source".as("src_b"), $"n_sh".as("n_b"))), "src_b")
+      .withColumn("jaccard",
+        round($"n_common" / ($"n_a" + $"n_b" - $"n_common"), 6))
+      .select($"src_a", $"src_b", $"n_a", $"n_b", $"n_common", $"jaccard")
+      .orderBy($"src_a", $"src_b")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> (exact _),
+    "dedup_source_overlap" -> (sourceOverlap _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh"   -> (minhashLsh _),
     "dedup_incremental"   -> (incremental _),
@@ -660,6 +694,29 @@ object Dedup extends QueryModule {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    // Same 3-gram shingle construction as span_coverage, de-duplicated
+    // per SOURCE; integer set sizes until the one Jaccard division.
+    "dedup_source_overlap" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS tok FROM documents),
+        |d AS (
+        |  SELECT source, list_distinct(list_transform(generate_series(1, greatest(len(tok) - 2, 1)),
+        |         i -> array_to_string(tok[i:i+2], ' '))) AS shingles
+        |  FROM t
+        |), e AS (
+        |  SELECT DISTINCT source, sh
+        |  FROM (SELECT source, unnest(shingles) AS sh FROM d)
+        |), z AS (SELECT source, count(*) AS n_sh FROM e GROUP BY source),
+        |i AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+        |  FROM e a JOIN e b ON a.sh = b.sh AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT src_a, src_b, za.n_sh AS n_a, zb.n_sh AS n_b, n_common,
+        |       round(n_common / (za.n_sh + zb.n_sh - n_common), 6) AS jaccard
+        |FROM i
+        |JOIN z za ON i.src_a = za.source
+        |JOIN z zb ON i.src_b = zb.source
+        |ORDER BY src_a, src_b""".stripMargin,
     // Same md5-derived 60-bit window hash, same mod-8 boundary rule, same
     // exclusive running boundary count; chunk text re-assembled in pos
     // order so digests match byte-for-byte.

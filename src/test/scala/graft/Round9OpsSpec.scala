@@ -347,6 +347,36 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("source overlap: jaccard recomputes from driver-side shingle sets") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def shingles(text: String): Set[String] = {
+      val t = text.split(" ", -1)
+      if (t.length <= 3) Set(t.mkString(" "))
+      else (0 to t.length - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}").toSet
+    }
+    val bySrc = docs.groupBy(_._1).view
+      .mapValues(_.flatMap(d => shingles(d._2)).toSet).toMap
+    val rows = Dedup.sourceOverlap(spark, sf).collect()
+    val expectedPairs = (for {
+      a <- bySrc.keys; b <- bySrc.keys
+      if a < b && bySrc(a).intersect(bySrc(b)).nonEmpty
+    } yield (a, b)).toSet
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet === expectedPairs)
+    rows.foreach { r =>
+      val (a, b) = (bySrc(r.getString(0)), bySrc(r.getString(1)))
+      assert(r.getLong(2) === a.size.toLong)
+      assert(r.getLong(3) === b.size.toLong)
+      val inter = a.intersect(b).size
+      assert(r.getLong(4) === inter.toLong)
+      val jac = BigDecimal(inter.toDouble / (a.size + b.size - inter))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      assert(BigDecimal(r.getDouble(5)) === jac)
+    }
+  }
+
   test("blocklist: scrub digest and keep flag recompute per doc") {
     val block = Set("slow", "fast", "merge")
     val docs = Tables.documents(spark, sf)
