@@ -28,6 +28,13 @@ import org.apache.spark.sql.functions._
   *     corpus-wide shingle collapsing candidate volume with identical
   *     output. Below that bound it trades recall for skew protection,
   *     losing only pairs whose ENTIRE intersection is hotter than maxDf.
+  *   - cache lifecycle: operators persist() small derived relations that
+  *     feed multiple consumers, but return LAZY frames — they cannot
+  *     unpersist after "their" action, so the lifecycle is harness-managed
+  *     (Verify/Bench call spark.catalog.clearCache() per query; a library
+  *     embedder owns clearCache()/unpersist between operator calls). Every
+  *     persisted relation here is aggregated/bounded (vocab-, pair-, or
+  *     doc-count-sized), never the raw corpus.
   *   - the embedding-cosine variant is the one intentional exception:
   *     brute-force upper-triangle as the small-N baseline; the LSH-bucketed
   *     scale path is [[Similarity]]'s ANN machinery.
@@ -636,6 +643,13 @@ object Dedup extends QueryModule {
     * off-diagonal mass tells a pipeline to dedup ACROSS those sources
     * before mixing, not just within them.
     *
+    * Emits the FULL C(S,2) matrix: pairs with zero shingle overlap
+    * surface as n_common=0 / jaccard=0 rows (ADVICE r9 — consumers must
+    * be able to distinguish "no overlap" from "pair absent"), built by
+    * left-joining the overlap counts onto the source-pair skeleton (a
+    * cross join of the TINY aggregated size relation with itself, S²
+    * rows — never the corpus).
+    *
     * Scale: the unit of work is the DISTINCT (source, shingle) relation
     * — one shuffle — and the self-join on shingle has BOUNDED fan-out:
     * a shingle present in k of the S sources yields C(k,2) ≤ C(S,2)
@@ -651,12 +665,16 @@ object Dedup extends QueryModule {
       .distinct()
       .persist()
     val sizes = srcSh.groupBy($"source").agg(count(lit(1)).as("n_sh"))
-    srcSh.as("a").join(srcSh.as("b"), Seq("sh"))
+    val overlaps = srcSh.as("a").join(srcSh.as("b"), Seq("sh"))
       .where($"a.source" < $"b.source")
       .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
       .agg(count(lit(1)).as("n_common"))
-      .join(broadcast(sizes.select($"source".as("src_a"), $"n_sh".as("n_a"))), "src_a")
-      .join(broadcast(sizes.select($"source".as("src_b"), $"n_sh".as("n_b"))), "src_b")
+    val skeleton = sizes.select($"source".as("src_a"), $"n_sh".as("n_a"))
+      .crossJoin(sizes.select($"source".as("src_b"), $"n_sh".as("n_b")))
+      .where($"src_a" < $"src_b")
+    skeleton
+      .join(broadcast(overlaps), Seq("src_a", "src_b"), "left")
+      .withColumn("n_common", coalesce($"n_common", lit(0L)))
       .withColumn("jaccard",
         round($"n_common" / ($"n_a" + $"n_b" - $"n_common"), 6))
       .select($"src_a", $"src_b", $"n_a", $"n_b", $"n_common", $"jaccard")
@@ -707,15 +725,18 @@ object Dedup extends QueryModule {
         |  FROM (SELECT source, unnest(shingles) AS sh FROM d)
         |), z AS (SELECT source, count(*) AS n_sh FROM e GROUP BY source),
         |i AS (
-        |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+        |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS nc
         |  FROM e a JOIN e b ON a.sh = b.sh AND a.source < b.source
         |  GROUP BY 1, 2
         |)
-        |SELECT src_a, src_b, za.n_sh AS n_a, zb.n_sh AS n_b, n_common,
-        |       round(n_common / (za.n_sh + zb.n_sh - n_common), 6) AS jaccard
-        |FROM i
-        |JOIN z za ON i.src_a = za.source
-        |JOIN z zb ON i.src_b = zb.source
+        |SELECT za.source AS src_a, zb.source AS src_b,
+        |       za.n_sh AS n_a, zb.n_sh AS n_b,
+        |       COALESCE(i.nc, 0) AS n_common,
+        |       round(COALESCE(i.nc, 0)
+        |             / (za.n_sh + zb.n_sh - COALESCE(i.nc, 0)), 6) AS jaccard
+        |FROM z za CROSS JOIN z zb
+        |LEFT JOIN i ON i.src_a = za.source AND i.src_b = zb.source
+        |WHERE za.source < zb.source
         |ORDER BY src_a, src_b""".stripMargin,
     // Same md5-derived 60-bit window hash, same mod-8 boundary rule, same
     // exclusive running boundary count; chunk text re-assembled in pos

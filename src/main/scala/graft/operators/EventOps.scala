@@ -927,14 +927,14 @@ object EventOps extends QueryModule {
     // Same floor(value/10) bucketing; the share divides BIGINT/BIGINT
     // (double division in both engines) then rounds.
     "ev_histogram" ->
-      """WITH h AS (
-        |  SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bucket,
-        |         count(*) AS n
-        |  FROM events GROUP BY event_type, bucket
-        |)
-        |SELECT event_type, bucket, bucket * CAST(10.0 AS DOUBLE) AS lo, n,
-        |       round(n / sum(n) OVER (PARTITION BY event_type), 6) AS share
-        |FROM h ORDER BY event_type, bucket""".stripMargin,
+      s"""WITH h AS (
+         |  SELECT event_type, CAST(floor(value / $HistWidth) AS BIGINT) AS bucket,
+         |         count(*) AS n
+         |  FROM events GROUP BY event_type, bucket
+         |)
+         |SELECT event_type, bucket, bucket * CAST($HistWidth AS DOUBLE) AS lo, n,
+         |       round(n / sum(n) OVER (PARTITION BY event_type), 6) AS share
+         |FROM h ORDER BY event_type, bucket""".stripMargin,
     "ev_gap_fill" ->
       """WITH e AS (
         |  SELECT event_type, date_trunc('hour', ts) AS h FROM events

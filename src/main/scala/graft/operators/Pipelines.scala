@@ -222,7 +222,13 @@ object Pipelines extends QueryModule {
     * ((w·B)/W then /avail) so the oracle reproduces them exactly. */
   def mixEpochs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // NULL text excluded on BOTH sides (oracle WHERE text IS NOT NULL),
+    // the library's NULL-document convention (see blocklistScrub): an
+    // all-NULL source would otherwise aggregate avail_tokens to NULL,
+    // where Spark's (NULL > 1.0).cast("int") and the oracle's CASE WHEN
+    // diverge (NULL vs 0).
     val perSrc = Tables.documents(s, dir)
+      .where($"text".isNotNull)
       .groupBy($"source")
       .agg(sum(size(split($"text", " "))).cast("long").as("avail_tokens"))
       .withColumn("weight",
@@ -382,7 +388,7 @@ object Pipelines extends QueryModule {
       s"""WITH d AS (
          |  SELECT source, CAST(substring(source, 4, 10) AS INT) AS src_num,
          |         len(string_split(text, ' ')) AS n_tok
-         |  FROM documents
+         |  FROM documents WHERE text IS NOT NULL
          |), a AS (
          |  SELECT source, CAST(sum(n_tok) AS BIGINT) AS avail_tokens,
          |         (min(src_num) % 4 + 1) * 100 AS weight

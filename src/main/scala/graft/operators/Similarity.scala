@@ -494,8 +494,11 @@ object Similarity extends QueryModule {
     val err = (0 until PqBlocks).foldLeft(vectorDot($"v", $"v")) {
       (acc, b) => acc + col(s"m$b.sc")
     }
+    // + 0.0 canonicalizes the zero sign: donors reconstruct exactly, and
+    // IEEE round can yield -0.0 in one engine and +0.0 in the other —
+    // value-equal but byte-different, which fails the driver's row hash.
     pqAssign(e).join(e.select($"vec_id", $"v"), "vec_id")
-      .select($"vec_id" +: codeCols :+ round(err, 6).as("err_sq"): _*)
+      .select($"vec_id" +: codeCols :+ (round(err, 6) + lit(0.0)).as("err_sq"): _*)
       .orderBy($"vec_id")
   }
 
@@ -654,7 +657,7 @@ object Similarity extends QueryModule {
       s"""$vecCte,
          |$pqCodesCte
          |SELECT e.vec_id, ${(0 until PqBlocks).map(b => s"code$b").mkString(", ")},
-         |       round(list_dot_product(e.v, e.v)${(0 until PqBlocks).map(b => s" + m$b").mkString}, 6) AS err_sq
+         |       round(list_dot_product(e.v, e.v)${(0 until PqBlocks).map(b => s" + m$b").mkString}, 6) + 0.0 AS err_sq
          |FROM ct JOIN e ON ct.vec_id = e.vec_id
          |ORDER BY e.vec_id""".stripMargin,
     // Same code assignment as sim_pq_codes; the per-query LUT is the

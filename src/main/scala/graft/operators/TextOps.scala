@@ -416,6 +416,10 @@ object TextOps extends QueryModule {
   def pmiBigrams(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val toksDf = Tables.documents(s, dir).withColumn("toks", tok)
+    // persisted: `uni` feeds the scalar total plus both broadcast joins.
+    // Lifecycle is HARNESS-MANAGED (Verify/Bench clearCache() per query;
+    // embedding callers own spark.catalog.clearCache()) — the operator
+    // returns a LAZY frame, so it cannot unpersist after "its" action.
     val uni = toksDf.select(explode($"toks").as("w"))
       .groupBy($"w").agg(count(lit(1)).as("cw")).persist()
     val totals = broadcast(uni.agg(sum($"cw").as("n_uni")))

@@ -19,6 +19,11 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        # The driver's row hash is byte-sensitive: -0.0 and +0.0 compare
+        # equal in python but hash differently (bit us in r09's
+        # sim_pq_codes). Surface the sign so the local gate matches.
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            return "-0.0"
         return v
     return v
 

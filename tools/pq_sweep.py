@@ -16,6 +16,18 @@ import numpy as np
 NB, SUB, NDONOR = 8, 8, 16
 
 
+def seq_dot(a, b):
+    """Left-to-right sequential double dot — the exact accumulation order
+    of the engines' VectorDot / list_dot_product, so every score below is
+    bit-identical to theirs (ADVICE r9: the algebraically-equal
+    round(exact ||q-recon||^2) form can differ in the last ulp and flip a
+    tie at the rounding boundary or the shortlist cutoff)."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return s
+
+
 def sweep(sf_dir, rs=(100, 200, 300, 500)):
     con = duckdb.connect()
     rows = con.sql(
@@ -24,20 +36,39 @@ def sweep(sf_dir, rs=(100, 200, 300, 500)):
     ids = np.array([r[0] for r in rows])
     V = np.array([r[1] for r in rows], dtype=np.float64)
     n = len(V)
-    recon = np.zeros_like(V)
+    # engine code assignment: per block argmin over s_b = c.c - 2*(x.c)
+    # (rank-equivalent of the block distance), lowest donor on ties —
+    # np.argmin takes the first minimum, i.e. the lowest donor id.
+    codes = np.zeros((n, NB), dtype=np.int64)
     for b in range(NB):
         lo, hi = b * SUB, (b + 1) * SUB
-        Xb, C = V[:, lo:hi], V[:NDONOR, lo:hi]
-        recon[:, lo:hi] = C[((Xb[:, None, :] - C[None, :, :]) ** 2).sum(2).argmin(1)]
+        C = V[:NDONOR, lo:hi]
+        cc = [seq_dot(c, c) for c in C]
+        for i in range(n):
+            x = V[i, lo:hi]
+            codes[i, b] = int(np.argmin(
+                [cc[j] - 2.0 * seq_dot(x, C[j]) for j in range(NDONOR)]))
     q_idx = np.where(ids % 50 == 0)[0]
     norms = np.linalg.norm(V, axis=1)
     for R in rs:
         rec = []
         for q in q_idx:
             qv = V[q]
-            # both engines rank round(score, 6) with vec_id tie-breaks;
-            # stable argsort on the rounded values reproduces that order
-            adc = np.round(((qv[None, :] - recon) ** 2).sum(1), 6)
+            # ADC in the engines' exact term order: qq + sum_b lut(b, code_b)
+            # evaluated left-to-right, where lut(b,c) = c.c - 2*(q_b . c_b);
+            # both engines then rank round(adc, 6) with vec_id tie-breaks —
+            # stable argsort on the identical rounded values reproduces that.
+            lut = np.empty((NB, NDONOR))
+            for b in range(NB):
+                lo, hi = b * SUB, (b + 1) * SUB
+                C = V[:NDONOR, lo:hi]
+                qb = qv[lo:hi]
+                for j in range(NDONOR):
+                    lut[b, j] = seq_dot(C[j], C[j]) - 2.0 * seq_dot(qb, C[j])
+            adc = np.full(n, seq_dot(qv, qv))
+            for b in range(NB):
+                adc = adc + lut[b, codes[:, b]]
+            adc = np.round(adc, 6)
             adc[q] = np.inf
             short = set(np.argsort(adc, kind="stable")[:R])
             cos = np.round((V @ qv) / (norms * norms[q]), 6)
