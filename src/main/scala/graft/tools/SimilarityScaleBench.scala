@@ -63,12 +63,45 @@ object SimilarityScaleBench {
     val lshNbrs = nbrSet(Similarity.topkLsh(spark, sfDir))
     val mpNbrs = nbrSet(Similarity.topkLshMultiprobe(spark, sfDir))
     val ivfNbrs = nbrSet(Similarity.topkIvf(spark, sfDir))
+    val pqNbrs = nbrSet(Similarity.topkPqAdc(spark, sfDir))
+    val ivfpqNbrs = nbrSet(Similarity.topkIvfPq(spark, sfDir))
     val bruteNbrs = nbrSet(Similarity.topkBruteForce(spark, sfDir))
     spark.catalog.clearCache()
     def recallOf(got: Set[(Long, Long)]) = got.intersect(bruteNbrs).size.toDouble / bruteNbrs.size
     println(s"""{"check":"ann_lsh_recall_at_5","sf":"$sfDir","pairs":${bruteNbrs.size},"recall":${r3(recallOf(lshNbrs))}}""")
     println(s"""{"check":"ann_multiprobe_recall_at_5","sf":"$sfDir","pairs":${bruteNbrs.size},"recall":${r3(recallOf(mpNbrs))}}""")
     println(s"""{"check":"ann_ivf_recall_at_5","sf":"$sfDir","pairs":${bruteNbrs.size},"recall":${r3(recallOf(ivfNbrs))}}""")
+    println(s"""{"check":"ann_pqadc_recall_at_5","sf":"$sfDir","pairs":${bruteNbrs.size},"recall":${r3(recallOf(pqNbrs))}}""")
+    println(s"""{"check":"ann_ivfpq_recall_at_5","sf":"$sfDir","pairs":${bruteNbrs.size},"recall":${r3(recallOf(ivfpqNbrs))}}""")
+
+    // ---- 1b'. IVF-PQ pruning: the fraction of corpus CODES each query
+    // ADC-scores (probed-cell membership) vs the flat scan's 1.0 — the
+    // candidate-volume claim behind composing IVF with PQ (VERDICT r9).
+    {
+      val emb = Tables.embeddings(spark, sfDir)
+        .withColumn("v", $"embedding".cast("array<double>"))
+        .withColumn("norm", sqrt(graft.functions.VectorDot.vectorDot($"v", $"v")))
+        .select($"vec_id", $"v", $"norm").persist()
+      val cent = Similarity.ivfPqCentroids(emb)
+      val assign = Similarity.cellAssignment(emb, cent).select($"vec_id", $"cid")
+      val cellSizes = assign.groupBy($"cid").agg(count(lit(1)).as("csz"))
+      val probeW = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"qcos".desc, $"cid".asc)
+      val probes = emb.where($"vec_id" % 50 === 0)
+        .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"))
+        .join(cent)
+        .withColumn("qcos", round(graft.functions.VectorDot.vectorDot($"qv", $"cv")
+          / ($"qnorm" * $"cnorm"), 6))
+        .withColumn("prn", org.apache.spark.sql.functions.row_number().over(probeW))
+        .where($"prn" <= Similarity.IvfPqProbe)
+        .select($"query_id", $"cid")
+      val n = emb.count().toDouble
+      val scanned = probes.join(cellSizes, "cid")
+        .groupBy($"query_id").agg(sum($"csz").as("scanned"))
+        .agg(avg($"scanned")).head.getDouble(0)
+      spark.catalog.clearCache()
+      println(s"""{"check":"ivfpq_code_scan_fraction","sf":"$sfDir","cells":${Similarity.IvfPqCells},"nprobe":${Similarity.IvfPqProbe},"fraction":${r3(scanned / n)}}""")
+    }
 
     // ---- 1c. ANN serving-kernel throughput at the bench SF: one-shot
     // serveBatch over the standard query set (the per-trigger work of

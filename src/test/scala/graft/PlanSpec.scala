@@ -171,6 +171,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfpq: broadcast codebooks/probes, no cartesian; only the co-partitioned index join sort-merges") {
+    val p = executedPlan("sim_topk_ivfpq")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+    assert(p.contains("BroadcastExchange"), s"codebook/LUT/probe sides must broadcast: $p")
+    assert(p.contains("partial_min"),
+      s"struct-min must combine map-side (one shuffled row per vector): $p")
+    assert(!p.contains("CartesianProduct"), s"no unbroadcast all-pairs stage: $p")
+    // The ONE acceptable sort-merge join is cell-assignment ⋈ codes on
+    // vec_id — two corpus-sized per-vector relations, co-partitioned by
+    // the join key (in production a single stored index table). Anything
+    // beyond that single index-assembly join is a plan regression.
+    val smjKeys = "SortMergeJoin \\[(\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(smjKeys.forall(_.startsWith("neighbor_id")),
+      s"unexpected sort-merge join keys $smjKeys: $p")
+  }
+
   test("pmi joins broadcast the vocabulary and scalar totals; no corpus sort") {
     val p = executedPlan("text_pmi_bigrams")
     assert(p.contains("BroadcastHashJoin"), p)

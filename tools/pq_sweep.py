@@ -2,18 +2,22 @@
 """PQ ADC shortlist-size sweep (dev calibration, not shipped).
 
 Recomputes sim_topk_pqadc's two-stage recall@5 vs exact cosine for a
-range of shortlist sizes R, using the same codebook convention (block
-slices of the first 16 vectors) and the same stable tie-breaks as the
-Spark/DuckDB implementations. Reproduces the oracle-ranked cells in
-BASELINE.md's "PQ ADC serving recall" table exactly.
+range of shortlist sizes R, using the same codebook convention (first-16
+seeds refined by 2 deterministic scaled-integer Lloyd steps, mirroring
+Similarity.pqCodebook) and the same stable tie-breaks as the Spark/DuckDB
+implementations. Reproduces the oracle-ranked cells in BASELINE.md's
+"PQ ADC serving recall" table exactly.
 
 Usage: python3 tools/pq_sweep.py [sfDir ...]
 """
+import math
 import sys
 import duckdb
 import numpy as np
 
 NB, SUB, NDONOR = 8, 8, 16
+SCALE = float(1 << 30)
+LLOYD_ITERS = 2
 
 
 def seq_dot(a, b):
@@ -28,6 +32,34 @@ def seq_dot(a, b):
     return s
 
 
+def refine(V):
+    """Mirror of Similarity.pqCodebook: first-16 seeds, LLOYD_ITERS
+    deterministic steps — rounded-score argmin (lowest-cid ties), exact
+    floor(x*2^30) int sums (order-independent, both engines), empty
+    clusters keep their centroid."""
+    cbs = [V[:NDONOR, b * SUB:(b + 1) * SUB].copy() for b in range(NB)]
+    for _ in range(LLOYD_ITERS):
+        for b in range(NB):
+            X = V[:, b * SUB:(b + 1) * SUB]
+            C = cbs[b]
+            cc = [seq_dot(c, c) for c in C]
+            sums = [[0] * SUB for _ in range(NDONOR)]  # python ints: exact
+            cnt = [0] * NDONOR
+            for x in X:
+                a = int(np.argmin([round(cc[j] - 2.0 * seq_dot(x, C[j]), 6)
+                                   for j in range(NDONOR)]))
+                cnt[a] += 1
+                for i in range(SUB):
+                    sums[a][i] += int(math.floor(x[i] * SCALE))
+            newC = C.copy()
+            for j in range(NDONOR):
+                if cnt[j]:
+                    newC[j] = np.array([(float(sums[j][i]) / SCALE) / cnt[j]
+                                        for i in range(SUB)])
+            cbs[b] = newC
+    return cbs
+
+
 def sweep(sf_dir, rs=(100, 200, 300, 500)):
     con = duckdb.connect()
     rows = con.sql(
@@ -36,18 +68,19 @@ def sweep(sf_dir, rs=(100, 200, 300, 500)):
     ids = np.array([r[0] for r in rows])
     V = np.array([r[1] for r in rows], dtype=np.float64)
     n = len(V)
+    cbs = refine(V)
     # engine code assignment: per block argmin over s_b = c.c - 2*(x.c)
     # (rank-equivalent of the block distance), lowest donor on ties —
     # np.argmin takes the first minimum, i.e. the lowest donor id.
     codes = np.zeros((n, NB), dtype=np.int64)
     for b in range(NB):
         lo, hi = b * SUB, (b + 1) * SUB
-        C = V[:NDONOR, lo:hi]
+        C = cbs[b]
         cc = [seq_dot(c, c) for c in C]
         for i in range(n):
             x = V[i, lo:hi]
             codes[i, b] = int(np.argmin(
-                [cc[j] - 2.0 * seq_dot(x, C[j]) for j in range(NDONOR)]))
+                [round(cc[j] - 2.0 * seq_dot(x, C[j]), 6) for j in range(NDONOR)]))
     q_idx = np.where(ids % 50 == 0)[0]
     norms = np.linalg.norm(V, axis=1)
     for R in rs:
@@ -61,7 +94,7 @@ def sweep(sf_dir, rs=(100, 200, 300, 500)):
             lut = np.empty((NB, NDONOR))
             for b in range(NB):
                 lo, hi = b * SUB, (b + 1) * SUB
-                C = V[:NDONOR, lo:hi]
+                C = cbs[b]
                 qb = qv[lo:hi]
                 for j in range(NDONOR):
                     lut[b, j] = seq_dot(C[j], C[j]) - 2.0 * seq_dot(qb, C[j])
