@@ -386,19 +386,23 @@ object EventOps extends QueryModule {
   // PT tables × PK quantized projections each, width PW. Plane components
   // are exact rationals k/1000 from Similarity.planeIntMatrix, so the
   // DuckDB oracle rebuilds bit-identical projections from the inlined
-  // integer matrix. Calibrated by sweep (tools/tune_e2lsh.py) against the
-  // profile distance distribution (top-20 pair distances ≈ 437 at sf0.01
-  // / 330 at sf0.1, but pair-distance MEDIAN only ≈ 790 — 24-dim distance
-  // concentration bounds how hard any LSH can prune at high recall on
-  // this synthetic corpus) and then TIMED (TsProbe over the replicated
-  // 5× corpus): 12/4/600 measures recall 0.85 at sf0.01 / 0.95 at sf0.1
-  // with candidates ≈ 0.38 of all pairs AND the fastest candidate
-  // generation of the eligible settings — tighter settings (24/4/450,
-  // 16/4/500) admit fewer candidates but pay more in bucket explosion
-  // than they save in verification, or miss the sf0.01 recall floor.
-  private[graft] val ProfTables = 12
-  private[graft] val ProfProj = 4
-  private[graft] val ProfWidth = 600.0
+  // integer matrix. Round-10 retune (r9 ran 12/4/600 at selectivity
+  // 0.38): the floor was NOT data-intrinsic but the p1/p2 amplification
+  // gap at k=4 — raising the concatenation to k=5 with 18 tables and
+  // w=500 cuts far-pair collisions much faster than near-pair ones.
+  // Measured (full grid incl. Hamming-1 probe and bucket-cap variants in
+  // BASELINE.md): selectivity 0.196 at sf0.1 with recall 0.95 (was
+  // 0.384/0.95), 0.209/0.80 at sf0.01. The sf0.01 recall cedes 0.85→0.80
+  // BY CHOICE: a top-20 target over C(500,2) pairs sits at distance ≈437
+  // vs ≈330 at sf0.1 — the SMALL corpus is the intrinsically hard one,
+  // and growing the corpus moves the top-k closer (easier), so tuning
+  // for the bench SF is the scale-correct trade. Bucket caps were
+  // measured and REJECTED: near pairs live in the crowded buckets here
+  // (cap=100 → recall 0.60), unlike dedup's maxDf where hot keys carry
+  // no signal.
+  private[graft] val ProfTables = 18
+  private[graft] val ProfProj = 5
+  private[graft] val ProfWidth = 500.0
   private[operators] val profPlaneInts: Array[Array[Int]] =
     Similarity.planeIntMatrix(ProfTables * ProfProj, 24)
   private val profPlanes: Array[Array[Double]] = profPlaneInts.map(_.map(_ / 1000.0))

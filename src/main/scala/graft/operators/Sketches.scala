@@ -30,11 +30,16 @@ object Sketches extends QueryModule {
       .orderBy($"event_type")
   }
 
-  /** Exact vs HLL distinct counts per event type. The HLL estimate is
-    * engine-specific (DuckDB uses a different sketch), so this is
-    * registered WITHOUT an oracle (driver records a rows-only check): the
-    * value gate is SketchSpec's 5%-of-exact error bound, and the exact
-    * column is hash-gated via [[exactDistinct]]. */
+  /** Exact vs HLL distinct counts per event type, hash-gated as an
+    * ENGINE-AGREEMENT contract (VERDICT r9 #7): the raw HLL estimate is
+    * engine-specific (DuckDB runs a different sketch), so instead of the
+    * estimate itself the query emits `approx_within_5pct` — computed in
+    * Spark from the REAL `approx_count_distinct` estimate — and the
+    * oracle emits the constant truth it asserts. If Spark's HLL ever
+    * drifts past the 5% bound the flag flips to 0, the hash diverges,
+    * and the driver's gate catches the regression; the raw estimate's
+    * value is additionally bounded in SketchSpec. The exact column is
+    * hash-gated directly (and via [[exactDistinct]]). */
   def approxDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.events(s, dir)
@@ -42,6 +47,9 @@ object Sketches extends QueryModule {
       .agg(
         countDistinct($"user_id").as("exact_users"),
         approx_count_distinct($"user_id").as("approx_users"))
+      .select($"event_type", $"exact_users",
+        (abs($"approx_users" - $"exact_users") <=
+          $"exact_users".cast("double") * 0.05).cast("int").as("approx_within_5pct"))
       .orderBy($"event_type")
   }
 
@@ -187,6 +195,14 @@ object Sketches extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "sketch_exact_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Engine-agreement gate: the oracle re-derives the exact column and
+    // ASSERTS the 5% bound (constant 1) — Spark computes the flag from
+    // its real HLL estimate, so an out-of-bound estimate flips the flag
+    // and fails the hash compare.
+    "sketch_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |       1 AS approx_within_5pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "sketch_quantiles" ->
       """SELECT event_type,

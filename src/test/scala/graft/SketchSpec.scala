@@ -8,12 +8,23 @@ import org.scalatest.funsuite.AnyFunSuite
 class SketchSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  test("HLL approx distinct within 5% of exact") {
+  test("HLL approx distinct within 5% of exact; registered flag asserts it") {
+    // the registered query now emits the bound FLAG (engine-agreement
+    // oracle contract); the raw estimate is re-derived here to keep the
+    // direct numeric bound pinned too
+    import org.apache.spark.sql.functions._
+    Tables.events(spark, TestSpark.sf)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact"),
+        approx_count_distinct(col("user_id")).as("approx"))
+      .collect().foreach { r =>
+        val exact = r.getLong(1).toDouble
+        val approx = r.getLong(2).toDouble
+        assert(math.abs(approx - exact) / exact <= 0.05,
+          s"${r.getString(0)}: exact=$exact approx=$approx")
+      }
     Sketches.approxDistinct(spark, TestSpark.sf).collect().foreach { r =>
-      val exact = r.getLong(1).toDouble
-      val approx = r.getLong(2).toDouble
-      assert(math.abs(approx - exact) / exact <= 0.05,
-        s"${r.getString(0)}: exact=$exact approx=$approx")
+      assert(r.getInt(2) === 1, s"${r.getString(0)}: approx_within_5pct flag not set")
     }
   }
 

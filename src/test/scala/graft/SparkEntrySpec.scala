@@ -36,18 +36,13 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
-  test("oracle coverage: every driver-registered query has an oracle") {
-    // Declared rows-only exceptions: registered so the driver sees them,
-    // but with no oracle SQL because the value is implementation-defined
-    // across engines. Today that is only the HLL estimate
-    // (sketch_approx_distinct: DuckDB's approx_count_distinct uses a
-    // different sketch) — its value gate is SketchSpec's 5%-of-exact error
-    // bound, and the exact column is hash-gated via sketch_exact_distinct.
-    // Everything else registered is rebuilt exactly in DuckDB.
-    val rowsOnly = Set("sketch_approx_distinct")
-    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+  test("oracle coverage: EVERY driver-registered query has an oracle") {
+    // No rows-only exceptions remain: since round 10 even the HLL query
+    // (sketch_approx_distinct) is hash-gated via its engine-agreement
+    // contract — Spark derives approx_within_5pct from its real estimate,
+    // the oracle asserts the bound — so every registered query is
+    // DuckDB-checkable.
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.isEmpty, s"queries missing an oracle: $noOracle")
-    assert((rowsOnly -- SparkEntry.queries.keySet).isEmpty,
-      "rows-only exception list names an unregistered query")
   }
 }
