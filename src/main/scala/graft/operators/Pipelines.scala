@@ -135,6 +135,45 @@ object Pipelines extends QueryModule {
       .orderBy($"shard")
   }
 
+  /** Deterministic train/val/test split with a cross-split leakage audit
+    * — the assignment a training job must make exactly once and never
+    * revisit (an 80/10/10 cut by the same multiplicative doc_id hash as
+    * [[domainMix]], so membership is reproducible from the id alone, no
+    * stored split table needed), plus the check that makes the split
+    * trustworthy: documents whose EXACT text also appears in a different
+    * split (train/test contamination through duplicates — the reason
+    * splits are audited before a model is trained on them). NULL-text
+    * docs are excluded on both sides (the library's NULL-document
+    * convention, see [[mixEpochs]]).
+    *
+    * Scale: split assignment is a per-row expression (no shuffle); the
+    * leakage audit is one md5(text)-keyed agg + digest join back — the
+    * 16-byte digest shuffles, never the text (same shape as
+    * [[datasetCard]]'s dup burden) — then one 3-key partial agg. */
+  def trainSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .where($"text".isNotNull)
+      .select($"doc_id", md5($"text").as("h"),
+        size(split($"text", " ")).cast("long").as("n_tok"))
+      .withColumn("bucket", (docHash % 10).cast("int"))
+      .withColumn("split",
+        when($"bucket" <= 7, "train")
+          .when($"bucket" === 8, "val")
+          .otherwise("test"))
+    val spread = docs.groupBy($"h")
+      .agg(countDistinct($"split").as("n_splits"))
+    docs.join(spread, "h")
+      .groupBy($"split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("n_tokens"),
+        sum(when($"n_splits" > 1, 1L).otherwise(0L)).as("n_leaked_docs"),
+        round(sum(when($"n_splits" > 1, 1L).otherwise(0L)).cast("double")
+          / count(lit(1)), 6).as("leak_ratio"))
+      .orderBy($"split")
+  }
+
   /** Dataset-card summary: the per-(lang, source) release table a corpus
     * publisher ships alongside a dataset drop — document and token mass,
     * exact-duplicate burden, short-doc burden, token-length range. Every
@@ -315,12 +354,33 @@ object Pipelines extends QueryModule {
     "pipe_pack_sequences"  -> (packSequences _),
     "pipe_shard_assign"    -> (shardAssign _),
     "pipe_dataset_card"    -> (datasetCard _),
+    "pipe_train_split"     -> (trainSplit _),
   )
 
   // The oracle re-composes the SAME stages from the individual oracles'
   // CTEs: quality (TextOps), near-dup pairs (Dedup jaccard), anti join,
   // per-lang profile.
   override def oracles: Map[String, String] = Map(
+    // Same multiplicative-hash 80/10/10 bucketing; leakage via the same
+    // md5(text) digest both engines compute over UTF-8 text.
+    "pipe_train_split" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, md5(text) AS h,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |         CASE WHEN $hashSql % 10 <= 7 THEN 'train'
+         |              WHEN $hashSql % 10 = 8 THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM documents WHERE text IS NOT NULL
+         |), s AS (SELECT h, count(DISTINCT split) AS n_splits FROM d GROUP BY h)
+         |SELECT split, count(*) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |       CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_leaked_docs,
+         |       round(CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / count(*), 6) AS leak_ratio
+         |FROM d JOIN s USING (h)
+         |GROUP BY split
+         |ORDER BY split""".stripMargin,
     // Integer sums + one rounded division per ratio; dup membership via
     // the same md5(text) digest both engines compute over UTF-8 text.
     "pipe_dataset_card" ->

@@ -700,15 +700,43 @@ object Similarity extends QueryModule {
     * shortlist rows fetch real vectors. No stage touches more than
     * nprobe/cells of the corpus — the flat scan is gone. */
   def topkIvfPq(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val e = vecs(s, dir)
+    val (cent, assign, cbk, codes) = ivfPqIndex(e)
+    ivfPqServe(queriesOf(e), e, cent, assign, cbk, codes, excludeSelf = true)
+  }
+
+  /** The four relations of a prebuilt IVF-PQ serving index over a
+    * prepared `(vec_id, v, norm)` corpus: refined coarse centroids,
+    * per-vector cell assignment, refined PQ codebook, and the 8-byte
+    * PQ codes keyed for candidate joins. At rest these are the stored
+    * index tables (assignment = the partitioning of the corpus, codes =
+    * the compressed representation); [[graft.streaming.PqServeStream]]
+    * persists them once and serves every micro-batch from them. */
+  private[graft] def ivfPqIndex(e: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val cent = ivfPqCentroids(e)
     val assign = cellAssignment(e, cent)
     val cbk = pqCodebook(e)
     val codes = pqAssign(e, cbk).select(
       col("vec_id").as("neighbor_id") +:
         (0 until PqBlocks).map(b => col(s"m$b.c").as(s"code$b")): _*)
-    val q = queriesOf(e).withColumn("qq", vectorDot($"qv", $"qv"))
+    (cent, assign, cbk, codes)
+  }
+
+  /** Serve `(query_id, qv, qnorm)` queries from a prebuilt
+    * [[ivfPqIndex]]: probe the [[IvfPqProbe]] highest-cosine cells,
+    * ADC-score only in-cell codes, exact-rerank the
+    * [[IvfPqShortlist]]. `excludeSelf` distinguishes the registered
+    * batch query (corpus self-join: a vector is not its own neighbor)
+    * from serving (query ids are an unrelated id space — a query that
+    * IS in the corpus honestly gets itself back at rank 1, the
+    * [[graft.streaming.AnnServeStream]] convention). */
+  private[graft] def ivfPqServe(queries0: DataFrame, e: DataFrame,
+      cent: DataFrame, assign: DataFrame, cbk: DataFrame, codes: DataFrame,
+      k: Int = K, excludeSelf: Boolean = false): DataFrame = {
+    val s = queries0.sparkSession
+    import s.implicits._
+    val q = queries0.withColumn("qq", vectorDot($"qv", $"qv"))
     val probeW = Window.partitionBy($"query_id").orderBy($"qcos".desc, $"cid".asc)
     val probes = q.select($"query_id", $"qv", $"qnorm").join(cent)
       .withColumn("qcos", round(vectorDot($"qv", $"cv") / ($"qnorm" * $"cnorm"), 6))
@@ -716,9 +744,10 @@ object Similarity extends QueryModule {
       .where($"prn" <= IvfPqProbe)
       .select($"query_id", $"cid")
     val lut = pqScores(q.select($"query_id", $"qv").crossJoin(cbk), "qv")
-    val cand0 = broadcast(probes)
+    val inCell = broadcast(probes)
       .join(assign.select($"cid", $"vec_id".as("neighbor_id")), "cid")
-      .where($"neighbor_id" =!= $"query_id")
+    val cand0 = (if (excludeSelf) inCell.where($"neighbor_id" =!= $"query_id")
+                 else inCell)
       .join(codes, "neighbor_id")
       .join(broadcast(q.select($"query_id", $"qq")), "query_id")
     val cand = (0 until PqBlocks).foldLeft(cand0) { (df, b) =>
@@ -744,7 +773,7 @@ object Similarity extends QueryModule {
       .join(broadcast(q.select($"query_id", $"qv", $"qnorm")), "query_id")
       .withColumn("score", round(vectorDot($"qv", $"nv") / ($"qnorm" * $"nnorm"), 6))
       .withColumn("rnk", row_number().over(byQuery))
-      .where($"rnk" <= K)
+      .where($"rnk" <= k)
       .select($"query_id", $"neighbor_id", $"rnk", $"score")
       .orderBy($"query_id", $"rnk")
   }

@@ -182,9 +182,87 @@ object Sketches extends QueryModule {
       .orderBy($"cutoff")
   }
 
+  // Z-order audit granularity: 16 quantization levels per dimension
+  // (4 bits), 16 consecutive cells per block in each layout, and the
+  // 2-D probe rectangles (in bucket space) the layouts are compared on.
+  private val ZLevels = 16
+  private val ZCellsPerBlock = 16
+  private val ZProbes = Seq(
+    // (probe, ulo, uhi, vlo, vhi)
+    ("center",   6, 9,  6, 9),
+    ("point",    5, 5,  5, 5),
+    ("quadrant", 8, 15, 8, 15),
+    ("u_band",   3, 4,  0, 15),
+    ("v_band",   0, 15, 3, 4))
+
+  /** Z-order vs linear clustering audit — the multi-dimensional layout
+    * decision behind Delta/Iceberg `OPTIMIZE ZORDER`: quantize
+    * `(user_id, value)` to a [[ZLevels]]×[[ZLevels]] grid, interleave
+    * the bucket bits into a Morton z-value, and compare zone-map
+    * pruning (the [[blockPruning]] machinery) between a user-major
+    * linear layout and the z-order layout on the SAME 2-D probe
+    * rectangles. Linear blocks span one user stripe each — any
+    * value-only predicate scans ALL of them; z-order blocks are 4×4
+    * spatial tiles, so BOTH dimensions prune. The output is the
+    * evidence table for a re-clustering decision: per (probe, layout),
+    * blocks/rows a zone-map-respecting scan must touch vs rows that
+    * actually match.
+    *
+    * Scale: bucketing and bit-interleave are per-row expressions (the
+    * write path at 100 TB is `repartitionByRange(z)` + in-partition
+    * sort — no new machinery); block stats are one partial agg onto
+    * n_cells/[[ZCellsPerBlock]] keys; the audit crosses STATS with a
+    * constant probe list, answered from metadata like every zone-map
+    * query. Quantization bounds come from one scalar agg broadcast —
+    * integer arithmetic for user_id, one order-pinned division for
+    * value, so both engines land in identical buckets. */
+  def zorderPruning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ext = broadcast(Tables.events(s, dir).agg(
+      min($"user_id").as("umin"), max($"user_id").as("umax"),
+      min($"value").as("vmin"), max($"value").as("vmax")))
+    val bucketed = Tables.events(s, dir).select($"user_id", $"value")
+      .crossJoin(ext)
+      .withColumn("ub", expr(
+        s"CAST(((user_id - umin) * $ZLevels) DIV (umax - umin + 1) AS INT)"))
+      .withColumn("vb", expr(
+        s"""CASE WHEN vmax = vmin THEN 0 ELSE
+           |  LEAST(CAST(FLOOR((value - vmin) / ((vmax - vmin) / $ZLevels.0)) AS INT),
+           |        ${ZLevels - 1}) END""".stripMargin))
+      .withColumn("z", (0 until 4).map(i =>
+        shiftleft(shiftright($"ub", i).bitwiseAND(lit(1)), 2 * i + 1) +
+          shiftleft(shiftright($"vb", i).bitwiseAND(lit(1)), 2 * i))
+        .reduce(_ + _))
+    def blockStats(blockCol: org.apache.spark.sql.Column, layout: String) =
+      bucketed.groupBy(blockCol.as("block"))
+        .agg(min($"ub").as("minu"), max($"ub").as("maxu"),
+             min($"vb").as("minv"), max($"vb").as("maxv"),
+             count(lit(1)).as("n_rows"))
+        .withColumn("layout", lit(layout))
+    val stats = blockStats($"ub", "linear")
+      .unionByName(blockStats(expr(s"z DIV $ZCellsPerBlock"), "zorder"))
+    val probes = broadcast(
+      ZProbes.toDF("probe", "ulo", "uhi", "vlo", "vhi"))
+    val hit = $"maxu" >= $"ulo" && $"minu" <= $"uhi" &&
+      $"maxv" >= $"vlo" && $"minv" <= $"vhi"
+    val matches = bucketed.crossJoin(probes)
+      .where($"ub".between($"ulo", $"uhi") && $"vb".between($"vlo", $"vhi"))
+      .groupBy($"probe").agg(count(lit(1)).as("n_rows_match"))
+    stats.crossJoin(probes)
+      .groupBy($"probe", $"layout")
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(hit, 1L).otherwise(0L)).as("n_blocks_scanned"),
+        sum(when(hit, $"n_rows").otherwise(0L)).as("n_rows_scanned"))
+      .join(matches, Seq("probe"), "left")
+      .withColumn("n_rows_match", coalesce($"n_rows_match", lit(0L)))
+      .orderBy($"probe", $"layout")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_exact_distinct"  -> (exactDistinct _),
     "sketch_block_pruning"   -> (blockPruning _),
+    "sketch_zorder_pruning"  -> (zorderPruning _),
     "sketch_approx_distinct" -> (approxDistinct _),
     "sketch_quantiles"       -> (quantiles _),
     "sketch_summary_stats"   -> (summaryStats _),
@@ -266,5 +344,58 @@ object Sketches extends QueryModule {
          |             / count(*), 6) AS block_prune_ratio
          |FROM blocks CROSS JOIN cutoffs
          |GROUP BY cutoff ORDER BY cutoff""".stripMargin,
+    // Same integer user-bucket quotient, same order-pinned value-bucket
+    // division ((v - vmin) / ((vmax - vmin) / 16.0)), same Morton bit
+    // interleave — both engines land every row in the identical cell.
+    "sketch_zorder_pruning" ->
+      s"""WITH ext AS (
+         |  SELECT min(user_id) AS umin, max(user_id) AS umax,
+         |         min(value) AS vmin, max(value) AS vmax
+         |  FROM events
+         |), b AS (
+         |  SELECT CAST(((user_id - umin) * $ZLevels) // (umax - umin + 1) AS INT) AS ub,
+         |         CASE WHEN vmax = vmin THEN 0 ELSE
+         |           LEAST(CAST(FLOOR((value - vmin) / ((vmax - vmin) / $ZLevels.0)) AS INT),
+         |                 ${ZLevels - 1}) END AS vb
+         |  FROM events CROSS JOIN ext
+         |), zb AS (
+         |  SELECT ub, vb,
+         |         ((ub >> 0) & 1) * 2   + ((vb >> 0) & 1) * 1
+         |       + ((ub >> 1) & 1) * 8   + ((vb >> 1) & 1) * 4
+         |       + ((ub >> 2) & 1) * 32  + ((vb >> 2) & 1) * 16
+         |       + ((ub >> 3) & 1) * 128 + ((vb >> 3) & 1) * 64 AS z
+         |  FROM b
+         |), stats AS (
+         |  SELECT 'linear' AS layout, ub AS block,
+         |         min(ub) AS minu, max(ub) AS maxu,
+         |         min(vb) AS minv, max(vb) AS maxv, count(*) AS n_rows
+         |  FROM zb GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT 'zorder', z // $ZCellsPerBlock,
+         |         min(ub), max(ub), min(vb), max(vb), count(*)
+         |  FROM zb GROUP BY 1, 2
+         |), p(probe, ulo, uhi, vlo, vhi) AS (
+         |  VALUES ${ZProbes.map { case (n, a, b2, c, d) =>
+                      s"('$n', $a, $b2, $c, $d)" }.mkString(",\n         |         ")}
+         |), m AS (
+         |  SELECT probe, count(*) AS n_rows_match
+         |  FROM zb CROSS JOIN p
+         |  WHERE ub BETWEEN ulo AND uhi AND vb BETWEEN vlo AND vhi
+         |  GROUP BY probe
+         |)
+         |SELECT s.probe, s.layout, s.n_blocks, s.n_blocks_scanned,
+         |       s.n_rows_scanned, COALESCE(m.n_rows_match, 0) AS n_rows_match
+         |FROM (
+         |  SELECT probe, layout, count(*) AS n_blocks,
+         |         CAST(sum(CASE WHEN maxu >= ulo AND minu <= uhi
+         |                        AND maxv >= vlo AND minv <= vhi
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks_scanned,
+         |         CAST(sum(CASE WHEN maxu >= ulo AND minu <= uhi
+         |                        AND maxv >= vlo AND minv <= vhi
+         |                  THEN n_rows ELSE 0 END) AS BIGINT) AS n_rows_scanned
+         |  FROM stats CROSS JOIN p
+         |  GROUP BY probe, layout
+         |) s LEFT JOIN m ON s.probe = m.probe
+         |ORDER BY s.probe, s.layout""".stripMargin,
   )
 }

@@ -242,6 +242,50 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally { vecsRel.unpersist(); buckets.unpersist() }
   }
 
+  test("streaming IVF-PQ serving: micro-batched == one-shot; self at rank 1") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = TestSpark.sf
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val idx = graft.streaming.PqServeStream.corpusIndex(
+      emb.where(col("vec_id") % 2 === 0))
+    try {
+      val odds = emb.where(col("vec_id") % 2 === 1)
+      def answersOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      val oneShot = answersOf(graft.streaming.PqServeStream.serveBatch(odds, idx))
+      assert(oneShot.nonEmpty, "vacuous: no IVF-PQ answers at this SF")
+      oneShot.foreach { case (_, n, _, _) => assert(n % 2 == 0, s"neighbor $n") }
+
+      // serving semantics (excludeSelf = false): a query that IS a corpus
+      // member gets itself back at rank 1 with exact cosine 1.0
+      val members = emb.where(col("vec_id") % 2 === 0 && col("vec_id") < 40)
+      val selfTop = graft.streaming.PqServeStream.serveBatch(members, idx)
+        .where(col("rnk") === 1).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      assert(selfTop.nonEmpty)
+      selfTop.foreach { case (q, n, s) =>
+        assert(q == n && s == 1.0, s"member $q top-1 was ($n, $s)") }
+
+      val in = MemoryStream[(Long, Array[Float])]
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Double)]
+      val q = graft.streaming.PqServeStream.start(
+        in.toDF().toDF("vec_id", "embedding"), idx) { (answers, _) =>
+        got ++= answers.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      }
+      try {
+        val rows = odds.as[(Long, Array[Float])].collect().toSeq
+        rows.grouped(math.max(1, rows.size / 3 + 1)).foreach { chunk =>
+          in.addData(chunk: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      assert(got.size == got.toSet.size, "an answer was emitted twice across batches")
+      assert(got.toSet == oneShot)
+    } finally idx.unpersist()
+  }
+
   test("streaming dedup maxDf: corpus-df governed, micro-batch invariant, ⊆ exact") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
