@@ -91,6 +91,56 @@ object Relational extends QueryModule {
       .limit(10)
   }
 
+  /** TPC-H Q3 shape (shipping priority): revenue of not-yet-shipped
+    * lineitems for one market segment's orders placed before the cutoff
+    * — the canonical 3-table star probe (selective dimension filter →
+    * fact join → grouped top-k). The synthetic orders table carries no
+    * o_shippriority column, so the output is (l_orderkey, o_orderdate,
+    * revenue).
+    *
+    * Scale: the filtered customer side broadcasts (one segment ≈ 1/5 of
+    * a dimension); orders⋈lineitem shuffles on the orderkey with both
+    * date filters PUSHED to the scans; the top-10 is a
+    * TakeOrderedAndProject heap, never a global sort. */
+  def shipPriority(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cutoff = "1998-01-01"
+    val c = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    val o = Tables.orders(s, dir).filter($"o_orderdate" < lit(cutoff).cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val li = Tables.lineitem(s, dir).filter($"l_shipdate" > lit(cutoff).cast("timestamp"))
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"))
+      .orderBy($"revenue".desc, $"o_orderdate".asc, $"l_orderkey".asc)
+      .limit(10)
+  }
+
+  /** Latest-wins snapshot compaction: each customer's most recent order
+    * (newest o_orderdate, highest o_orderkey on ties) — the CDC
+    * "current state" pattern every mutable-source ingest runs (the
+    * batch twin of a streaming upsert MERGE).
+    *
+    * Scale: one row_number window PARTITIONED BY the key — per-key
+    * independent, no global sort, no skew beyond the hottest key's
+    * update count; at 100 TB this is exactly Delta/Iceberg MERGE
+    * latest-wins compaction. */
+  def latestSnapshot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+        $"o_orderstatus", $"o_totalprice")
+      .orderBy($"o_custkey")
+  }
+
   /** Left-semi: customers that have at least one URGENT order. */
   def semiJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -391,6 +441,8 @@ object Relational extends QueryModule {
     "rel_filter_project"   -> (filterProject _),
     "rel_revenue_by_nation"-> (revenueByNation _),
     "rel_top_orders"       -> (topOrders _),
+    "rel_ship_priority"    -> (shipPriority _),
+    "rel_latest_snapshot"  -> (latestSnapshot _),
     "rel_semi_join"        -> (semiJoin _),
     "rel_anti_join"        -> (antiJoin _),
     "rel_distinct_agg"     -> (distinctAgg _),
@@ -409,6 +461,30 @@ object Relational extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // Same push-down filters, same per-orderkey rounded revenue, same
+    // total tie-break (revenue desc, date, orderkey) before the limit.
+    "rel_ship_priority" ->
+      """SELECT l_orderkey, o_orderdate,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "rel_latest_snapshot" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus, o_totalprice
+        |FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders
+        |)
+        |WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
     "rel_analytic_frames" ->
       """WITH rev AS (
         |  SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue

@@ -228,6 +228,43 @@ class PlanSpec extends AnyFunSuite {
     assert(!readSchema.contains("props") && !readSchema.contains("value"), readSchema)
   }
 
+  test("ship priority: date filters pushed, segment broadcast, top-10 is a heap") {
+    val p = formatted("rel_ship_priority")
+    assert(p.contains("TakeOrderedAndProject"), p) // never a global sort
+    assert(p.contains("BroadcastHashJoin"), p)     // filtered customer side
+    assert(p.contains("LessThan(o_orderdate"), p)  // pushed to the orders scan
+    assert(p.contains("GreaterThan(l_shipdate"), p) // pushed to the lineitem scan
+  }
+
+  test("latest snapshot: per-key window, no global sort before the window") {
+    val p = formatted("rel_latest_snapshot")
+    // the window partitions by o_custkey: its sort is within partitions
+    // (hashpartitioning exchange), never a singleton range partition
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("zorder audit: scan prunes to (user_id, value); bounds/probes broadcast; no cartesian") {
+    val f = formatted("sketch_zorder_pruning")
+    val readSchema = f.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("props") && !readSchema.contains("event_type"),
+      readSchema)
+    assert(readSchema.contains("user_id") && readSchema.contains("value"), readSchema)
+    // the min/max bounds and the probe list reach the rows as broadcasts;
+    // nothing corpus-sized ever pairs with anything corpus-sized
+    assert(f.contains("BroadcastNestedLoopJoin") || f.contains("BroadcastHashJoin"), f)
+    assert(!f.contains("CartesianProduct"), f)
+  }
+
+  test("train split: digest-keyed leakage join, text never shuffles") {
+    val f = formatted("pipe_train_split")
+    // the join key is the 16-byte md5 digest: the exchange carries (h,
+    // n_tok, split), never the text column
+    val exchanges = f.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text"), exchanges)
+    assert(!f.contains("CartesianProduct"), f)
+  }
+
   test("block pruning reads only (l_orderkey, l_shipdate) and partial-aggregates") {
     val f = formatted("sketch_block_pruning")
     val readSchema = f.linesIterator.find(_.contains("ReadSchema")).get
