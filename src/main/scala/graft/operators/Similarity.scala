@@ -80,14 +80,23 @@ object Similarity extends QueryModule {
 
   /** Max-cosine cell per corpus vector — the shared IVF/SemDeDup
     * assignment: one corpus scan against the broadcast centroids,
-    * deterministic tie-break on cid. */
+    * deterministic tie-break on cid. The argmax is a map-side-combined
+    * `min(struct(1 − ccos, cid, v, norm))` (the [[pqCodebook]] trick:
+    * the payload rides inside the struct, and since (score, cid) is
+    * already deciding, the comparison never reaches it) — one row per
+    * vector hits the shuffle, where the former per-vector row_number
+    * window shuffled the full corpus × |centroids| join. `1 − ccos`
+    * orders identically to `ccos desc` (rounded ccos values are far
+    * coarser than double spacing near 1) and keeps the key
+    * non-negative. */
   private[graft] def cellAssignment(e: DataFrame, cent: DataFrame): DataFrame = {
-    val assignW = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid").asc)
     e.join(cent)
       .withColumn("ccos", round(vectorDot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 6))
-      .withColumn("crn", row_number().over(assignW))
-      .where(col("crn") === 1)
-      .select(col("vec_id"), col("cid"), col("v"), col("norm"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct((lit(1.0) - col("ccos")).as("d"), col("cid").as("c"),
+        col("v").as("v"), col("norm").as("norm"))).as("m"))
+      .select(col("vec_id"), col("m.c").as("cid"), col("m.v").as("v"),
+        col("m.norm").as("norm"))
   }
 
   /** IVF top-k: vectors with vec_id < 16 serve as deterministic
@@ -524,6 +533,31 @@ object Similarity extends QueryModule {
       df.withColumn(s"s$b", vectorDot(cs, cs) - lit(2.0) * vectorDot(xs, cs))
     }
 
+  /** Per-query ADC lookup tables as cid-keyed MAPS: `(query_id, qq,
+    * lut0..lut7)` where `lut_b[c] = s_b(q, c)` is block b's score
+    * against codebook entry c (keyed by cid VALUE, not position — a
+    * corpus whose donor ids are sparse, e.g. the even-ids streaming
+    * spec, has non-dense cids). ONE broadcast join attaches all 8 LUTs
+    * to the candidate stream, and the ADC sum is 8 codegen'd
+    * `element_at` map lookups over 16-entry maps — where a per-(block,
+    * code) LUT relation costs 8 broadcast-join probes per candidate
+    * row (the shape profiled ~2× slower at sf0.1). */
+  private def pqLutArrays(q: DataFrame, cbk: DataFrame): DataFrame = {
+    val lut = pqScores(q.select(col("query_id"), col("qv")).crossJoin(cbk), "qv")
+    val aggs = (0 until PqBlocks).map { b =>
+      map_from_entries(array_sort(collect_list(struct(col("cid").as("cid"),
+        col(s"s$b").as("s"))))).as(s"lut$b")
+    }
+    lut.groupBy(col("query_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The ADC estimate `qq + Σ_b lut_b[code_b]` in the fixed left-to-right
+    * block order (the term order both engines' oracles reproduce). */
+  private def adcLookupSum: org.apache.spark.sql.Column =
+    (0 until PqBlocks).foldLeft(col("qq")) { (acc, b) =>
+      acc + element_at(col(s"lut$b"), col(s"code$b"))
+    }
+
   /** `(vec_id, m0..m7)` where `m_b = struct(sc, c)` is block b's argmin
     * (score, centroid id) — one broadcast crossJoin against the 16-row
     * codebook and ONE partially-aggregated groupBy: the lexicographic
@@ -600,21 +634,12 @@ object Similarity extends QueryModule {
       col("vec_id").as("neighbor_id") +:
         (0 until PqBlocks).map(b => col(s"m$b.c").as(s"code$b")): _*)
     val q = queriesOf(e).withColumn("qq", vectorDot($"qv", $"qv"))
-    val lut = pqScores(q.select($"query_id", $"qv").crossJoin(cbk), "qv")
-    val cand = (0 until PqBlocks).foldLeft(
-      codes.crossJoin(broadcast(q.select($"query_id", $"qq")))
-        .where($"neighbor_id" =!= $"query_id")) { (df, b) =>
-      df.join(
-        broadcast(lut.select($"query_id", $"cid".as(s"code$b"),
-          col(s"s$b").as(s"l$b"))),
-        Seq("query_id", s"code$b"))
-    }
-    val adcSum = (0 until PqBlocks).foldLeft($"qq": org.apache.spark.sql.Column) {
-      (acc, b) => acc + col(s"l$b")
-    }
+    val qluts = pqLutArrays(q, cbk).join(q.select($"query_id", $"qq"), "query_id")
+    val cand = codes.crossJoin(broadcast(qluts))
+      .where($"neighbor_id" =!= $"query_id")
     val shortW = Window.partitionBy($"query_id")
       .orderBy($"adc".asc, $"neighbor_id".asc)
-    val short = cand.withColumn("adc", round(adcSum, 6))
+    val short = cand.withColumn("adc", round(adcLookupSum, 6))
       .withColumn("srnk", row_number().over(shortW))
       .where($"srnk" <= PqShortlist)
       .select($"query_id", $"neighbor_id")
@@ -657,13 +682,15 @@ object Similarity extends QueryModule {
     var cb: DataFrame = e.filter($"vec_id" < IvfPqCells)
       .select($"vec_id".as("cid"), $"v".as("cv"), $"norm".as("cnorm"))
     for (_ <- 1 to PqLloydIters) {
-      val assignW = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid".asc)
+      // map-side-combined argmax (see cellAssignment): v rides inside
+      // the struct-min, one row per vector reaches the shuffle
       val assigned = e.join(broadcast(cb))
         .withColumn("ccos",
           round(vectorDot($"v", $"cv") / ($"norm" * $"cnorm"), 6))
-        .withColumn("crn", row_number().over(assignW))
-        .where($"crn" === 1)
-        .select($"cid", $"v")
+        .groupBy($"vec_id")
+        .agg(min(struct((lit(1.0) - $"ccos").as("d"), $"cid".as("c"),
+          $"v".as("v"))).as("m"))
+        .select($"m.c".as("cid"), $"m.v".as("v"))
       val sums = assigned.groupBy($"cid")
         .agg(count(lit(1)).as("n"),
           (0 until DIM).map(j =>
@@ -743,25 +770,16 @@ object Similarity extends QueryModule {
       .withColumn("prn", row_number().over(probeW))
       .where($"prn" <= IvfPqProbe)
       .select($"query_id", $"cid")
-    val lut = pqScores(q.select($"query_id", $"qv").crossJoin(cbk), "qv")
+    val qluts = pqLutArrays(q, cbk).join(q.select($"query_id", $"qq"), "query_id")
     val inCell = broadcast(probes)
       .join(assign.select($"cid", $"vec_id".as("neighbor_id")), "cid")
-    val cand0 = (if (excludeSelf) inCell.where($"neighbor_id" =!= $"query_id")
-                 else inCell)
+    val cand = (if (excludeSelf) inCell.where($"neighbor_id" =!= $"query_id")
+                else inCell)
       .join(codes, "neighbor_id")
-      .join(broadcast(q.select($"query_id", $"qq")), "query_id")
-    val cand = (0 until PqBlocks).foldLeft(cand0) { (df, b) =>
-      df.join(
-        broadcast(lut.select($"query_id", $"cid".as(s"code$b"),
-          col(s"s$b").as(s"l$b"))),
-        Seq("query_id", s"code$b"))
-    }
-    val adcSum = (0 until PqBlocks).foldLeft($"qq": org.apache.spark.sql.Column) {
-      (acc, b) => acc + col(s"l$b")
-    }
+      .join(broadcast(qluts), "query_id")
     val shortW = Window.partitionBy($"query_id")
       .orderBy($"adc".asc, $"neighbor_id".asc)
-    val short = cand.withColumn("adc", round(adcSum, 6))
+    val short = cand.withColumn("adc", round(adcLookupSum, 6))
       .withColumn("srnk", row_number().over(shortW))
       .where($"srnk" <= IvfPqShortlist)
       .select($"query_id", $"neighbor_id")

@@ -75,3 +75,66 @@ object PqServeStream {
     w.start()
   }
 }
+
+/** Runnable, checkpointed form of [[PqServeStream]] (template:
+  * [[AnnServeJob]]): file-stream a directory of query-vector parquet
+  * files against a corpus directory at rest — the quantized index is
+  * trained once at startup — and write each micro-batch's top-k answers
+  * to `output/epoch=N/`.
+  *
+  * Exactly-once across restarts without a transactional sink, exactly
+  * as in [[DedupStreamJob]]: a replayed epoch deterministically
+  * overwrites its own `epoch=N` directory and nothing else (the index
+  * is a pure function of the corpus directory, so a restarted run
+  * retrains the identical index and re-derives identical answers);
+  * readers see the union via partition discovery. RecoverySpec kills
+  * the query between epochs and proves the restarted run loses no
+  * answer and duplicates none. */
+object PqServeJob {
+
+  def run(spark: org.apache.spark.sql.SparkSession, corpusDir: String,
+          inputDir: String, outputDir: String, checkpointDir: String,
+          k: Int = 5, maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    val corpus = spark.read.parquet(corpusDir).select("vec_id", "embedding")
+    val idx = PqServeStream.corpusIndex(corpus)
+    val stream = spark.readStream.schema(AnnServeJob.querySchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(inputDir)
+      .select("vec_id", "embedding")
+    val query = PqServeStream.start(stream, idx,
+      k, checkpoint = Some(checkpointDir)) { (answers, epochId) =>
+      answers.write.mode("overwrite").parquet(s"$outputDir/epoch=$epochId")
+    }
+    // Release the per-run persisted index when THIS query terminates
+    // (same pattern as AnnServeJob): keyed on the query id, idempotent.
+    val qid = query.id
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == qid) {
+          idx.unpersist()
+          spark.streams.removeListener(this)
+        }
+    })
+    query
+  }
+
+  /** `--corpus --input --output --checkpoint [--k N]` CLI, same option
+    * style as [[AnnServeJob]]. */
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    val spark = TaxiJobs.session("PqServe")
+    run(spark,
+      opts.getOrElse("corpus", "corpus"),
+      opts.getOrElse("input", "queries"),
+      opts.getOrElse("output", "output"),
+      opts.getOrElse("checkpoint", "checkpoint"),
+      opts.get("k").map(_.toInt).getOrElse(5)).awaitTermination()
+  }
+}

@@ -166,6 +166,46 @@ class RecoverySpec extends AnyFunSuite {
     assert(got.nonEmpty, "vacuous: no ANN answers at this SF")
   }
 
+  test("PQ serve job restarts from checkpoint; answers == one-shot, exactly once") {
+    val in = Files.createTempDirectory("pq_in").toString
+    val out = Files.createTempDirectory("pq_out").toString
+    val cp = Files.createTempDirectory("pq_cp").toString
+    val corpusDir = Files.createTempDirectory("pq_corpus").toString
+    Tables.embeddings(spark, TestSpark.sf).select("vec_id", "embedding")
+      .write.mode("overwrite").parquet(corpusDir)
+
+    def run(): Unit = {
+      val q = graft.streaming.PqServeJob.run(spark, corpusDir, in, out, cp)
+      q.processAllAvailable()
+      q.stop()
+      spark.catalog.clearCache() // drop the per-run index persists
+    }
+    // run 1 serves two query drops, then the query is stopped (simulated kill)
+    stageQueryVecs(in, 0); stageQueryVecs(in, 1)
+    run()
+    // run 2 retrains the identical index from the same corpus directory,
+    // resumes from the checkpoint, and drains the remaining drops
+    stageQueryVecs(in, 2); stageQueryVecs(in, 3)
+    run()
+
+    val got = spark.read.parquet(out)
+      .select("query_id", "neighbor_id", "rnk", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.length === got.distinct.length,
+      "an answer was emitted twice across the restart")
+    val corpus = spark.read.parquet(corpusDir)
+    val idx = graft.streaming.PqServeStream.corpusIndex(corpus)
+    val allQueries = Tables.embeddings(spark, TestSpark.sf)
+      .select("vec_id", "embedding").where(col("vec_id") % 10 === 0)
+    val expected = graft.streaming.PqServeStream
+      .serveBatch(allQueries, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    spark.catalog.clearCache()
+    assert(got.toSet === expected,
+      s"got ${got.length} answers, expected ${expected.size}")
+    assert(got.nonEmpty, "vacuous: no PQ answers at this SF")
+  }
+
   test("sessionizer restarts from checkpoint; file-sink output == batch, exactly once") {
     val in = Files.createTempDirectory("rec_in").toString
     val out = Files.createTempDirectory("rec_out").toString
