@@ -310,6 +310,42 @@ object Relational extends QueryModule {
     finally s.catalog.dropTempView(view)
   }
 
+  private val SkewTopN = 10
+
+  /** Join-key skew audit — the diagnostic a 100 TB job runs BEFORE
+    * choosing a join strategy (the input [[saltedJoin]]'s salt factor
+    * comes from): per-key frequency profile of the prospective join key
+    * with the heavy hitters ranked, each annotated with its multiple of
+    * the average key load (`x_avg`) and the replica count that would
+    * dilute it back to average (`salt_factor` = ceil(x_avg) — the k of
+    * a k-way salted replication). The p50/p99 of per-key counts give
+    * the skew baseline: a p99/p50 near 1 says broadcast/AQE suffices; a
+    * hot key at 100× average says salt exactly that key.
+    *
+    * Scale: per-key counts are one partial-agg shuffle (the SAME
+    * shuffle the audited join would run); the count distribution stats
+    * are a second agg over |keys| rows; the heavy-hitter report is a
+    * TakeOrdered heap. Nothing touches the fact table twice. */
+  def skewAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.events(s, dir)
+      .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+    val stats = broadcast(counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum($"cnt").as("total"),
+      expr("percentile(cnt, 0.5)").as("p50_cnt"),
+      expr("percentile(cnt, 0.99)").as("p99_cnt")))
+    counts.crossJoin(stats)
+      .withColumn("x_avg",
+        round($"cnt" / ($"total".cast("double") / $"n_keys"), 4))
+      .withColumn("salt_factor",
+        ceil($"cnt" / ($"total".cast("double") / $"n_keys")).cast("long"))
+      .select($"user_id", $"cnt", $"n_keys", $"p50_cnt", $"p99_cnt",
+        $"x_avg", $"salt_factor")
+      .orderBy($"cnt".desc, $"user_id".asc)
+      .limit(SkewTopN)
+  }
+
   /** Bloom-filter pre-filtered semi join: build a bloom filter over the
     * URGENT order keys (`DataFrameStatFunctions.bloomFilter`), broadcast
     * it, and prune lineitem MAP-SIDE before the exact semi join verifies
@@ -455,12 +491,31 @@ object Relational extends QueryModule {
     "rel_scalar_subquery"  -> (maxOrderPerCustomer _),
     "rel_bloom_semi_join"  -> (bloomSemiJoin _),
     "rel_salted_join"      -> (saltedJoin _),
+    "rel_skew_audit"       -> (skewAudit _),
     "rel_sample_stratified"-> (sampleStratified _),
     "rel_analytic_frames"  -> (analyticFrames _),
     "rel_grouping_sets"    -> (groupingSets _),
   )
 
   override def oracles: Map[String, String] = Map(
+    // Same per-key counts, same exact interpolated percentiles (DuckDB
+    // quantile_cont == Spark percentile), same order-pinned divisions.
+    "rel_skew_audit" ->
+      s"""WITH c AS (
+         |  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+         |), s AS (
+         |  SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total,
+         |         quantile_cont(cnt, 0.5) AS p50_cnt,
+         |         quantile_cont(cnt, 0.99) AS p99_cnt
+         |  FROM c
+         |)
+         |SELECT user_id, cnt, n_keys, p50_cnt, p99_cnt,
+         |       round(cnt / (CAST(total AS DOUBLE) / n_keys), 4) AS x_avg,
+         |       CAST(ceil(cnt / (CAST(total AS DOUBLE) / n_keys)) AS BIGINT)
+         |         AS salt_factor
+         |FROM c CROSS JOIN s
+         |ORDER BY cnt DESC, user_id
+         |LIMIT $SkewTopN""".stripMargin,
     // Same push-down filters, same per-orderkey rounded revenue, same
     // total tie-break (revenue desc, date, orderkey) before the limit.
     "rel_ship_priority" ->
