@@ -199,6 +199,38 @@ object Multimodal extends QueryModule {
       .orderBy($"doc_id", $"frame_no", $"pixel_idx")
   }
 
+  private val SceneCutMad = 15.0 // mean-abs-diff cut threshold (p90 ≈ 19.5)
+
+  /** Scene-cut detection over the decoded Y4M streams — the video
+    * curation primitive that decides where to frame-sample (cut
+    * boundaries are the diverse frames; mid-scene frames are near-dups):
+    * for every consecutive frame pair of each stream, the mean absolute
+    * luma difference over the 16 pixels, flagged as a cut when it
+    * exceeds [[SceneCutMad]]. The frames come from the REAL Y4M parse
+    * ([[y4mFrames]] — header, plane geometry, frame markers), so the
+    * codec stays in the loop exactly as a production video pipeline
+    * would run ffprobe-style decode before scene scoring.
+    *
+    * Scale: the frame relation is per-(doc, frame, pixel) rows; the
+    * consecutive-pair join keys on (doc, pixel) with a +1 frame
+    * equi-condition — co-partitioned by doc, never cross-doc; the MAD
+    * is one exact-integer partial agg. At 100 TB of video the unit of
+    * parallelism is the stream, the same mapPartitions decode. */
+  def sceneCuts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val px = y4mFrames(s, dir)
+    val a = px.select($"doc_id", $"frame_no", $"pixel_idx", $"luma".as("la"))
+    val b = px.select($"doc_id", ($"frame_no" - 1).as("frame_no"),
+      $"pixel_idx", $"luma".as("lb"))
+    a.join(b, Seq("doc_id", "frame_no", "pixel_idx"))
+      .groupBy($"doc_id", $"frame_no")
+      .agg(sum(abs($"la" - $"lb")).as("sad"), count(lit(1)).as("n_px"))
+      .withColumn("mad", round($"sad" / 16.0, 6))
+      .withColumn("is_cut", ($"mad" > SceneCutMad).cast("int"))
+      .select($"doc_id", ($"frame_no" + 1).as("to_frame"), $"sad", $"mad", $"is_cut")
+      .orderBy($"doc_id", $"to_frame")
+  }
+
   /** Perceptual image near-dup: each doc's 8×8 grayscale PNG (the same
     * synthesis as [[pngDecode]]) is decoded with the REAL `javax.imageio`
     * codec inside executors, reduced to a 64-bit average-hash (bit i set
@@ -263,6 +295,7 @@ object Multimodal extends QueryModule {
     "mm_png_decode"      -> (pngDecode _),
     "mm_wav_decode"      -> (wavDecode _),
     "mm_y4m_frames"      -> (y4mFrames _),
+    "mm_scene_cuts"      -> (sceneCuts _),
     "mm_ahash_pairs"     -> (ahashPairs _),
   )
 
@@ -435,6 +468,36 @@ object Multimodal extends QueryModule {
         |       COALESCE(CAST(fb.s // fb.cnt AS INT), 0) AS luma
         |FROM grid g LEFT JOIN fb ON g.doc_id = fb.doc_id AND g.b = fb.b
         |ORDER BY g.doc_id, frame_no, pixel_idx""".stripMargin,
+    // Same luma synthesis as mm_y4m_frames, then per-(doc, pixel)
+    // consecutive-frame abs diffs: exact integer SAD, one pinned /16.0
+    // division for the MAD, threshold flag re-derived identically.
+    "mm_scene_cuts" ->
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         |fb AS (
+         |  SELECT doc_id, b,
+         |         sum(ascii(substring(text, CAST(i AS INT), 1))) AS s,
+         |         count(*) AS cnt
+         |  FROM d,
+         |       unnest(generate_series(0, 47)) AS g1(b),
+         |       unnest(generate_series((n * b) // 48 + 1, (n * (b + 1)) // 48)) AS g2(i)
+         |  GROUP BY doc_id, b
+         |), grid AS (SELECT doc_id, b FROM d, unnest(generate_series(0, 47)) AS g0(b)),
+         |px AS (
+         |  SELECT g.doc_id, CAST(g.b // 16 AS INT) AS frame_no,
+         |         CAST(g.b % 16 AS INT) AS pixel_idx,
+         |         COALESCE(CAST(fb.s // fb.cnt AS INT), 0) AS luma
+         |  FROM grid g LEFT JOIN fb ON g.doc_id = fb.doc_id AND g.b = fb.b
+         |)
+         |SELECT a.doc_id, CAST(b.frame_no AS INT) AS to_frame,
+         |       CAST(sum(abs(a.luma - b.luma)) AS BIGINT) AS sad,
+         |       round(sum(abs(a.luma - b.luma)) / 16.0, 6) AS mad,
+         |       CAST(round(sum(abs(a.luma - b.luma)) / 16.0, 6) > $SceneCutMad AS INT)
+         |         AS is_cut
+         |FROM px a JOIN px b
+         |  ON a.doc_id = b.doc_id AND a.pixel_idx = b.pixel_idx
+         | AND b.frame_no = a.frame_no + 1
+         |GROUP BY a.doc_id, b.frame_no
+         |ORDER BY a.doc_id, to_frame""".stripMargin,
   )
 }
 

@@ -298,6 +298,36 @@ object TextOps extends QueryModule {
     * adjacent, so run lengths ARE the multiplicities (the [[maxRun]]
     * trick), and the fold accumulates run² at each boundary — per-row
     * map, no explode, no shuffle; at 100 TB the scan is the only cost. */
+  /** Character-level Shannon entropy per document (nats, 6 dp) — the
+    * compression-proxy quality signal (boilerplate, repeated padding,
+    * and mojibake all score low; natural prose sits near the corpus
+    * mode). The float hazard is the Σ −p·ln p itself: a plain double
+    * sum() is partition-order-dependent and would flake the oracle, so
+    * each term is scaled to an exact BIGINT (`floor(p·ln p · −10⁹)` —
+    * the [[graft.operators.Similarity]] PqScale trick) and the SUM runs
+    * in order-independent integer arithmetic; one pinned /10⁹ division
+    * at the end recovers the entropy. Each term is the same double
+    * computation in both engines, so the floor never straddles.
+    *
+    * Scale: explode to (doc, char) → one partially-aggregated shuffle
+    * keyed (doc_id, c) with map-side combine, then a per-doc agg —
+    * alphabet-bounded fan-in, no windows, no driver state. */
+  def entropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cc = Tables.documents(s, dir)
+      .where($"text".isNotNull)
+      .select($"doc_id", length($"text").as("n"), explode(split($"text", "")).as("c"))
+      .groupBy($"doc_id", $"n", $"c")
+      .agg(count(lit(1)).as("k"))
+    cc.withColumn("p", $"k" / $"n".cast("double"))
+      .withColumn("term", floor($"p" * log($"p") * lit(-1e9)).cast("long"))
+      .groupBy($"doc_id", $"n")
+      .agg(count(lit(1)).as("n_uniq_chars"), sum($"term").as("sterm"))
+      .select($"doc_id", $"n".as("n_chars"), $"n_uniq_chars",
+        round($"sterm".cast("double") / 1e9, 6).as("entropy"))
+      .orderBy($"doc_id")
+  }
+
   def diversity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // NULL text is filtered on BOTH sides (here and in the oracle's t CTE):
@@ -494,6 +524,7 @@ object TextOps extends QueryModule {
     "text_quality_score" -> (qualityScore _),
     "text_tfidf_topk" -> (tfidfTopK _),
     "text_diversity" -> (diversity _),
+    "text_entropy"   -> (entropy _),
   )
 
   private def hitsSql(markers: Seq[String]): String = {
@@ -683,6 +714,28 @@ object TextOps extends QueryModule {
         |       round(len(t.tk) * len(t.tk) / m.sum_c2, 6) AS inv_simpson
         |FROM t JOIN m USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+    // Same per-char counts (substring explode == split-on-empty), same
+    // scaled-integer entropy terms floor((k/n)·ln(k/n)·−10⁹): the sum
+    // is exact BIGINT arithmetic, order-free in both engines; one
+    // pinned /10⁹ division recovers the nats.
+    "text_entropy" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+        |           WHERE text IS NOT NULL),
+        |cc AS (
+        |  SELECT doc_id, n, substring(text, CAST(i AS INT), 1) AS c,
+        |         count(*) AS k
+        |  FROM d, unnest(generate_series(1, n)) AS g(i)
+        |  GROUP BY doc_id, n, c
+        |), t AS (
+        |  SELECT doc_id, n, count(*) AS n_uniq_chars,
+        |         CAST(sum(CAST(floor((k / CAST(n AS DOUBLE))
+        |                             * ln(k / CAST(n AS DOUBLE))
+        |                             * -1000000000.0) AS BIGINT)) AS BIGINT) AS sterm
+        |  FROM cc GROUP BY doc_id, n
+        |)
+        |SELECT doc_id, n AS n_chars, n_uniq_chars,
+        |       round(CAST(sterm AS DOUBLE) / 1000000000.0, 6) AS entropy
+        |FROM t ORDER BY doc_id""".stripMargin,
     "text_ngram_freq" ->
       """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents
         |           WHERE len(string_split(text, ' ')) >= 2),
