@@ -447,6 +447,18 @@ object Similarity extends QueryModule {
   private[graft] val PqSub = DIM / PqBlocks // dims per subvector (8)
   private val PqShortlist = 200 // ADC shortlist size before exact rerank
   private[graft] val PqLloydIters = 2 // Lloyd refinement steps per sub-codebook
+  // Quantizer TRAINING BOUND: Lloyd refinement reads at most the first
+  // 2¹⁶ vectors (deterministic id prefix) — the FAISS convention made
+  // real: k-means quality saturates on a bounded sample, so at 10⁹ rows
+  // training cost is FIXED while encoding still covers every vector.
+  // Below the cap (all bench SFs) training sees the full corpus, so
+  // recall is identical to unbounded training; a fractional sample was
+  // measured instead and REJECTED at these corpus sizes (25% sample:
+  // ivfpq recall@5 0.79 → 0.675 — per-cell training points got too
+  // thin; a fixed CAP only ever binds when cells are training-rich).
+  private val TrainCap = 65536
+  private def trainSample(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < TrainCap)
 
   /** Fixed-point scale for deterministic k-means centroid updates:
     * `floor(x · 2³⁰)` is EXACT for any double x (power-of-two product +
@@ -489,7 +501,8 @@ object Similarity extends QueryModule {
     def slices(src: DataFrame, name: String) = src.select($"vec_id", explode(
       array((0 until PqBlocks).map(b =>
         struct(lit(b).as("b"), slice($"v", b * PqSub + 1, PqSub).as(name))): _*)).as("t"))
-    val xb = slices(e, "xb").select($"vec_id", $"t.b".as("b"), $"t.xb".as("xb")).persist()
+    val xb = slices(trainSample(e), "xb")
+      .select($"vec_id", $"t.b".as("b"), $"t.xb".as("xb")).persist()
     var cb: DataFrame = slices(e.filter($"vec_id" < NCENT), "cb")
       .select($"t.b".as("b"), $"vec_id".as("cid"), $"t.cb".as("cb"))
     for (_ <- 1 to PqLloydIters) {
@@ -683,8 +696,9 @@ object Similarity extends QueryModule {
       .select($"vec_id".as("cid"), $"v".as("cv"), $"norm".as("cnorm"))
     for (_ <- 1 to PqLloydIters) {
       // map-side-combined argmax (see cellAssignment): v rides inside
-      // the struct-min, one row per vector reaches the shuffle
-      val assigned = e.join(broadcast(cb))
+      // the struct-min, one row per vector reaches the shuffle; training
+      // runs on the bounded [[trainSample]], encoding stays full-corpus
+      val assigned = trainSample(e).join(broadcast(cb))
         .withColumn("ccos",
           round(vectorDot($"v", $"cv") / ($"norm" * $"cnorm"), 6))
         .groupBy($"vec_id")
@@ -884,6 +898,7 @@ object Similarity extends QueryModule {
        |  SELECT e.vec_id, t.b,
        |         list_slice(e.v, t.b*$PqSub+1, t.b*$PqSub+$PqSub) AS xb
        |  FROM e CROSS JOIN generate_series(0, ${PqBlocks - 1}) t(b)
+       |  WHERE e.vec_id < $TrainCap
        |),
        |kb0 AS (
        |  SELECT t.b, e.vec_id AS cid,
@@ -909,13 +924,13 @@ object Similarity extends QueryModule {
          |               ORDER BY round(list_dot_product(e.v, c.cv)
          |                        / (e.nrm * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
          |                        c.cid ASC) AS rn
-         |    FROM e CROSS JOIN $prev c)
+         |    FROM et e CROSS JOIN $prev c)
          |  WHERE rn = 1
          |),
          |im$i AS (
          |  SELECT a.cid, g.j, count(*) AS n,
          |         CAST(sum(CAST(floor(e.v[g.j] * $PqScaleSql) AS BIGINT)) AS BIGINT) AS sj
-         |  FROM ia$i a JOIN e ON e.vec_id = a.vec_id
+         |  FROM ia$i a JOIN et e ON e.vec_id = a.vec_id
          |  CROSS JOIN generate_series(1, $DIM) g(j)
          |  GROUP BY a.cid, g.j
          |),
@@ -927,7 +942,8 @@ object Similarity extends QueryModule {
          |             FROM im$i GROUP BY cid) c2 ON c2.cid = b0.cid
          |)""".stripMargin
     }.mkString(",\n")
-    s"""ib0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $IvfPqCells),
+    s"""et AS (SELECT * FROM e WHERE vec_id < $TrainCap),
+       |ib0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $IvfPqCells),
        |$iters,
        |icent AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnrm
        |          FROM ib$PqLloydIters)""".stripMargin
