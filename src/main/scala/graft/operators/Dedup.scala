@@ -255,6 +255,37 @@ object Dedup extends QueryModule {
   def clusters(s: SparkSession, dir: String): DataFrame =
     clustersImpl(s, dir, driverUnionFindMax = 1000000L)
 
+  /** Dedup ROI report: the per-cluster-size histogram a pipeline owner
+    * reads BEFORE committing to a dedup pass — for each near-dup
+    * cluster size, how many clusters exist, how many docs they hold,
+    * how many are REMOVABLE (all but the representative = the min-id
+    * component label), and the token mass reclaimed by removing them.
+    * Size-1 rows are the untouched singleton mass, so the table also
+    * states what dedup will NOT buy.
+    *
+    * Scale: [[clusters]]' component map (bounded hybrid union-find)
+    * joined once to per-doc token counts, then two partial-agg shuffles
+    * (component → size, size → histogram) over cluster-count-sized
+    * relations. */
+  def clusterStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tok"))
+    val perCluster = clusters(s, dir).join(toks, "doc_id")
+      .groupBy($"component")
+      .agg(
+        count(lit(1)).as("sz"),
+        sum($"n_tok").as("tok"),
+        sum(when($"doc_id" =!= $"component", $"n_tok").otherwise(0L)).as("dup_tok"))
+    perCluster.groupBy($"sz".as("cluster_size"))
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        sum($"sz").as("n_docs"),
+        (sum($"sz") - count(lit(1))).as("n_dup_docs"),
+        sum($"dup_tok").as("reclaim_tokens"))
+      .orderBy($"cluster_size")
+  }
+
   /** Hybrid component computation. The pair graph is orders of magnitude
     * smaller than the corpus (it IS the near-dup density), so up to
     * `driverUnionFindMax` edges a driver-side union-find (same trick as
@@ -688,6 +719,7 @@ object Dedup extends QueryModule {
     "dedup_minhash_lsh"   -> (minhashLsh _),
     "dedup_incremental"   -> (incremental _),
     "dedup_clusters"      -> (clusters _),
+    "dedup_cluster_stats" -> (clusterStats _),
     "dedup_simhash"       -> (simhash _),
     "dedup_embcos"        -> (embeddingCosine _),
     "dedup_decontaminate" -> (decontaminate _),
@@ -830,6 +862,46 @@ object Dedup extends QueryModule {
         |)
         |SELECT a AS doc_id, min(b) AS component
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    // Same component map (recursive reachability, min label), same
+    // min-id representative convention, exact integer token sums.
+    "dedup_cluster_stats" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |d AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(tok) - 2, 1)),
+        |         i -> array_to_string(tok[i:i+2], ' '))) AS shingles
+        |  FROM t
+        |), e AS (
+        |  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM d
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, a.n_sh, b.n_sh
+        |  HAVING round(count(*) / (a.n_sh + b.n_sh - count(*)), 6) >= 0.8
+        |), edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION ALL
+        |  SELECT doc_b, doc_a FROM pairs
+        |), reach AS (
+        |  SELECT doc_id AS a, doc_id AS b FROM documents
+        |  UNION
+        |  SELECT r.a, g.b FROM reach r JOIN edges g ON r.b = g.a
+        |), comp AS (
+        |  SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a
+        |), tk AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), pc AS (
+        |  SELECT c.component, count(*) AS sz,
+        |         CAST(sum(CASE WHEN c.doc_id <> c.component THEN tk.n_tok
+        |                       ELSE 0 END) AS BIGINT) AS dup_tok
+        |  FROM comp c JOIN tk ON tk.doc_id = c.doc_id
+        |  GROUP BY c.component
+        |)
+        |SELECT sz AS cluster_size, count(*) AS n_clusters,
+        |       CAST(sum(sz) AS BIGINT) AS n_docs,
+        |       CAST(sum(sz) - count(*) AS BIGINT) AS n_dup_docs,
+        |       CAST(sum(dup_tok) AS BIGINT) AS reclaim_tokens
+        |FROM pc GROUP BY sz ORDER BY cluster_size""".stripMargin,
     "dedup_incremental" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
         |d AS (
