@@ -243,6 +243,52 @@ object Pipelines extends QueryModule {
       .orderBy($"source")
   }
 
+  private val NEpochs = 3
+  private val EpochMix = 1000003L // odd prime epoch offset inside the hash
+
+  /** Deterministic per-epoch reshuffle audit — multi-epoch training
+    * needs a DIFFERENT data order every epoch (same order twice trains
+    * on correlated gradients) that is still reproducible from (doc_id,
+    * epoch) alone (resume mid-epoch, re-derive any shard without a
+    * stored permutation). The epoch is XOR-mixed INSIDE the
+    * multiplicative hash (`(doc_id ⊕ epoch·p)·K mod 2³²`) — XOR, not
+    * `+`: an additive offset cancels in the hash difference
+    * (h(ep)−h(ep−1) = p·K for EVERY doc), making the "shuffle" a
+    * constant shard rotation; this operator's own audit caught exactly
+    * that (moved = 1.0 uniformly instead of ≈ (S−1)/S). The audit
+    * emits, per (epoch, shard): doc/token mass (balance) and how many
+    * docs moved shard vs the previous epoch (decorrelation — ≈ (S−1)/S
+    * of docs should move; both moved ≈ 0 and moved ≈ 1.0-uniform are
+    * broken mixes). The shard is the HIGH 4 bits of the 32-bit product
+    * (Fibonacci hashing's actual contract — K is odd, so `% 16` of a
+    * multiplicative hash is just the INPUT's low 4 bits, and any epoch
+    * constant would flip every doc identically; the audit caught that
+    * too, measured at moved = 1.0 uniform).
+    *
+    * Scale: shard and previous-epoch shard are PER-ROW expressions (no
+    * join, no stored state); the explode is ×[[NEpochs]]; one partial
+    * agg onto epochs × shards keys. At 100 TB this is the manifest
+    * job that runs once per training run. */
+  def epochShuffle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def shardOf(epSql: String) = expr(
+      s"((CAST(doc_id AS BIGINT) ^ (($epSql) * $EpochMix)) * $HashMul)" +
+        s" % $HashMod DIV ${HashMod / NShards}")
+    Tables.documents(s, dir)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tok"))
+      .withColumn("epoch", explode(array((0 until NEpochs).map(lit): _*)))
+      .withColumn("shard", shardOf("epoch").cast("int"))
+      .withColumn("moved",
+        when($"epoch" === 0, 0)
+          .otherwise((shardOf("epoch - 1") =!= shardOf("epoch")).cast("int")))
+      .groupBy($"epoch", $"shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("sum_tokens"),
+        sum($"moved").cast("long").as("n_moved_in"))
+      .orderBy($"epoch", $"shard")
+  }
+
   private val MixBudget = 1000000L // total training-token budget
 
   /** Mixture-epoch planning — the data-mixing arithmetic a trainer runs
@@ -355,12 +401,37 @@ object Pipelines extends QueryModule {
     "pipe_shard_assign"    -> (shardAssign _),
     "pipe_dataset_card"    -> (datasetCard _),
     "pipe_train_split"     -> (trainSplit _),
+    "pipe_epoch_shuffle"   -> (epochShuffle _),
   )
 
   // The oracle re-composes the SAME stages from the individual oracles'
   // CTEs: quality (TextOps), near-dup pairs (Dedup jaccard), anti join,
   // per-lang profile.
   override def oracles: Map[String, String] = Map(
+    // Same epoch-mixed multiplicative hash, same per-row previous-epoch
+    // shard re-derivation; pure integer arithmetic throughout.
+    "pipe_epoch_shuffle" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents
+         |), x AS (
+         |  SELECT doc_id, n_tok, ep,
+         |         ((xor(doc_id, ep * $EpochMix) * $HashMul) % $HashMod)
+         |           // ${HashMod / NShards} AS shard,
+         |         CASE WHEN ep = 0 THEN 0 WHEN
+         |           ((xor(doc_id, (ep - 1) * $EpochMix) * $HashMul) % $HashMod)
+         |             // ${HashMod / NShards}
+         |           <> ((xor(doc_id, ep * $EpochMix) * $HashMul) % $HashMod)
+         |              // ${HashMod / NShards}
+         |         THEN 1 ELSE 0 END AS moved
+         |  FROM d, unnest(generate_series(0, ${NEpochs - 1})) AS g(ep)
+         |)
+         |SELECT CAST(ep AS INT) AS epoch, CAST(shard AS INT) AS shard,
+         |       count(*) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+         |       CAST(sum(moved) AS BIGINT) AS n_moved_in
+         |FROM x GROUP BY ep, shard
+         |ORDER BY epoch, shard""".stripMargin,
     // Same multiplicative-hash 80/10/10 bucketing; leakage via the same
     // md5(text) digest both engines compute over UTF-8 text.
     "pipe_train_split" ->

@@ -499,4 +499,28 @@ class Round9OpsSpec extends AnyFunSuite {
       assert((r.getInt(4) == 1) === (rate <= BigDecimal("0.08")))
     }
   }
+
+  test("epoch shuffle: balanced shards, genuine inter-epoch decorrelation") {
+    val rows = Pipelines.epochShuffle(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val corpus = Tables.documents(spark, sf).count()
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet === Set(0, 1, 2))
+    byEpoch.foreach { case (ep, rs) =>
+      assert(rs.map(_._3).sum === corpus, s"epoch $ep loses docs")
+      val loads = rs.map(_._3)
+      assert(loads.max.toDouble / loads.min <= 1.5,
+        s"epoch $ep shard imbalance: ${loads.min}..${loads.max}")
+      val moved = rs.map(_._5).sum
+      if (ep == 0) assert(moved === 0L)
+      else {
+        // an additive-offset or low-bit-shard hash degenerates to
+        // moved = 0 (no reshuffle) or moved = corpus (uniform rotation);
+        // a real mix lands near (S-1)/S = 0.9375
+        val frac = moved.toDouble / corpus
+        assert(frac > 0.8 && frac < 0.99,
+          s"epoch $ep moved fraction $frac outside the mixed-hash band")
+      }
+    }
+  }
 }
