@@ -120,11 +120,18 @@ object Pipelines extends QueryModule {
     * `df.repartition($"shard").write.partitionBy("shard")` for the real
     * write — multiplicative hashing gives near-uniform shards without a
     * global sort, and the audit query IS the balance check a 100 TB
-    * shard job runs before committing a corpus release. */
+    * shard job runs before committing a corpus release.
+    *
+    * The shard is the HIGH 4 bits of the 32-bit product (Fibonacci
+    * hashing's contract, same fix as [[epochShuffle]]): `% 16` of a
+    * multiplicative hash with odd K is just the INPUT's low 4 bits —
+    * perfectly "balanced" on sequential synthetic ids, silently
+    * clustered the moment ids carry structure (per-source id blocks,
+    * striding), which is exactly what a production corpus has. */
   def shardAssign(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
-      .withColumn("shard", (docHash % NShards).cast("int"))
+      .withColumn("shard", expr(s"CAST($hashSql DIV ${HashMod / NShards} AS INT)"))
       .groupBy($"shard")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -578,7 +585,8 @@ object Pipelines extends QueryModule {
          |ORDER BY source, seq_id""".stripMargin,
     "pipe_shard_assign" ->
       s"""WITH d AS (
-         |  SELECT *, CAST($hashSql % $NShards AS INT) AS shard FROM documents
+         |  SELECT *, CAST($hashSql // ${HashMod / NShards} AS INT) AS shard
+         |  FROM documents
          |)
          |SELECT shard,
          |       count(*) AS n_docs,
