@@ -250,6 +250,41 @@ object Pipelines extends QueryModule {
       .orderBy($"source")
   }
 
+  private val CompactTarget = 2000L // target compacted file size (bytes)
+
+  /** Small-file compaction planning — the housekeeping job every 100 TB
+    * table needs (a corpus written doc-at-a-time is millions of tiny
+    * files; scan cost is dominated by file-open overhead until they are
+    * coalesced): treat each document as a file of `n_chars` bytes and
+    * greedily bin-pack, per source, files in id order into groups of
+    * ~[[CompactTarget]] bytes — a file joins the group where its
+    * EXCLUSIVE running sum lands (the streaming bin-pack rule: groups
+    * can overshoot by at most one file, never undershoot by splitting).
+    * The audit emits each planned group with its file count, byte mass,
+    * id range, and fill ratio — what an OPTIMIZE/compaction committer
+    * reviews before rewriting.
+    *
+    * Scale: one window PARTITIONED BY SOURCE over (doc_id) — the same
+    * per-shard independence as [[packSequences]]/[[quotaSample]],
+    * nothing global — then one partial agg onto group keys. */
+  def compactFiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bySource = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select($"source", $"doc_id", $"n_chars")
+      .withColumn("before", coalesce(sum($"n_chars").over(bySource), lit(0L)))
+      .withColumn("grp", expr(s"CAST(before DIV $CompactTarget AS INT)"))
+      .groupBy($"source", $"grp")
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum($"n_chars").as("bytes"),
+        min($"doc_id").as("first_doc"),
+        max($"doc_id").as("last_doc"))
+      .withColumn("fill_ratio", round($"bytes" / lit(CompactTarget.toDouble), 4))
+      .orderBy($"source", $"grp")
+  }
+
   private val NEpochs = 3
   private val EpochMix = 1000003L // odd prime epoch offset inside the hash
 
@@ -409,12 +444,32 @@ object Pipelines extends QueryModule {
     "pipe_dataset_card"    -> (datasetCard _),
     "pipe_train_split"     -> (trainSplit _),
     "pipe_epoch_shuffle"   -> (epochShuffle _),
+    "pipe_compact_files"   -> (compactFiles _),
   )
 
   // The oracle re-composes the SAME stages from the individual oracles'
   // CTEs: quality (TextOps), near-dup pairs (Dedup jaccard), anti join,
   // per-lang profile.
   override def oracles: Map[String, String] = Map(
+    // Same exclusive running sum per source (ROWS ... 1 PRECEDING),
+    // same integer group quotient, one pinned /target division.
+    "pipe_compact_files" ->
+      s"""WITH f AS (
+         |  SELECT source, doc_id, n_chars,
+         |         COALESCE(sum(n_chars) OVER (
+         |           PARTITION BY source ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+         |  FROM documents
+         |)
+         |SELECT source, CAST(before // $CompactTarget AS INT) AS grp,
+         |       count(*) AS n_files,
+         |       CAST(sum(n_chars) AS BIGINT) AS bytes,
+         |       min(doc_id) AS first_doc,
+         |       max(doc_id) AS last_doc,
+         |       round(CAST(sum(n_chars) AS BIGINT) / ${CompactTarget}.0, 4)
+         |         AS fill_ratio
+         |FROM f GROUP BY source, grp
+         |ORDER BY source, grp""".stripMargin,
     // Same epoch-mixed multiplicative hash, same per-row previous-epoch
     // shard re-derivation; pure integer arithmetic throughout.
     "pipe_epoch_shuffle" ->
