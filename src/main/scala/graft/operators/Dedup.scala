@@ -275,7 +275,6 @@ object Dedup extends QueryModule {
       .groupBy($"component")
       .agg(
         count(lit(1)).as("sz"),
-        sum($"n_tok").as("tok"),
         sum(when($"doc_id" =!= $"component", $"n_tok").otherwise(0L)).as("dup_tok"))
     perCluster.groupBy($"sz".as("cluster_size"))
       .agg(

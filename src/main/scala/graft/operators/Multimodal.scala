@@ -224,7 +224,8 @@ object Multimodal extends QueryModule {
       $"pixel_idx", $"luma".as("lb"))
     a.join(b, Seq("doc_id", "frame_no", "pixel_idx"))
       .groupBy($"doc_id", $"frame_no")
-      .agg(sum(abs($"la" - $"lb")).as("sad"), count(lit(1)).as("n_px"))
+      .agg(sum(abs($"la" - $"lb")).as("sad"))
+      // /16.0: the decoded frame geometry is fixed 4×4 (encodeY4m 4,4)
       .withColumn("mad", round($"sad" / 16.0, 6))
       .withColumn("is_cut", ($"mad" > SceneCutMad).cast("int"))
       .select($"doc_id", ($"frame_no" + 1).as("to_frame"), $"sad", $"mad", $"is_cut")

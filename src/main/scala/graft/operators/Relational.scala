@@ -328,13 +328,19 @@ object Relational extends QueryModule {
     * TakeOrdered heap. Nothing touches the fact table twice. */
   def skewAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // persisted: consumed by the stats aggregate AND the final projection
+    // (harness-managed lifecycle, see Dedup) — without it the per-key
+    // groupBy shuffle over the fact table runs twice
     val counts = Tables.events(s, dir)
       .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+      .persist()
+    // percentiles rounded at 6: the emitted value must not depend on
+    // Spark's and DuckDB's interpolation formulas agreeing to the last ulp
     val stats = broadcast(counts.agg(
       count(lit(1)).as("n_keys"),
       sum($"cnt").as("total"),
-      expr("percentile(cnt, 0.5)").as("p50_cnt"),
-      expr("percentile(cnt, 0.99)").as("p99_cnt")))
+      round(expr("percentile(cnt, 0.5)"), 6).as("p50_cnt"),
+      round(expr("percentile(cnt, 0.99)"), 6).as("p99_cnt")))
     counts.crossJoin(stats)
       .withColumn("x_avg",
         round($"cnt" / ($"total".cast("double") / $"n_keys"), 4))
@@ -505,8 +511,8 @@ object Relational extends QueryModule {
          |  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
          |), s AS (
          |  SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total,
-         |         quantile_cont(cnt, 0.5) AS p50_cnt,
-         |         quantile_cont(cnt, 0.99) AS p99_cnt
+         |         round(quantile_cont(cnt, 0.5), 6) AS p50_cnt,
+         |         round(quantile_cont(cnt, 0.99), 6) AS p99_cnt
          |  FROM c
          |)
          |SELECT user_id, cnt, n_keys, p50_cnt, p99_cnt,

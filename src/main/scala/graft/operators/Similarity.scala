@@ -460,6 +460,21 @@ object Similarity extends QueryModule {
   private def trainSample(e: DataFrame): DataFrame =
     e.filter(col("vec_id") < TrainCap)
 
+  /** Per-iteration relations persisted INSIDE quantizer training (the
+    * xb slices, each Lloyd step's codebook). Batch queries rely on the
+    * harness clearCache-per-query lifecycle (see [[graft.operators.Dedup]]),
+    * but a long-running serving job rebuilds indexes inside ONE session —
+    * [[graft.streaming.PqServeStream.PqIndex.unpersist]] drains this
+    * registry so training caches do not leak for the app's lifetime. */
+  private val trainingCaches =
+    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private def persistTraining(df: DataFrame): DataFrame =
+    trainingCaches.synchronized { trainingCaches += df; df.persist() }
+  private[graft] def releaseTrainingCaches(): Unit =
+    trainingCaches.synchronized {
+      trainingCaches.foreach(_.unpersist()); trainingCaches.clear()
+    }
+
   /** Fixed-point scale for deterministic k-means centroid updates:
     * `floor(x · 2³⁰)` is EXACT for any double x (power-of-two product +
     * floor never round), so per-cluster component sums are exact
@@ -501,8 +516,8 @@ object Similarity extends QueryModule {
     def slices(src: DataFrame, name: String) = src.select($"vec_id", explode(
       array((0 until PqBlocks).map(b =>
         struct(lit(b).as("b"), slice($"v", b * PqSub + 1, PqSub).as(name))): _*)).as("t"))
-    val xb = slices(trainSample(e), "xb")
-      .select($"vec_id", $"t.b".as("b"), $"t.xb".as("xb")).persist()
+    val xb = persistTraining(slices(trainSample(e), "xb")
+      .select($"vec_id", $"t.b".as("b"), $"t.xb".as("xb")))
     var cb: DataFrame = slices(e.filter($"vec_id" < NCENT), "cb")
       .select($"t.b".as("b"), $"vec_id".as("cid"), $"t.cb".as("cb"))
     for (_ <- 1 to PqLloydIters) {
@@ -526,7 +541,7 @@ object Similarity extends QueryModule {
           array((0 until PqSub).map(j =>
             (col(s"s$j").cast("double") / PqScale) / $"n".cast("double")): _*)))
         .select($"b", $"cid", $"cb")
-        .persist()
+      cb = persistTraining(cb)
     }
     broadcast(cb.groupBy($"cid")
       .agg(flatten(transform(array_sort(collect_list(struct($"b".as("b"), $"cb".as("cb")))),
@@ -683,12 +698,14 @@ object Similarity extends QueryModule {
     * matters — this is spherical k-means in its division-invariant form,
     * with every number reproducible by the oracle.
     *
-    * Scale: per step, one corpus scan against the 64-row broadcast
-    * codebook (the row_number window partitions by vec_id — per-vector
-    * state, never a global sort) and one cid-keyed partial-agg shuffle
-    * of 64 exact longs + count per cell. 64 ≈ √2000 cells at the bench
-    * SF mirrors the √n production sizing; at 10⁹ rows both the cell
-    * count and the training sample grow, not the algorithm. */
+    * Scale: per step, one training-sample scan against the 64-row
+    * broadcast codebook (assignment is the map-side-combined
+    * `min(struct(...))` of [[cellAssignment]] — one row per vector
+    * reaches the shuffle, never a window or global sort) and one
+    * cid-keyed partial-agg shuffle of 64 exact longs + count per cell.
+    * 64 ≈ √2000 cells at the bench SF mirrors the √n production
+    * sizing; at 10⁹ rows the cell count grows and [[TrainCap]] bounds
+    * the sample, not the algorithm. */
   private[graft] def ivfPqCentroids(e: DataFrame): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
@@ -716,7 +733,7 @@ object Similarity extends QueryModule {
             (col(s"s$j").cast("double") / PqScale) / $"n".cast("double")): _*)))
         .withColumn("cnorm", sqrt(vectorDot($"cv", $"cv")))
         .select($"cid", $"cv", $"cnorm")
-        .persist()
+      cb = persistTraining(cb)
     }
     broadcast(cb)
   }

@@ -221,6 +221,9 @@ object Sketches extends QueryModule {
     val ext = broadcast(Tables.events(s, dir).agg(
       min($"user_id").as("umin"), max($"user_id").as("umax"),
       min($"value").as("vmin"), max($"value").as("vmax")))
+    // persisted: three consumers (two block-stats layouts + the match
+    // counts) would each re-scan events and re-derive the extents agg;
+    // harness-managed lifecycle (see Dedup)
     val bucketed = Tables.events(s, dir).select($"user_id", $"value")
       .crossJoin(ext)
       .withColumn("ub", expr(
@@ -233,6 +236,7 @@ object Sketches extends QueryModule {
         shiftleft(shiftright($"ub", i).bitwiseAND(lit(1)), 2 * i + 1) +
           shiftleft(shiftright($"vb", i).bitwiseAND(lit(1)), 2 * i))
         .reduce(_ + _))
+      .persist()
     def blockStats(blockCol: org.apache.spark.sql.Column, layout: String) =
       bucketed.groupBy(blockCol.as("block"))
         .agg(min($"ub").as("minu"), max($"ub").as("maxu"),

@@ -38,6 +38,10 @@ object PqServeStream {
                            codes: DataFrame) {
     def unpersist(): Unit = {
       vecs.unpersist(); assign.unpersist(); codes.unpersist()
+      // training-time caches (xb slices, per-Lloyd-step codebooks) are
+      // persisted inside Similarity's training loops — drain them too,
+      // or a job that rebuilds indexes leaks cache for the app lifetime
+      Similarity.releaseTrainingCaches()
     }
   }
 

@@ -78,10 +78,11 @@ object SimilarityScaleBench {
     // ADC-scores (probed-cell membership) vs the flat scan's 1.0 — the
     // candidate-volume claim behind composing IVF with PQ (VERDICT r9).
     {
-      val emb = Tables.embeddings(spark, sfDir)
-        .withColumn("v", $"embedding".cast("array<double>"))
-        .withColumn("norm", sqrt(graft.functions.VectorDot.vectorDot($"v", $"v")))
-        .select($"vec_id", $"v", $"norm").persist()
+      // the SAME vector prep the shipped serve path runs — if prep ever
+      // changes in the library, this bench follows instead of silently
+      // measuring a different pipeline
+      val emb = graft.streaming.SemDedupStream.prepVecs(
+        Tables.embeddings(spark, sfDir)).persist()
       val cent = Similarity.ivfPqCentroids(emb)
       val assign = Similarity.cellAssignment(emb, cent).select($"vec_id", $"cid")
       val cellSizes = assign.groupBy($"cid").agg(count(lit(1)).as("csz"))

@@ -12,12 +12,24 @@ Usage: python3 tools/pq_sweep.py [sfDir ...]
 """
 import math
 import sys
+from decimal import Decimal, ROUND_HALF_UP
 import duckdb
 import numpy as np
 
 NB, SUB, NDONOR = 8, 8, 16
 SCALE = float(1 << 30)
 LLOYD_ITERS = 2
+
+_Q6 = Decimal("0.000001")
+
+
+def r6(x):
+    """round-half-up at 6 dp on the shortest decimal rendering of the
+    double — Spark's round() is BigDecimal HALF_UP (and DuckDB rounds
+    half away from zero), while Python's built-in round / np.round are
+    half-to-EVEN: a dyadic score like 1/128 = 0.0078125 rounds to
+    .007813 in the engines but .007812 here, flipping an argmin tie."""
+    return float(Decimal(repr(float(x))).quantize(_Q6, rounding=ROUND_HALF_UP))
 
 
 def seq_dot(a, b):
@@ -46,7 +58,7 @@ def refine(V):
             sums = [[0] * SUB for _ in range(NDONOR)]  # python ints: exact
             cnt = [0] * NDONOR
             for x in X:
-                a = int(np.argmin([round(cc[j] - 2.0 * seq_dot(x, C[j]), 6)
+                a = int(np.argmin([r6(cc[j] - 2.0 * seq_dot(x, C[j]))
                                    for j in range(NDONOR)]))
                 cnt[a] += 1
                 for i in range(SUB):
@@ -80,7 +92,7 @@ def sweep(sf_dir, rs=(100, 200, 300, 500)):
         for i in range(n):
             x = V[i, lo:hi]
             codes[i, b] = int(np.argmin(
-                [round(cc[j] - 2.0 * seq_dot(x, C[j]), 6) for j in range(NDONOR)]))
+                [r6(cc[j] - 2.0 * seq_dot(x, C[j])) for j in range(NDONOR)]))
     q_idx = np.where(ids % 50 == 0)[0]
     norms = np.linalg.norm(V, axis=1)
     for R in rs:
@@ -101,10 +113,10 @@ def sweep(sf_dir, rs=(100, 200, 300, 500)):
             adc = np.full(n, seq_dot(qv, qv))
             for b in range(NB):
                 adc = adc + lut[b, codes[:, b]]
-            adc = np.round(adc, 6)
+            adc = np.array([r6(v) for v in adc])
             adc[q] = np.inf
             short = set(np.argsort(adc, kind="stable")[:R])
-            cos = np.round((V @ qv) / (norms * norms[q]), 6)
+            cos = np.array([r6(v) for v in (V @ qv) / (norms * norms[q])])
             cos[q] = -np.inf
             true5 = set(np.argsort(-cos, kind="stable")[:5])
             rec.append(len(true5 & short) / 5)
