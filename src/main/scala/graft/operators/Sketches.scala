@@ -182,6 +182,37 @@ object Sketches extends QueryModule {
       .orderBy($"cutoff")
   }
 
+  /** Mergeable-sketch distinct counting (`hll_sketch_agg` /
+    * `hll_union_agg`) — the property that makes approximate distinct
+    * WORK at 100 TB: per-group sketches are built in one pass (partial
+    * aggregation combines map-side) and then UNIONED into coarser
+    * scopes without touching the data again — the re-aggregation every
+    * "distinct users by X, and overall" dashboard needs, impossible
+    * with exact distinct (which must re-shuffle raw keys per scope).
+    * Emits per event_type and for the unioned ALL scope the exact
+    * count and the engine-agreement bound flag (the
+    * [[approxDistinct]] contract: DuckDB runs a different sketch, so
+    * the oracle checks the exact column and asserts the flag). */
+  def hllUnion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perType = Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(hll_sketch_agg($"user_id").as("sk"),
+        countDistinct($"user_id").as("exact_users"))
+      .persist()
+    val overallExact = Tables.events(s, dir)
+      .agg(countDistinct($"user_id").as("exact_users"))
+    val overall = perType.agg(hll_union_agg($"sk").as("sk"))
+      .crossJoin(broadcast(overallExact))
+      .select(lit("ALL").as("scope"), $"sk", $"exact_users")
+    perType.select($"event_type".as("scope"), $"sk", $"exact_users")
+      .unionByName(overall)
+      .select($"scope", $"exact_users",
+        (abs(hll_sketch_estimate($"sk") - $"exact_users") <=
+          $"exact_users".cast("double") * 0.05).cast("int").as("approx_within_5pct"))
+      .orderBy($"scope")
+  }
+
   // Z-order audit granularity: 16 quantization levels per dimension
   // (4 bits), 16 consecutive cells per block in each layout, and the
   // 2-D probe rectangles (in bucket space) the layouts are compared on.
@@ -267,6 +298,7 @@ object Sketches extends QueryModule {
     "sketch_exact_distinct"  -> (exactDistinct _),
     "sketch_block_pruning"   -> (blockPruning _),
     "sketch_zorder_pruning"  -> (zorderPruning _),
+    "sketch_hll_union"       -> (hllUnion _),
     "sketch_approx_distinct" -> (approxDistinct _),
     "sketch_quantiles"       -> (quantiles _),
     "sketch_summary_stats"   -> (summaryStats _),
@@ -286,6 +318,15 @@ object Sketches extends QueryModule {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |       1 AS approx_within_5pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Engine-agreement contract as sketch_approx_distinct: exact counts
+    // re-derived per scope (types + ALL), bound flag asserted constant.
+    "sketch_hll_union" ->
+      """SELECT event_type AS scope, count(DISTINCT user_id) AS exact_users,
+        |       1 AS approx_within_5pct
+        |FROM events GROUP BY event_type
+        |UNION ALL
+        |SELECT 'ALL', count(DISTINCT user_id), 1 FROM events
+        |ORDER BY scope""".stripMargin,
     "sketch_quantiles" ->
       """SELECT event_type,
         |       round(quantile_cont(value, 0.5), 6) AS p50,
