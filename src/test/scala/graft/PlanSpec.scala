@@ -265,6 +265,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!f.contains("CartesianProduct"), f)
   }
 
+  test("skew audit: stats broadcast back, top-10 is a heap, one key shuffle") {
+    val p = formatted("rel_skew_audit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("epoch shuffle and compact files: per-row/per-source work, no global sort") {
+    val e = formatted("pipe_epoch_shuffle")
+    // shard and moved are per-row expressions: no join anywhere
+    assert(!e.contains("Join"), e)
+    val c = formatted("pipe_compact_files")
+    // the running sum windows per source, never a singleton partition
+    assert(!c.contains("SinglePartition"), c)
+  }
+
+  test("entropy: one (doc, char) partial-agg chain, no joins") {
+    val p = formatted("text_entropy")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("block pruning reads only (l_orderkey, l_shipdate) and partial-aggregates") {
     val f = formatted("sketch_block_pruning")
     val readSchema = f.linesIterator.find(_.contains("ReadSchema")).get
