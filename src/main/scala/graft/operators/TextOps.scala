@@ -328,6 +328,38 @@ object TextOps extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Tokenizer-fertility report per (lang, source) — the QA table a
+    * tokenizer owner reads before training: fertility = subword pieces
+    * per whitespace word (the ceil(len/4) BPE-ish estimate of
+    * [[tokenStats]], aggregated as exact integer sums with ONE pinned
+    * division), plus the share of docs whose fertility exceeds 2.0 —
+    * the "this language/source is badly segmented" signal that drives
+    * vocab rebalancing. NULL text excluded on both sides (library
+    * convention).
+    *
+    * Scale: one pass, per-row codegen'd token arithmetic, one
+    * (lang, source) partial agg — nothing else. */
+  def fertility(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .where($"text".isNotNull)
+      .select($"lang", $"source",
+        size(tok).cast("long").as("n_ws"),
+        expr("aggregate(split(text, ' '), 0, (a, t) -> a + CAST((length(t) + 3) div 4 AS INT))")
+          .cast("long").as("n_sub"))
+      .withColumn("doc_fert_hi",
+        ($"n_sub".cast("double") / $"n_ws" > 2.0).cast("int"))
+      .groupBy($"lang", $"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_ws").as("n_ws_tokens"),
+        sum($"n_sub").as("n_subword"),
+        round(sum($"n_sub").cast("double") / sum($"n_ws"), 6).as("fertility"),
+        round(sum($"doc_fert_hi").cast("double") / count(lit(1)), 6)
+          .as("hi_fertility_share"))
+      .orderBy($"lang", $"source")
+  }
+
   def diversity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // NULL text is filtered on BOTH sides (here and in the oracle's t CTE):
@@ -525,6 +557,7 @@ object TextOps extends QueryModule {
     "text_tfidf_topk" -> (tfidfTopK _),
     "text_diversity" -> (diversity _),
     "text_entropy"   -> (entropy _),
+    "text_fertility" -> (fertility _),
   )
 
   private def hitsSql(markers: Seq[String]): String = {
@@ -714,6 +747,24 @@ object TextOps extends QueryModule {
         |       round(len(t.tk) * len(t.tk) / m.sum_c2, 6) AS inv_simpson
         |FROM t JOIN m USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+    // Same whitespace split, same (len+3)//4 subword estimate as exact
+    // integer sums, same pinned divisions and >2.0 doc flag.
+    "text_fertility" ->
+      """WITH d AS (
+        |  SELECT lang, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+        |         CAST(list_sum(list_transform(string_split(text, ' '),
+        |              t -> (length(t) + 3) // 4)) AS BIGINT) AS n_sub
+        |  FROM documents WHERE text IS NOT NULL
+        |)
+        |SELECT lang, source, count(*) AS n_docs,
+        |       CAST(sum(n_ws) AS BIGINT) AS n_ws_tokens,
+        |       CAST(sum(n_sub) AS BIGINT) AS n_subword,
+        |       round(CAST(sum(n_sub) AS DOUBLE) / sum(n_ws), 6) AS fertility,
+        |       round(CAST(sum(CASE WHEN CAST(n_sub AS DOUBLE) / n_ws > 2.0
+        |                          THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+        |         AS hi_fertility_share
+        |FROM d GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     // Same per-char counts (substring explode == split-on-empty), same
     // scaled-integer entropy terms floor((k/n)·ln(k/n)·−10⁹): the sum
     // is exact BIGINT arithmetic, order-free in both engines; one
