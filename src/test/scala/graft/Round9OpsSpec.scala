@@ -210,6 +210,13 @@ class Round9OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
         r.getDouble(3), r.getLong(4))).toSet
     assert(got === want)
+    // independent exact implementation (range sort + zipWithIndex, the
+    // round-9 shipped form) must agree bit-for-bit with the shipped
+    // single-action plan
+    val zipped = Pipelines.curriculumZipIndex(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    assert(zipped === want)
     val plan = Pipelines.curriculum(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"),
