@@ -69,6 +69,9 @@ object Bench {
     var loadBefore = loadAvg()
     var waited = 0
     while (loadBefore.toDoubleOption.exists(_ > 2.0) && waited < 240) {
+      // visible progress (ADVICE r10): without it a waiting run looks
+      // hung for up to 4 minutes
+      println(s"BENCH-WAIT load=$loadBefore > 2.0, sleeping 15s (waited ${waited}s)")
       Thread.sleep(15000L); waited += 15; loadBefore = loadAvg()
     }
     // Warm-up: parquet footers at the bench SF, then every query once at
@@ -167,7 +170,7 @@ object Bench {
     println(stdoutLine(results, sfShort, loadBefore, contaminated))
     try {
       val w = new java.io.PrintWriter("/root/repo/BENCH.json")
-      try w.println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${queriesJson(3)},"sf":"$sfDir","load_before":$loadBefore,"load_after":${loadAvg()},"contaminated":$contaminated}""") finally w.close()
+      try w.println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${queriesJson(3)},"sf":"$sfDir","load_before":$loadBefore,"load_after":${loadAvg()},"wait_sec":$waited,"contaminated":$contaminated}""") finally w.close()
     } catch { case _: Throwable => () }
     spark.stop()
   }

@@ -88,10 +88,16 @@ object Similarity extends QueryModule {
     * window shuffled the full corpus × |centroids| join. `1 − ccos`
     * orders identically to `ccos desc` (rounded ccos values are far
     * coarser than double spacing near 1) and keeps the key
-    * non-negative. */
+    * non-negative. Degenerate zero-norm vectors score ccos = NaN on
+    * every centroid; coalescing NaN cosine to 1 (distance 0) pins them
+    * deterministically to the lowest cid (the behavior of the pre-r10
+    * row_number form, where NaN sorted greatest under `ccos desc`)
+    * instead of letting NaN lose to every finite distance in the
+    * struct-min (ADVICE r10). */
   private[graft] def cellAssignment(e: DataFrame, cent: DataFrame): DataFrame = {
     e.join(cent)
       .withColumn("ccos", round(vectorDot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 6))
+      .withColumn("ccos", nanvl(col("ccos"), lit(1.0)))
       .groupBy(col("vec_id"))
       .agg(min(struct((lit(1.0) - col("ccos")).as("d"), col("cid").as("c"),
         col("v").as("v"), col("norm").as("norm"))).as("m"))
@@ -463,17 +469,36 @@ object Similarity extends QueryModule {
   /** Per-iteration relations persisted INSIDE quantizer training (the
     * xb slices, each Lloyd step's codebook). Batch queries rely on the
     * harness clearCache-per-query lifecycle (see [[graft.operators.Dedup]]),
-    * but a long-running serving job rebuilds indexes inside ONE session —
-    * [[graft.streaming.PqServeStream.PqIndex.unpersist]] drains this
-    * registry so training caches do not leak for the app's lifetime. */
-  private val trainingCaches =
-    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    * but a long-running serving job rebuilds indexes inside ONE session.
+    * Each index build therefore collects its caches into its OWN
+    * [[TrainingScope]] (ADVICE r10: the former global registry grew for
+    * the app's lifetime, and one job's release drained a concurrent
+    * job's training caches mid-build): [[withTrainingScope]] installs a
+    * scope thread-locally for the duration of a build and returns it so
+    * the owner — `PqIndex` — releases exactly its own caches. Training
+    * calls outside any scope (the registered batch queries) fall back
+    * to the global scope, drained by [[releaseTrainingCaches]] / the
+    * harness clearCache. */
+  private[graft] final class TrainingScope {
+    private val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    private[Similarity] def add(df: DataFrame): DataFrame =
+      synchronized { caches += df; df.persist() }
+    def release(): Unit =
+      synchronized { caches.foreach(_.unpersist()); caches.clear() }
+  }
+  private val globalTrainingScope = new TrainingScope
+  private val currentTrainingScope =
+    new scala.util.DynamicVariable[TrainingScope](globalTrainingScope)
   private def persistTraining(df: DataFrame): DataFrame =
-    trainingCaches.synchronized { trainingCaches += df; df.persist() }
+    currentTrainingScope.value.add(df)
+  /** Run `body` (an index build) with a fresh training-cache scope;
+    * returns (result, scope). The caller owns the scope's lifecycle. */
+  private[graft] def withTrainingScope[A](body: => A): (A, TrainingScope) = {
+    val scope = new TrainingScope
+    (currentTrainingScope.withValue(scope)(body), scope)
+  }
   private[graft] def releaseTrainingCaches(): Unit =
-    trainingCaches.synchronized {
-      trainingCaches.foreach(_.unpersist()); trainingCaches.clear()
-    }
+    globalTrainingScope.release()
 
   /** Fixed-point scale for deterministic k-means centroid updates:
     * `floor(x · 2³⁰)` is EXACT for any double x (power-of-two product +

@@ -39,14 +39,22 @@ object Sketches extends QueryModule {
     * drifts past the 5% bound the flag flips to 0, the hash diverges,
     * and the driver's gate catches the regression; the raw estimate's
     * value is additionally bounded in SketchSpec. The exact column is
-    * hash-gated directly (and via [[exactDistinct]]). */
+    * hash-gated directly (and via [[exactDistinct]]).
+    *
+    * The sketch runs at rsd=0.01 (one standard deviation) so the
+    * asserted 5% bound sits at 5σ — the gate is deterministic headroom,
+    * not a coin flip on regenerated testdata (ADVICE r10: the default
+    * rsd 0.05 made the 5% bound a 1σ assertion that a new SF could
+    * deterministically violate for some group). rsd 0.01 costs ~10.8k
+    * HLL registers per group — still a fixed-size sketch, still the
+    * 100 TB shape. */
   def approxDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.events(s, dir)
       .groupBy($"event_type")
       .agg(
         countDistinct($"user_id").as("exact_users"),
-        approx_count_distinct($"user_id").as("approx_users"))
+        approx_count_distinct($"user_id", 0.01).as("approx_users"))
       .select($"event_type", $"exact_users",
         (abs($"approx_users" - $"exact_users") <=
           $"exact_users".cast("double") * 0.05).cast("int").as("approx_within_5pct"))
@@ -192,12 +200,14 @@ object Sketches extends QueryModule {
     * Emits per event_type and for the unioned ALL scope the exact
     * count and the engine-agreement bound flag (the
     * [[approxDistinct]] contract: DuckDB runs a different sketch, so
-    * the oracle checks the exact column and asserts the flag). */
+    * the oracle checks the exact column and asserts the flag).
+    * lgConfigK=14 (16k buckets, rsd≈0.8%) puts the asserted 5% bound
+    * at ≈6σ so the gate never flips on resampled data. */
   def hllUnion(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val perType = Tables.events(s, dir)
       .groupBy($"event_type")
-      .agg(hll_sketch_agg($"user_id").as("sk"),
+      .agg(hll_sketch_agg($"user_id", 14).as("sk"),
         countDistinct($"user_id").as("exact_users"))
       .persist()
     val overallExact = Tables.events(s, dir)

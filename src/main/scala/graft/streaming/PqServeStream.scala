@@ -35,23 +35,26 @@ object PqServeStream {
     * assignment, PQ codebook, PQ codes. */
   final case class PqIndex(vecs: DataFrame, cent: DataFrame,
                            assign: DataFrame, cbk: DataFrame,
-                           codes: DataFrame) {
+                           codes: DataFrame,
+                           training: Similarity.TrainingScope) {
     def unpersist(): Unit = {
       vecs.unpersist(); assign.unpersist(); codes.unpersist()
       // training-time caches (xb slices, per-Lloyd-step codebooks) are
-      // persisted inside Similarity's training loops — drain them too,
-      // or a job that rebuilds indexes leaks cache for the app lifetime
-      Similarity.releaseTrainingCaches()
+      // persisted inside Similarity's training loops under THIS build's
+      // scope — drain only ours, so a concurrent job's in-flight build
+      // keeps its caches (ADVICE r10)
+      training.release()
     }
   }
 
   /** Build + persist the serving index over a raw `(vec_id, embedding)`
     * corpus. Training (Lloyd refinement of both quantizers) runs here,
-    * once — serving never retrains. */
+    * once, inside its own cache scope — serving never retrains. */
   def corpusIndex(corpus: DataFrame): PqIndex = {
     val e = SemDedupStream.prepVecs(corpus).persist()
-    val (cent, assign, cbk, codes) = Similarity.ivfPqIndex(e)
-    PqIndex(e, cent, assign.persist(), cbk, codes.persist())
+    val ((cent, assign, cbk, codes), scope) =
+      Similarity.withTrainingScope(Similarity.ivfPqIndex(e))
+    PqIndex(e, cent, assign.persist(), cbk, codes.persist(), scope)
   }
 
   /** Answer one batch of `(vec_id, embedding)` query vectors from the

@@ -37,9 +37,24 @@ class AqeSpec extends AnyFunSuite {
       // plan finalizes and carries the runtime skew decision
       val n = joined.collect().length
       assert(n == 200000, s"join lost rows: $n")
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(plan.contains("skew=true"),
-        s"AQE did not mark the skewed join (no 'skew=true' in final plan):\n$plan")
+      // Primary check: the isSkewJoin flag on the finalized adaptive
+      // plan's join node — a real API, stable across Spark upgrades.
+      // The "skew=true" toString fragment (an implementation detail of
+      // SortMergeJoinExec.nodeName, ADVICE r10) is kept only as a
+      // fallback for plan shapes where the join node types differ.
+      val exec = joined.queryExecution.executedPlan
+      val finalPlan = exec match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val skewJoins = finalPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec if j.isSkewJoin => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec if j.isSkewJoin => j
+      }
+      val plan = exec.toString
+      assert(skewJoins.nonEmpty || plan.contains("skew=true"),
+        s"AQE did not mark the skewed join (no isSkewJoin node, no 'skew=true'):\n$plan")
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None)    => spark.conf.unset(k)
