@@ -788,6 +788,80 @@ object Similarity extends QueryModule {
     ivfPqServe(queriesOf(e), e, cent, assign, cbk, codes, excludeSelf = true)
   }
 
+  // ---- Index-build / serve split (VERDICT r10 next-round #4). In
+  // production the quantizers train ONCE offline and serving reads the
+  // stored index tables; [[topkIvfPq]] measures the composed
+  // train-inside-the-query form, while the pair below benches the two
+  // halves separately: `sim_ivfpq_build` materializes the four index
+  // relations (coarse centroids, cell assignment = the corpus
+  // partitioning at rest, PQ codebook, PQ codes) and `sim_topk_ivfpq_serve`
+  // answers the standard query set from the materialized index without
+  // retraining — the batch twin of [[graft.streaming.PqServeStream]].
+
+  /** Local materialization root for built indexes. The tag folds in the
+    * source file's (mtime, size) so a regenerated corpus can never be
+    * served from a stale index — the key property the correctness gate
+    * leans on (the serve oracle retrains from the live table). */
+  private def ivfPqIndexPath(dir: String): String = {
+    val src = new java.io.File(dir, "embeddings.parquet")
+    val safe = new java.io.File(dir).getCanonicalPath
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    s"/tmp/graft_ivfpq_index/${safe}_${src.lastModified()}_${src.length()}"
+  }
+
+  private val IndexParts = Seq("cent", "assign", "cbk", "codes")
+
+  private def ivfPqIndexReady(path: String): Boolean =
+    IndexParts.forall(p => new java.io.File(s"$path/$p/_SUCCESS").exists())
+
+  /** Train both quantizers over the corpus and write the four index
+    * relations under [[ivfPqIndexPath]]. Always retrains (the build
+    * query MEASURES training; staleness is handled by the path tag). */
+  private def writeIvfPqIndex(s: SparkSession, dir: String): String = {
+    val e = vecs(s, dir)
+    val (cent, assign, cbk, codes) = ivfPqIndex(e)
+    val p = ivfPqIndexPath(dir)
+    cent.write.mode("overwrite").parquet(s"$p/cent")
+    assign.write.mode("overwrite").parquet(s"$p/assign")
+    cbk.write.mode("overwrite").parquet(s"$p/cbk")
+    codes.write.mode("overwrite").parquet(s"$p/codes")
+    p
+  }
+
+  /** Build query: train + materialize the index, emit the coarse-index
+    * summary — per non-empty cell, its occupancy and rounded centroid
+    * norm. Training is fp-deterministic ([[PqScale]]), so the DuckDB
+    * oracle retrains the identical cells from the table and the summary
+    * is hash-gated like any other query. */
+  def ivfPqBuild(s: SparkSession, dir: String): DataFrame = {
+    val p = writeIvfPqIndex(s, dir)
+    val cent = s.read.parquet(s"$p/cent")
+    val assign = s.read.parquet(s"$p/assign")
+    assign.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .join(broadcast(cent.select(col("cid"), round(col("cnorm"), 6).as("cnorm"))), "cid")
+      .select(col("cid"), col("n_vectors"), col("cnorm"))
+      .orderBy(col("cid"))
+  }
+
+  /** Serve query: answer the standard query set from the MATERIALIZED
+    * index — no training anywhere in the plan. Falls back to
+    * build-and-write when the index is absent (robust to any run
+    * order; the bench's sorted order runs `sim_ivfpq_build` first, so
+    * the timed serve measures pure serving). Semantics and oracle are
+    * identical to [[topkIvfPq]]: same probes, ADC, shortlist, rerank —
+    * which IS the claim: a prebuilt index answers the same contract. */
+  def topkIvfPqServe(s: SparkSession, dir: String): DataFrame = {
+    val p = ivfPqIndexPath(dir)
+    if (!ivfPqIndexReady(p)) writeIvfPqIndex(s, dir)
+    val e = vecs(s, dir)
+    val cent = broadcast(s.read.parquet(s"$p/cent"))
+    val assign = s.read.parquet(s"$p/assign")
+    val cbk = broadcast(s.read.parquet(s"$p/cbk"))
+    val codes = s.read.parquet(s"$p/codes")
+    ivfPqServe(queriesOf(e), e, cent, assign, cbk, codes, excludeSelf = true)
+  }
+
   /** The four relations of a prebuilt IVF-PQ serving index over a
     * prepared `(vec_id, v, norm)` corpus: refined coarse centroids,
     * per-vector cell assignment, refined PQ codebook, and the 8-byte
@@ -858,6 +932,8 @@ object Similarity extends QueryModule {
     "sim_pq_codes"        -> (pqCodes _),
     "sim_topk_pqadc"      -> (topkPqAdc _),
     "sim_topk_ivfpq"      -> (topkIvfPq _),
+    "sim_ivfpq_build"     -> (ivfPqBuild _),
+    "sim_topk_ivfpq_serve" -> (topkIvfPqServe _),
     "sim_rrf_fusion"      -> (rrfFusion _),
     "sim_topk_ivf"        -> (topkIvf _),
     "sim_ann_lsh"         -> (topkLsh _),
@@ -1015,6 +1091,68 @@ object Similarity extends QueryModule {
        |  FROM codes GROUP BY vec_id
        |)""".stripMargin
 
+  /** The full composed IVF×PQ pipeline oracle — shared verbatim by
+    * `sim_topk_ivfpq` (train-in-query) and `sim_topk_ivfpq_serve`
+    * (serve-from-materialized-index): identical results by contract. */
+  private def ivfPqOracleSql: String =
+    s"""$vecCte,
+       |$pqCodesCte,
+       |$ivfKmCte,
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |               ORDER BY round(list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm), 6) DESC,
+       |                        c.cid ASC) AS rn
+       |    FROM e CROSS JOIN icent c)
+       |  WHERE rn = 1
+       |),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm,
+       |             list_dot_product(v, v) AS qq
+       |      FROM e WHERE vec_id % 50 = 0),
+       |probes AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT q.query_id, c.cid,
+       |           row_number() OVER (PARTITION BY q.query_id
+       |               ORDER BY round(list_dot_product(q.qv, c.cv) / (q.qnrm * c.cnrm), 6) DESC,
+       |                        c.cid ASC) AS rn
+       |    FROM q CROSS JOIN icent c)
+       |  WHERE rn <= $IvfPqProbe
+       |),
+       |lut AS (
+       |  SELECT q.query_id, t.b, cent.cid,
+       |         ${pqSliceDot("q.qv")} AS l
+       |  FROM q CROSS JOIN cent CROSS JOIN generate_series(0, ${PqBlocks - 1}) t(b)
+       |),
+       |cand AS (
+       |  SELECT q.query_id, ct.vec_id AS neighbor_id,
+       |         round(q.qq${(0 until PqBlocks).map(b => s" + l$b.l").mkString}, 6) AS adc
+       |  FROM probes p
+       |  JOIN assign a ON a.cid = p.cid
+       |  JOIN ct ON ct.vec_id = a.vec_id
+       |  JOIN q ON q.query_id = p.query_id
+       |${(0 until PqBlocks).map(b => s"  JOIN lut l$b ON l$b.query_id = q.query_id AND l$b.b = $b AND l$b.cid = ct.code$b").mkString("\n")}
+       |  WHERE ct.vec_id <> p.query_id
+       |),
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |               ORDER BY adc ASC, neighbor_id ASC) AS srnk
+       |    FROM cand) WHERE srnk <= $IvfPqShortlist
+       |)
+       |SELECT query_id, neighbor_id, rnk, score FROM (
+       |  SELECT s.query_id, s.neighbor_id,
+       |         round(list_dot_product(q.qv, e.v) / (q.qnrm * e.nrm), 6) AS score,
+       |         row_number() OVER (PARTITION BY s.query_id
+       |             ORDER BY round(list_dot_product(q.qv, e.v) / (q.qnrm * e.nrm), 6) DESC,
+       |                      s.neighbor_id ASC) AS rnk
+       |  FROM short s
+       |  JOIN e ON e.vec_id = s.neighbor_id
+       |  JOIN q ON q.query_id = s.query_id
+       |) WHERE rnk <= $K
+       |ORDER BY query_id, rnk""".stripMargin
+
   override def oracles: Map[String, String] = Map(
     // Projection = list(dot / 4.0 ORDER BY j): the same 16 sequential
     // ±1 dots and power-of-two normalizer as the Spark plan; norms and
@@ -1091,9 +1229,17 @@ object Similarity extends QueryModule {
     // prune the candidate set (probes → assign equi-join), the SAME
     // refined-codebook ADC + shortlist + exact rerank chain as
     // sim_topk_pqadc runs on the survivors only.
-    "sim_topk_ivfpq" ->
+    "sim_topk_ivfpq" -> ivfPqOracleSql,
+    // Serve-from-materialized-index returns the SAME result as the
+    // composed form by contract (training is deterministic and the
+    // index path is keyed by source (mtime, size), so a stale index
+    // cannot satisfy this oracle on changed data).
+    "sim_topk_ivfpq_serve" -> ivfPqOracleSql,
+    // Build summary: per non-empty coarse cell, occupancy + rounded
+    // centroid norm — retrained in SQL via the ivfKmCte mirror, so the
+    // gate pins the whole coarse-quantizer training + assignment.
+    "sim_ivfpq_build" ->
       s"""$vecCte,
-         |$pqCodesCte,
          |$ivfKmCte,
          |assign AS (
          |  SELECT vec_id, cid FROM (
@@ -1103,52 +1249,11 @@ object Similarity extends QueryModule {
          |                        c.cid ASC) AS rn
          |    FROM e CROSS JOIN icent c)
          |  WHERE rn = 1
-         |),
-         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm,
-         |             list_dot_product(v, v) AS qq
-         |      FROM e WHERE vec_id % 50 = 0),
-         |probes AS (
-         |  SELECT query_id, cid FROM (
-         |    SELECT q.query_id, c.cid,
-         |           row_number() OVER (PARTITION BY q.query_id
-         |               ORDER BY round(list_dot_product(q.qv, c.cv) / (q.qnrm * c.cnrm), 6) DESC,
-         |                        c.cid ASC) AS rn
-         |    FROM q CROSS JOIN icent c)
-         |  WHERE rn <= $IvfPqProbe
-         |),
-         |lut AS (
-         |  SELECT q.query_id, t.b, cent.cid,
-         |         ${pqSliceDot("q.qv")} AS l
-         |  FROM q CROSS JOIN cent CROSS JOIN generate_series(0, ${PqBlocks - 1}) t(b)
-         |),
-         |cand AS (
-         |  SELECT q.query_id, ct.vec_id AS neighbor_id,
-         |         round(q.qq${(0 until PqBlocks).map(b => s" + l$b.l").mkString}, 6) AS adc
-         |  FROM probes p
-         |  JOIN assign a ON a.cid = p.cid
-         |  JOIN ct ON ct.vec_id = a.vec_id
-         |  JOIN q ON q.query_id = p.query_id
-         |${(0 until PqBlocks).map(b => s"  JOIN lut l$b ON l$b.query_id = q.query_id AND l$b.b = $b AND l$b.cid = ct.code$b").mkString("\n")}
-         |  WHERE ct.vec_id <> p.query_id
-         |),
-         |short AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT query_id, neighbor_id,
-         |           row_number() OVER (PARTITION BY query_id
-         |               ORDER BY adc ASC, neighbor_id ASC) AS srnk
-         |    FROM cand) WHERE srnk <= $IvfPqShortlist
          |)
-         |SELECT query_id, neighbor_id, rnk, score FROM (
-         |  SELECT s.query_id, s.neighbor_id,
-         |         round(list_dot_product(q.qv, e.v) / (q.qnrm * e.nrm), 6) AS score,
-         |         row_number() OVER (PARTITION BY s.query_id
-         |             ORDER BY round(list_dot_product(q.qv, e.v) / (q.qnrm * e.nrm), 6) DESC,
-         |                      s.neighbor_id ASC) AS rnk
-         |  FROM short s
-         |  JOIN e ON e.vec_id = s.neighbor_id
-         |  JOIN q ON q.query_id = s.query_id
-         |) WHERE rnk <= $K
-         |ORDER BY query_id, rnk""".stripMargin,
+         |SELECT a.cid, count(*) AS n_vectors, round(ic.cnrm, 6) AS cnorm
+         |FROM assign a JOIN icent ic ON ic.cid = a.cid
+         |GROUP BY a.cid, round(ic.cnrm, 6)
+         |ORDER BY a.cid""".stripMargin,
     "sim_topk_bruteforce" ->
       s"""$vecCte
          |SELECT query_id, neighbor_id, rnk, score FROM (

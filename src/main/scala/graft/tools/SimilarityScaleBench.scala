@@ -139,13 +139,22 @@ object SimilarityScaleBench {
 
       val vecs = EventOps.profileVecs(spark, dir).persist()
       val users = vecs.count()
-      val candidates = EventOps.tsCandidates(vecs).count()
+      // the ladder rung the registered query picks for this corpus size
+      // (VERDICT r10: at fixed k selectivity sat flat at 0.196 = Θ(n²);
+      // the rung must drive it DOWN as users grow)
+      val (pt, pk) = EventOps.profParams(users)
+      val candidates = EventOps.tsCandidates(vecs, pt, pk).count()
       val allPairs = users * (users - 1) / 2
       val t0 = System.nanoTime()
       EventOps.tsSimilarity(spark, dir).count()
       val sec = (System.nanoTime() - t0) / 1e9
+      // recall under growth: the top-20 contract vs the exact brute twin
+      // at THIS corpus size (not only at the bench SF)
+      val lsh = pairSet(EventOps.tsSimilarity(spark, dir))
+      val brute = pairSet(EventOps.tsSimilarityBrute(spark, dir))
+      val rec = lsh.intersect(brute).size.toDouble / brute.size
       spark.catalog.clearCache()
-      println(s"""{"bench":"ts_similarity","k":$k,"users":$users,"candidates":$candidates,"all_pairs":$allPairs,"selectivity":${r3(candidates.toDouble / allPairs)},"sec":${r3(sec)}}""")
+      println(s"""{"bench":"ts_similarity","k":$k,"users":$users,"pk":$pk,"pt":$pt,"candidates":$candidates,"all_pairs":$allPairs,"selectivity":${r3(candidates.toDouble / allPairs)},"recall":${r3(rec)},"sec":${r3(sec)}}""")
     }
 
     // ---- 2b. sign-LSH ANN candidate selectivity as the corpus grows K×
