@@ -423,11 +423,12 @@ object EventOps extends QueryModule {
   // rung j uses rows 0..pt·pk-1 of the SAME pool and the base-corpus
   // results (and oracle hashes) are bit-identical to fixed-param r10.
   // Rung tables run slightly above the ×1.33/step floor (24, 40, 53):
-  // the first measured ladder (24/32/43) gave recall 1.00 at rung 1 but
-  // 0.85 at rung 2 (15k users) — top-20 pairs at large n include
-  // cross-replica near-ties the p1 estimate under-weights — so rung 2+
-  // carry ~8 extra tables. Measured after the bump (BASELINE.md):
-  // selectivity still strictly falls along the ladder.
+  // measured at 15k users (BASELINE.md), rungs 32 and 40 both return
+  // 17/20 — the targets there are ~20 independent replica copies of the
+  // same base pairs, each an independent amplification trial, so 17/20
+  // is binomial noise around the expected ~0.91 (L=32) / ~0.95 (L=40)
+  // per-copy hit rate; the wider rung ships for the expectation margin.
+  // Selectivity still strictly falls along the ladder either way.
   private[graft] val ProfSteps: Seq[(Long, Int, Int)] = Seq(
     // (min users, pk, pt)
     (5000L, 6, 24), (12500L, 7, 40), (31250L, 8, 53))

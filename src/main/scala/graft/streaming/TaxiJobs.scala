@@ -118,15 +118,21 @@ object TaxiJobs {
   }
 
   /** Session for the runnable apps (the reference leans on the PySpark
-    * shell bootstrap, `Task2.py:1`; SURVEY §2.10). */
-  private[streaming] def session(name: String): SparkSession = SparkSession.builder()
-    .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-    .appName(name)
-    .config("spark.sql.shuffle.partitions",
-            sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+    * shell bootstrap, `Task2.py:1`; SURVEY §2.10).
+    * `SPARK_GRAFT_STATE_STORE=rocksdb` switches every stateful operator
+    * in the app to the RocksDB provider (see [[StateStores]]). */
+  private[streaming] def session(name: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName(name)
+      .config("spark.sql.shuffle.partitions",
+              sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    if (StateStores.rocksDbRequested) StateStores.useRocksDb(spark)
+    spark
+  }
 }
 
 /** `Task2.py` as a runnable app. */

@@ -37,7 +37,10 @@ class RecoverySpec extends AnyFunSuite {
       java.nio.file.attribute.FileTime.fromMillis(1000L * (slice + 1)))
   }
 
-  private def run(in: String, out: String, cp: String): Unit = {
+  /** Runs the sessionizer stream over the staged slices; returns the
+    * state-operator custom-metric names of the last progress (used by
+    * the RocksDB case to prove which provider actually ran). */
+  private def run(in: String, out: String, cp: String): Set[String] = {
     val schema = Tables.events(spark, TestSpark.sf).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
@@ -48,7 +51,12 @@ class RecoverySpec extends AnyFunSuite {
       .option("checkpointLocation", cp)
       .start()
     q.processAllAvailable()
+    val metrics = Option(q.lastProgress).toSeq
+      .flatMap(_.stateOperators.toSeq)
+      .flatMap(_.customMetrics.keySet().toArray.map(_.toString))
+      .toSet
     q.stop()
+    metrics
   }
 
   /** Odd-id documents sliced into 4 single-file parquet drops with
@@ -221,6 +229,41 @@ class RecoverySpec extends AnyFunSuite {
     val got = spark.read.parquet(out).collect()
       .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))
     // exactly-once: no session emitted twice across the restart
+    assert(got.length === got.distinct.length, "duplicate emissions after restart")
+
+    val maxTs = Tables.events(spark, TestSpark.sf)
+      .agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val watermark = new java.sql.Timestamp(maxTs.getTime - 30 * 60 * 1000)
+    val expected = graft.operators.EventOps.sessionize(spark, TestSpark.sf)
+      .where(col("session_end") <= lit(watermark))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSet === expected.toSet,
+      s"got ${got.length} sessions, expected ${expected.length}")
+    assert(got.nonEmpty)
+  }
+
+  test("sessionizer recovers on RocksDB state store; output == batch, exactly once") {
+    val in = Files.createTempDirectory("rdb_in").toString
+    val out = Files.createTempDirectory("rdb_out").toString
+    val cp = Files.createTempDirectory("rdb_cp").toString
+
+    // provider is read at query START and then pinned by the checkpoint;
+    // the undo closure keeps it from leaking into the shared session
+    val undo = graft.streaming.StateStores.useRocksDb(spark)
+    try {
+      stage(in, 0); stage(in, 1)
+      val m1 = run(in, out, cp)
+      assert(m1.exists(_.toLowerCase.contains("rocksdb")),
+        s"state operator did not run on RocksDB (metrics: $m1)")
+      // restart resumes RocksDB state from the checkpoint (changelog
+      // checkpointing enabled: deltas, not full snapshots)
+      stage(in, 2); stage(in, 3)
+      run(in, out, cp)
+    } finally undo()
+
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))
     assert(got.length === got.distinct.length, "duplicate emissions after restart")
 
     val maxTs = Tables.events(spark, TestSpark.sf)
