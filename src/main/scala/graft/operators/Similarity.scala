@@ -74,9 +74,27 @@ object Similarity extends QueryModule {
   private val NCENT = 16
   private val NPROBE = 4
 
-  private[graft] def centroidsOf(e: DataFrame): DataFrame =
-    broadcast(e.filter(col("vec_id") < NCENT)
+  private[graft] def centroidsOf(e: DataFrame, ncent: Int = NCENT): DataFrame =
+    broadcast(e.filter(col("vec_id") < ncent)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cnorm")))
+
+  /** SemDeDup cell-count ladder: with a FIXED cell count the within-cell
+    * pair term is Θ(n²/cells) — a constant fraction of a quadratic, the
+    * same trap `ev_ts_similarity` had before its adaptive rungs
+    * (measured: sim_semdedup grew 8.5× under 10× corpus growth at 16
+    * cells). Cells now rise with the corpus so the expected cell SIZE
+    * stays bounded (~n/128 at the rung midpoints) and the pair term
+    * stays ~linear. Integer thresholds, compared identically in the
+    * oracle SQL's CASE (no floats at a boundary — the
+    * `EventOps.profParams` contract), and the first rung preserves the
+    * historical 16-cell behavior at the driver's SFs bit-for-bit. The
+    * 1024 cap marks where first-n "centroids" should hand over to
+    * trained ones (the [[ivfPqCentroids]] path). */
+  private[graft] def semCells(n: Long): Int =
+    if (n <= 2048L) 16
+    else if (n <= 8192L) 64
+    else if (n <= 32768L) 256
+    else 1024
 
   /** Max-cosine cell per corpus vector — the shared IVF/SemDeDup
     * assignment: one corpus scan against the broadcast centroids,
@@ -296,7 +314,9 @@ object Similarity extends QueryModule {
   def semDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = vecs(s, dir)
-    val assign = cellAssignment(e, centroidsOf(e))
+    // count() is one metadata-cheap job; the ladder keeps cell size
+    // bounded as the corpus grows (see [[semCells]])
+    val assign = cellAssignment(e, centroidsOf(e, semCells(e.count())))
     assign.as("a").join(assign.as("b"),
         $"a.cid" === $"b.cid" && $"a.vec_id" < $"b.vec_id")
       .withColumn("score",
@@ -1372,7 +1392,11 @@ object Similarity extends QueryModule {
          |ORDER BY query_id, rnk""".stripMargin,
     "sim_semdedup" ->
       s"""$vecCte,
-         |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e WHERE vec_id < $NCENT),
+         |p AS (SELECT CASE WHEN count(*) <= 2048 THEN 16
+         |             WHEN count(*) <= 8192 THEN 64
+         |             WHEN count(*) <= 32768 THEN 256
+         |             ELSE 1024 END AS nc FROM e),
+         |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e, p WHERE vec_id < p.nc),
          |assign AS (
          |  SELECT vec_id, cid FROM (
          |    SELECT e.vec_id, c.cid,
