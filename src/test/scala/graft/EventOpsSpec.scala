@@ -53,6 +53,20 @@ class EventOpsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("E2LSH ladder rungs are pinned (BASELINE adaptive-ladder contract)") {
+    // (tables, projections) per corpus size; the oracle SQL is generated
+    // from the same table, so a rung change here is a cross-engine event
+    assert(EventOps.profParams(1500L) === ((18, 5)))
+    assert(EventOps.profParams(4999L) === ((18, 5)))
+    assert(EventOps.profParams(5000L) === ((24, 6)))
+    assert(EventOps.profParams(12500L) === ((32, 7)))
+    assert(EventOps.profParams(31250L) === ((53, 8)))
+    // amplification must be monotone: bigger corpora never hash LESS
+    val rungs = Seq(1L, 5000L, 12500L, 31250L, 1000000L).map(EventOps.profParams)
+    assert(rungs.sliding(2).forall { case Seq((t1, k1), (t2, k2)) =>
+      t2 >= t1 && k2 >= k1 })
+  }
+
   test("transitions: conservation — every user contributes exactly n-1 hops") {
     val ev = graft.Tables.events(spark, TestSpark.sf)
     val expected = ev.count() - ev.select("user_id").distinct().count()

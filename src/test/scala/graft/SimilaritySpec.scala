@@ -64,4 +64,18 @@ class SimilaritySpec extends AnyFunSuite {
         org.apache.spark.sql.functions.col("embedding")) =!= 64).count()
     assert(bad == 0L, s"$bad embeddings are not 64-dim")
   }
+
+  test("SemDeDup cell ladder rungs are pinned (oracle CASE mirrors them)") {
+    assert(operators.Similarity.semCells(200L) === 16)
+    assert(operators.Similarity.semCells(2048L) === 16)
+    assert(operators.Similarity.semCells(2049L) === 64)
+    assert(operators.Similarity.semCells(8192L) === 64)
+    assert(operators.Similarity.semCells(8193L) === 256)
+    assert(operators.Similarity.semCells(32768L) === 256)
+    assert(operators.Similarity.semCells(32769L) === 1024)
+    // monotone: a bigger corpus never clusters into FEWER cells
+    val ns = Seq(1L, 2048L, 2049L, 8193L, 32769L, 10000000L)
+    assert(ns.map(operators.Similarity.semCells).sliding(2)
+      .forall { case Seq(a, b) => b >= a })
+  }
 }
