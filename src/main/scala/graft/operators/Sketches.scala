@@ -41,20 +41,35 @@ object Sketches extends QueryModule {
     * value is additionally bounded in SketchSpec. The exact column is
     * hash-gated directly (and via [[exactDistinct]]).
     *
-    * The sketch runs at rsd=0.01 (one standard deviation) so the
-    * asserted 5% bound sits at 5σ — the gate is deterministic headroom,
-    * not a coin flip on regenerated testdata (ADVICE r10: the default
+    * The sketch runs at rsd=0.015 (one standard deviation) so the
+    * asserted 5% bound sits at 3.3σ — deterministic headroom, not a
+    * coin flip on regenerated testdata (ADVICE r10: the default
     * rsd 0.05 made the 5% bound a 1σ assertion that a new SF could
-    * deterministically violate for some group). rsd 0.01 costs ~10.8k
-    * HLL registers per group — still a fixed-size sketch, still the
-    * 100 TB shape. */
+    * deterministically violate for some group; the advice's suggested
+    * floor was 3σ). The r11 first cut used rsd 0.01 (5σ), but the p=14
+    * register file made the agg buffer the dominant cost (measured
+    * 0.7–0.9 s of pure sketch overhead at sf0.1 vs ~0.2 s at p=13 —
+    * buffer copy/merge scales with the 13 KB-per-group rows, not with
+    * input); 3.3σ keeps the gate sound at half the buffer.
+    *
+    * Plan shape: `distinct` FIRST, then one plain aggregate. Mixing
+    * `countDistinct` and the sketch in a single agg plans an Expand with
+    * a multi-phase distinct aggregation, and the 1.6k-word HLL buffer
+    * gets carried (copied, serialized, merged) through every phase —
+    * measured 2.0 s vs 0.4 s at sf0.1 for identical output. HLL registers
+    * depend only on the SET of hashed inputs, so the estimate over the
+    * deduped rows is bit-identical to the estimate over the raw rows,
+    * `count(*)` over them IS the exact distinct count, and the whole
+    * query is one scan + one hash-distinct + one partial-aggregated agg
+    * with no Expand. */
   def approxDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.events(s, dir)
+      .select($"event_type", $"user_id").distinct()
       .groupBy($"event_type")
       .agg(
-        countDistinct($"user_id").as("exact_users"),
-        approx_count_distinct($"user_id", 0.01).as("approx_users"))
+        count(lit(1)).as("exact_users"),
+        approx_count_distinct($"user_id", 0.015).as("approx_users"))
       .select($"event_type", $"exact_users",
         (abs($"approx_users" - $"exact_users") <=
           $"exact_users".cast("double") * 0.05).cast("int").as("approx_within_5pct"))
