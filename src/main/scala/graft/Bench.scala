@@ -20,14 +20,20 @@ object Bench {
     * expensive tail is what the plan audit reads), then a marker-only
     * "_omitted_n" map as the never-ship-garbage guard. The headline total
     * stays 3-decimal on every rung. */
-  private[graft] def stdoutLine(results: Seq[(String, Double)], sfShort: String,
-                                loadBefore: String, contaminated: String): String = {
+  private[graft] def stdoutLine(results: Seq[(String, Double)], sfDir: String,
+                                loadBefore: String, contaminated: String,
+                                loadAfter: String = "-1", waitSec: Int = 0,
+                                failed: Seq[String] = Nil): String = {
     def queriesJson(dec: Int): String =
       results.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
         .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Same field set as the canonical BENCH.json record (ADVICE r11: the
+    // per-round record parsed from this line must round-trip with it):
+    // full sf path, load_after, wait_sec, and the failed-query list.
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     def wrap(queries: String): String =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$queries,"sf":"$sfShort","load_before":$loadBefore,"contaminated":$contaminated}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$queries,"sf":"$sfDir","load_before":$loadBefore,"load_after":$loadAfter,"wait_sec":$waitSec,"failed":$failedJson,"contaminated":$contaminated}"""
     val byCost = results.sortBy { case (n, v) => (-v, n) }
     def lineTopK(k: Int): String = {
       val (top, rest) = byCost.splitAt(k)
@@ -94,14 +100,24 @@ object Bench {
     // relations consumed by multiple join branches; dropping them once the
     // query finishes keeps repeated query runs from accumulating cache
     // blocks (GC/memory-manager pressure measurably drags later queries).
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A query that THROWS must never masquerade as a speedup: round 11's
+    // four NTZ-broken asof/lateness queries failed in ~70 ms each and the
+    // old silent catch recorded that as an 8-10x "win" (ADVICE r11, high).
+    // Failures are collected per name and shipped in a "failed" list in
+    // BOTH the stdout line and BENCH.json — an artifact with failed:[...]
+    // is self-identifying as not a performance measurement for those rows.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // noop write, not count(): under count() Catalyst's EliminateSorts
       // drops each query's final presentation orderBy, so sorted queries
       // were slightly under-timed. The noop sink executes the FULL plan
       // (sort included) and discards rows executor-side.
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        if (failed.add(name))
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       val t = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       t
@@ -114,11 +130,11 @@ object Bench {
     // third pass covers sub-0.5s queries, whose single-shot times are
     // dominated by scheduler/GC noise on this box.
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
-    val passA = named.map { case (_, fn) => once(fn) }
-    val passB = named.map { case (_, fn) => once(fn) }
+    val passA = named.map { case (name, fn) => once(name, fn) }
+    val passB = named.map { case (name, fn) => once(name, fn) }
     val results = named.lazyZip(passA).lazyZip(passB).map { case ((name, fn), a, b) =>
       val m = math.min(a, b)
-      name -> (if (m < 0.5) math.min(m, once(fn)) else m)
+      name -> (if (m < 0.5) math.min(m, once(name, fn)) else m)
     }
     // The driver parses the JSON line out of the LAST 2000 chars of sbt's
     // stdout, so the stdout line must fit that window (round 4 and round 7
@@ -154,23 +170,23 @@ object Bench {
       case Some(l) if l >= 0 => (l > 2.0).toString
       case _ => "null"
     }
-    // load_after is deliberately NOT in the stdout line: it includes the
-    // bench's own 32 threads, is never used to judge cleanliness (see the
-    // contaminated scaladoc above), and its ~19 chars are better spent on
-    // query entries. It stays in the full-precision BENCH.json record.
-    // The stdout copy shortens sf to its basename: the driver's window is
-    // 2000 chars and at 83 queries every constant byte matters; BENCH.json
-    // below keeps the full path for the record.
-    val sfShort = new java.io.File(sfDir).getName
-    // Driver tails 2000 chars of stdout: emit the most precise line that
-    // fits via the [[stdoutLine]] ladder (2-dec → 1-dec full map → top-K
-    // slowest + rollup → marker-only guard; the headline total stays
-    // 3-decimal on every rung — it is what the judge grades first). Full
-    // 3-decimal precision always lands in BENCH.json regardless.
-    println(stdoutLine(results, sfShort, loadBefore, contaminated))
+    // The stdout line now carries the SAME field set as BENCH.json —
+    // full sf path, load_after, wait_sec, failed — so the driver's
+    // per-round record round-trips with the canonical one (ADVICE r11).
+    // load_after includes the bench's own 32 threads and is never used to
+    // judge cleanliness (see the contaminated scaladoc above); it's here
+    // for record consistency only. The stdoutLine ladder (2-dec → 1-dec
+    // full map → top-K slowest + rollup → marker-only guard) absorbs the
+    // extra constant bytes by degrading per-query precision if needed;
+    // the headline total stays 3-decimal on every rung. Full 3-decimal
+    // precision always lands in BENCH.json regardless.
+    val loadAfter = loadAvg()
+    val failedJson = failed.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(stdoutLine(results, sfDir, loadBefore, contaminated,
+                       loadAfter, waited, failed.toSeq))
     try {
       val w = new java.io.PrintWriter("/root/repo/BENCH.json")
-      try w.println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${queriesJson(3)},"sf":"$sfDir","load_before":$loadBefore,"load_after":${loadAvg()},"wait_sec":$waited,"contaminated":$contaminated}""") finally w.close()
+      try w.println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${queriesJson(3)},"sf":"$sfDir","load_before":$loadBefore,"load_after":$loadAfter,"wait_sec":$waited,"failed":$failedJson,"contaminated":$contaminated}""") finally w.close()
     } catch { case _: Throwable => () }
     spark.stop()
   }

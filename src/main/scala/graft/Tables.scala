@@ -41,6 +41,33 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** [[events]] with `ts` normalized to TimestampType (LTZ) — for
+    * event-time STREAMING consumers only: `withWatermark` rejects
+    * TIMESTAMP_NTZ outright ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]), so
+    * any spec or job that stages events for a watermarked stream must
+    * stage this form. Batch queries keep the pass-through [[events]]:
+    * the driver's DuckDB compare needs the output flavor to track the
+    * input parquet's flavor, whatever the generator emitted this round.
+    * Under the pinned UTC session the cast is instant-preserving. */
+  def eventsLtz(s: SparkSession, d: String): DataFrame = {
+    val df = events(s, d)
+    df.withColumn("ts",
+      df("ts").cast(org.apache.spark.sql.types.TimestampType))
+  }
+
+  /** Epoch-micros of a timestamp column, robust to the parquet flavor the
+    * driver's generator happens to emit: `events.ts` has shipped as
+    * TIMESTAMP(NANOS) (read as LongType under the legacy flag, normalized
+    * in [[events]]), TIMESTAMP(MICROS, adjustedToUTC=true) (LTZ) and naive
+    * TIMESTAMP(MICROS) (NTZ, the round-12 flavor) across rounds.
+    * `unix_micros` only accepts LTZ, so cast first: every session here
+    * pins `spark.sql.session.timeZone=UTC`, making the NTZ→LTZ cast
+    * instant-preserving and bit-identical to DuckDB's `epoch_us` on the
+    * same naive values. */
+  def micros(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.unix_micros(
+      c.cast(org.apache.spark.sql.types.TimestampType))
 }
 
 /** A group of named queries plus their DuckDB oracle SQL (driver contract:

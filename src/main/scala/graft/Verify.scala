@@ -29,12 +29,19 @@ object Verify {
       // an interleaved warning there could corrupt per-query output.
       System.err.println(msg)
     }
+    // Failures are collected AND written as an artifact: round 11's four
+    // NTZ-broken queries only printed to stderr here, so the correctness
+    // report silently shrank by four rows instead of showing four reds —
+    // a missing row reads as "not run", which is exactly the wrong signal
+    // for a query that crashed (ADVICE r11, high).
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // drop any relations the query persisted (multi-branch operators
@@ -57,6 +64,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Unmissable crash record alongside the outputs: `{name: message}` per
+    // failed query (empty object on a clean run). The driver ignores files
+    // it doesn't know; humans and the judge get the red list either way.
+    val failJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_failed.json"), failJson)
     spark.stop()
   }
 }

@@ -187,7 +187,7 @@ object EventOps extends QueryModule {
       .where($"side" === 1 && $"click_ts".isNotNull)
       .select($"event_id".as("purchase_id"), $"user_id",
               $"ts".as("purchase_ts"), $"click_id", $"click_ts",
-              (unix_micros($"ts") - unix_micros($"click_ts")).as("gap_us"))
+              (Tables.micros($"ts") - Tables.micros($"click_ts")).as("gap_us"))
       .orderBy($"purchase_id")
   }
 
@@ -209,7 +209,7 @@ object EventOps extends QueryModule {
     graft.plans.Asof.join(p, c, Seq("user_id"), Seq("c_user"), "purchase_ts", "click_ts")
       .where($"click_ts".isNotNull)
       .select($"purchase_id", $"user_id", $"purchase_ts", $"click_id", $"click_ts",
-              (unix_micros($"purchase_ts") - unix_micros($"click_ts")).as("gap_us"))
+              (Tables.micros($"purchase_ts") - Tables.micros($"click_ts")).as("gap_us"))
       .orderBy($"purchase_id")
   }
 
@@ -547,7 +547,7 @@ object EventOps extends QueryModule {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"us".asc, $"event_id".asc)
     Tables.events(s, dir)
-      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("us"))
+      .select($"user_id", $"event_id", $"event_type", Tables.micros($"ts").as("us"))
       .withColumn("to_type", lead($"event_type", 1).over(w))
       .withColumn("gap_us", lead($"us", 1).over(w) - $"us")
       .where($"to_type".isNotNull)
@@ -629,7 +629,7 @@ object EventOps extends QueryModule {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(s, dir)
       .withColumn("hwm", max($"ts").over(w))
-      .withColumn("late_us", unix_micros($"hwm") - unix_micros($"ts"))
+      .withColumn("late_us", Tables.micros($"hwm") - Tables.micros($"ts"))
       .groupBy($"event_type")
       .agg(
         count(lit(1)).as("n_events"),

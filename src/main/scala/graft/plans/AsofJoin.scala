@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.graft.bridge
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** As-of join as a first-class operator: logical node + planner strategy +
   * physical `SparkPlan`.
@@ -209,9 +209,9 @@ object Asof {
     // read undefined bytes from the UnsafeRow — wrong matches, no error.
     for ((df, col) <- Seq((lPlan, leftTimeCol), (rPlan, rightTimeCol))) {
       val dt = attr(df, col).dataType
-      require(dt == TimestampType || dt == LongType,
-        s"asof time column $col must be TimestampType or LongType " +
-          s"(8-byte ordinal), got $dt — cast it explicitly first")
+      require(dt == TimestampType || dt == TimestampNTZType || dt == LongType,
+        s"asof time column $col must be TimestampType, TimestampNTZType " +
+          s"or LongType (8-byte ordinal), got $dt — cast it explicitly first")
     }
     bridge.dfOf(spark, AsofJoin(
       lPlan, rPlan,

@@ -213,7 +213,7 @@ class AsofJoinSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] {
       Asof.join(l, r, Seq("k"), Seq("rk"), "t", "rt")
     }
-    assert(e.getMessage.contains("TimestampType or LongType"), e.getMessage)
+    assert(e.getMessage.contains("TimestampType, TimestampNTZType or LongType"), e.getMessage)
     // DateType is int-backed too — also rejected on the right side
     val l2 = Seq((1L, 10L, "a")).toDF("k", "t", "v")
     val r2 = Seq((1L, java.sql.Date.valueOf("2024-01-01"), 1.0)).toDF("rk", "rt", "price")

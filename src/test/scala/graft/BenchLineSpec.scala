@@ -15,7 +15,8 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("stdout line fits the driver window from 1 to 300 queries") {
     for (n <- Seq(1, 10, 50, 82, 99, 120, 150, 200, 300)) {
-      val line = Bench.stdoutLine(synth(n), "sf0.1", "0.39", "false")
+      val line = Bench.stdoutLine(synth(n), "/root/testdata/sf0.1", "0.39",
+        "false", "1.44", 75)
       assert(line.length <= Bench.MaxLine,
         s"n=$n: line ${line.length} chars exceeds ${Bench.MaxLine}")
       assert(line.startsWith("""{"metric":"total","value":""") && line.endsWith("}"),
@@ -23,12 +24,33 @@ class BenchLineSpec extends AnyFunSuite {
     }
   }
 
+  test("round-trip fields and the failed-query list are always present") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val line = Bench.stdoutLine(synth(120), "/root/testdata/sf0.1", "0.39",
+      "false", "1.44", 75, failed = Seq("ev_asof_join", "ev_transitions"))
+    assert(line.length <= Bench.MaxLine)
+    val parsed = JsonMethods.parse(line)
+    // same field set as the canonical BENCH.json record (ADVICE r11 low)
+    for (f <- Seq("sf", "load_before", "load_after", "wait_sec", "failed",
+                  "contaminated"))
+      assert((parsed \ f) != JNothing, s"missing field $f")
+    val JArray(fs) = (parsed \ "failed"): @unchecked
+    assert(fs == List(JString("ev_asof_join"), JString("ev_transitions")))
+    // a failing query must be impossible to mistake for a fast one
+    val clean = Bench.stdoutLine(synth(120), "/root/testdata/sf0.1", "0.39",
+      "false", "1.44", 75)
+    val JArray(none) = (JsonMethods.parse(clean) \ "failed"): @unchecked
+    assert(none.isEmpty)
+  }
+
   test("degraded lines stay parseable JSON with the headline total intact") {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     for (n <- Seq(99, 150, 300)) {
       val results = synth(n)
-      val line = Bench.stdoutLine(results, "sf0.1", "0.39", "false")
+      val line = Bench.stdoutLine(results, "/root/testdata/sf0.1", "0.39",
+        "false", "1.44", 75)
       val parsed = JsonMethods.parse(line)
       val JDouble(total) = (parsed \ "value"): @unchecked
       assert(math.abs(total - results.map(_._2).sum) < 0.001)

@@ -19,7 +19,7 @@ class EventStreamSpec extends AnyFunSuite {
     * watermark passes them, making the expected set order-dependent. */
   private lazy val stagedDir: String = {
     val dir = Files.createTempDirectory("evstream").toString
-    Tables.events(spark, TestSpark.sf)
+    Tables.eventsLtz(spark, TestSpark.sf)
       .repartitionByRange(4, col("ts"))
       .write.mode("overwrite").parquet(dir)
     val parts = new java.io.File(dir).listFiles()
@@ -49,7 +49,7 @@ class EventStreamSpec extends AnyFunSuite {
     val got = spark.table("wm_out").collect()
       .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
 
-    val batch = Tables.events(spark, TestSpark.sf)
+    val batch = Tables.eventsLtz(spark, TestSpark.sf)
     val maxTs = batch.agg(max(col("ts"))).collect()(0).getTimestamp(0)
     val watermark = new java.sql.Timestamp(maxTs.getTime - 30 * 60 * 1000)
     val expected = batch
@@ -73,7 +73,7 @@ class EventStreamSpec extends AnyFunSuite {
     val got = spark.table("slide_out").collect()
       .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
 
-    val batch = Tables.events(spark, TestSpark.sf)
+    val batch = Tables.eventsLtz(spark, TestSpark.sf)
     val maxTs = batch.agg(max(col("ts"))).collect()(0).getTimestamp(0)
     val watermark = new java.sql.Timestamp(maxTs.getTime - 30 * 60 * 1000)
     val expected = batch
@@ -118,7 +118,7 @@ class EventStreamSpec extends AnyFunSuite {
     // final (max) value per user is the converged running count
     val got = spark.table("uc_out").collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).max).toMap
-    val expected = Tables.events(spark, TestSpark.sf)
+    val expected = Tables.eventsLtz(spark, TestSpark.sf)
       .groupBy(col("user_id")).count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected)
@@ -136,8 +136,13 @@ class EventStreamSpec extends AnyFunSuite {
     val got = spark.table("sess_stream").collect()
       .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getLong(3))).toSet
 
+    // batch sessionize inherits the parquet's timestamp flavor (NTZ this
+    // round); cast to LTZ so the tuple compare below is type-homogeneous
+    // with the stream side's java.sql.Timestamp
     val batch = graft.operators.EventOps.sessionize(spark, TestSpark.sf)
-    val maxTs = Tables.events(spark, TestSpark.sf)
+      .withColumn("session_start", col("session_start").cast("timestamp"))
+      .withColumn("session_end", col("session_end").cast("timestamp"))
+    val maxTs = Tables.eventsLtz(spark, TestSpark.sf)
       .agg(max(col("ts"))).collect()(0).getTimestamp(0)
     val watermark = new java.sql.Timestamp(maxTs.getTime - 30 * 60 * 1000)
     val expected = batch

@@ -23,7 +23,7 @@ class RecoverySpec extends AnyFunSuite {
     * files with ascending mtimes so the file source replays them in
     * chronological order. */
   private def stage(dir: String, slice: Int): Unit = {
-    val staged = Tables.events(spark, TestSpark.sf)
+    val staged = Tables.eventsLtz(spark, TestSpark.sf)
       .withColumn("sl", ntile(4).over(
         org.apache.spark.sql.expressions.Window.orderBy(col("ts"))))
       .where(col("sl") === slice + 1).drop("sl")
@@ -41,7 +41,7 @@ class RecoverySpec extends AnyFunSuite {
     * state-operator custom-metric names of the last progress (used by
     * the RocksDB case to prove which provider actually ran). */
   private def run(in: String, out: String, cp: String): Set[String] = {
-    val schema = Tables.events(spark, TestSpark.sf).schema
+    val schema = Tables.eventsLtz(spark, TestSpark.sf).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
     val q = EventStreamOps.sessionizeStream(stream)
@@ -231,10 +231,14 @@ class RecoverySpec extends AnyFunSuite {
     // exactly-once: no session emitted twice across the restart
     assert(got.length === got.distinct.length, "duplicate emissions after restart")
 
-    val maxTs = Tables.events(spark, TestSpark.sf)
+    val maxTs = Tables.eventsLtz(spark, TestSpark.sf)
       .agg(max(col("ts"))).collect()(0).getTimestamp(0)
     val watermark = new java.sql.Timestamp(maxTs.getTime - 30 * 60 * 1000)
+    // batch sessionize inherits the parquet's timestamp flavor (NTZ this
+    // round); cast to LTZ for a type-homogeneous compare with the stream
     val expected = graft.operators.EventOps.sessionize(spark, TestSpark.sf)
+      .withColumn("session_start", col("session_start").cast("timestamp"))
+      .withColumn("session_end", col("session_end").cast("timestamp"))
       .where(col("session_end") <= lit(watermark))
       .collect()
       .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))
@@ -266,10 +270,14 @@ class RecoverySpec extends AnyFunSuite {
       .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))
     assert(got.length === got.distinct.length, "duplicate emissions after restart")
 
-    val maxTs = Tables.events(spark, TestSpark.sf)
+    val maxTs = Tables.eventsLtz(spark, TestSpark.sf)
       .agg(max(col("ts"))).collect()(0).getTimestamp(0)
     val watermark = new java.sql.Timestamp(maxTs.getTime - 30 * 60 * 1000)
+    // batch sessionize inherits the parquet's timestamp flavor (NTZ this
+    // round); cast to LTZ for a type-homogeneous compare with the stream
     val expected = graft.operators.EventOps.sessionize(spark, TestSpark.sf)
+      .withColumn("session_start", col("session_start").cast("timestamp"))
+      .withColumn("session_end", col("session_end").cast("timestamp"))
       .where(col("session_end") <= lit(watermark))
       .collect()
       .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))

@@ -50,10 +50,10 @@ class SessionizeSpec extends AnyFunSuite {
     val groups = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val rebuilt = Tables.events(spark, TestSpark.sf)
-      .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(byUser))
+      .withColumn("prev_us", lag(Tables.micros($"ts"), 1).over(byUser))
       .withColumn("new_s",
         when($"prev_us".isNull ||
-             unix_micros($"ts") - $"prev_us" > 30L * 60 * 1000000, 1).otherwise(0))
+             Tables.micros($"ts") - $"prev_us" > 30L * 60 * 1000000, 1).otherwise(0))
       .withColumn("sid", sum($"new_s").over(groups))
       .groupBy($"user_id", $"sid")
       .agg(min($"ts").as("session_start"),
@@ -63,7 +63,7 @@ class SessionizeSpec extends AnyFunSuite {
       .select($"session_start", $"session_end", $"user_id", $"n_events", $"session_value")
 
     val key = (r: org.apache.spark.sql.Row) =>
-      (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      (r.get(0), r.get(1), r.getLong(2), r.getLong(3), r.getDouble(4))
     val got = EventOps.sessionize(spark, TestSpark.sf).collect().map(key).toSet
     val exp = rebuilt.collect().map(key).toSet
     assert((got -- exp).isEmpty && (exp -- got).isEmpty,
