@@ -80,17 +80,28 @@ object Bench {
       println(s"BENCH-WAIT load=$loadBefore > 2.0, sleeping 15s (waited ${waited}s)")
       Thread.sleep(15000L); waited += 15; loadBefore = loadAvg()
     }
-    // Warm-up: parquet footers at the bench SF, then every query once at
-    // the smallest SF. Whole-stage-codegen classes are cached by generated
-    // source, so the sf0.001 run compiles each query's codegen + JITs its
-    // hot loops — the timed sf run then measures the engine, not one-time
-    // compilation (~3-4s of which otherwise lands on the first queries).
+    // Dev-iteration filter, mirroring Verify's SPARK_GRAFT_ONLY: time a
+    // comma-listed subset at the bench SF. Guards against leaking into a
+    // judged run: loud stderr warning AND BENCH.json is NOT written, so a
+    // filtered run can never replace the canonical record.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    only.foreach { f => System.err.println(
+      s"[bench] WARNING: SPARK_GRAFT_BENCH_ONLY is set — timing ONLY " +
+        s"${f.size} queries; BENCH.json will NOT be written.") }
+    // Warm-up: parquet footers at the bench SF, then every (selected)
+    // query once at the smallest SF. Whole-stage-codegen classes are
+    // cached by generated source, so the sf0.001 run compiles each
+    // query's codegen + JITs its hot loops — the timed sf run then
+    // measures the engine, not one-time compilation (~3-4s of which
+    // otherwise lands on the first queries).
     Tables.names.foreach { t =>
       try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
-      SparkEntry.queries.foreach { case (_, fn) =>
+      SparkEntry.queries
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .foreach { case (_, fn) =>
         // warm through the same noop-write path the timed runs use, so the
         // sort/write codegen is compiled before timing too
         try { fn(spark, warmDir).write.mode("overwrite").format("noop").save(); spark.catalog.clearCache() }
@@ -130,6 +141,7 @@ object Bench {
     // third pass covers sub-0.5s queries, whose single-shot times are
     // dominated by scheduler/GC noise on this box.
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     val passA = named.map { case (name, fn) => once(name, fn) }
     val passB = named.map { case (name, fn) => once(name, fn) }
     val results = named.lazyZip(passA).lazyZip(passB).map { case ((name, fn), a, b) =>
@@ -184,7 +196,7 @@ object Bench {
     val failedJson = failed.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(stdoutLine(results, sfDir, loadBefore, contaminated,
                        loadAfter, waited, failed.toSeq))
-    try {
+    if (only.isEmpty) try {
       val w = new java.io.PrintWriter("/root/repo/BENCH.json")
       try w.println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${queriesJson(3)},"sf":"$sfDir","load_before":$loadBefore,"load_after":$loadAfter,"wait_sec":$waited,"failed":$failedJson,"contaminated":$contaminated}""") finally w.close()
     } catch { case _: Throwable => () }
