@@ -152,13 +152,43 @@ object Similarity extends QueryModule {
       .orderBy($"query_id", $"rnk")
   }
 
-  // Random-hyperplane LSH: 4 tables × 6-bit signatures. Plane components
-  // come from a fixed-seed LCG → identical across runs/engines. Components
-  // are exact rationals k/1000 (k integer), so the oracle SQL can rebuild
-  // the very same doubles from the integer matrix (k / 1000.0).
+  // Random-hyperplane LSH: 4 tables × 6-bit signatures at the base rung.
+  // Plane components come from a fixed-seed LCG → identical across
+  // runs/engines. Components are exact rationals k/1000 (k integer), so
+  // the oracle SQL can rebuild the very same doubles from the integer
+  // matrix (k / 1000.0).
   private val TABLES = 4
   private val BITS = 6
   private val DIM = 64
+
+  // ---- Corpus-adaptive signature width (round 12) — the E2LSH /
+  // semCells ladder pattern applied to sign-LSH. At FIXED (tables, bits)
+  // the bucket grid is constant, so per-bucket occupancy grows ∝ n; with
+  // the query set also ∝ n (every 50th vector), candidate volume grows
+  // Θ(n²/2^bits) — the same flat-selectivity trap r11 fixed for
+  // ev_ts_similarity and sim_semdedup, measured live by the r12 sf1
+  // proof: sim_ann_multiprobe grew 10.5× on 10× data. Sign-LSH theory
+  // (Charikar'02): a far pair (cos≈0) matches one more bit with
+  // p2 = 0.5, a near pair (this corpus' top-5 angular gap ⇒ p1 ≈ 0.8)
+  // with p1 — so bits must grow ~log₂(n) to hold per-bucket occupancy,
+  // and tables grow ×~1/p1 ≈ ×1.25 per added bit to hold the
+  // 1−(1−p1^bits)^tables recall floor (multiprobe's Hamming-1 expansion
+  // adds its usual extra-tables equivalent on top; rung recalls are
+  // measured in SimilarityScaleBench / BASELINE.md). Integer thresholds
+  // on the exact corpus count — never a libm expression, where rounding
+  // could make the two engines disagree on the rung — anchored so the
+  // sf0.01/sf0.1 gates stay on the r10-tuned (4, 6) base. The plane pool
+  // is prefix-stable per row and rung rows are addressed t·bits + j, so
+  // base-rung hashes are bit-identical to the fixed-parameter form.
+  private[graft] val LshSteps: Seq[(Long, Int, Int)] = Seq(
+    // (min corpus rows, tables, bits)
+    (8192L, 6, 8), (32768L, 9, 10), (131072L, 14, 12))
+  private[graft] def lshParams(n: Long): (Int, Int) =
+    LshSteps.foldLeft((TABLES, BITS)) {
+      case (acc, (thr, pt, pb)) => if (n >= thr) (pt, pb) else acc
+    }
+  /** Largest rung's plane demand — the shared pool size. */
+  private val LshPoolSize: Int = LshSteps.last._2 * LshSteps.last._3
   private def lcg(x: Long): Long =
     (x * 6364136223846793005L + 1442695040888963407L) & 0x7fffffffffffffffL
 
@@ -173,7 +203,7 @@ object Similarity extends QueryModule {
       Array.tabulate(dim) { d => (lcg(h.toLong * dim + d + 7) % 2001 - 1000).toInt }
     }
 
-  private[operators] val planeInts: Array[Array[Int]] = planeIntMatrix(TABLES * BITS, DIM)
+  private[operators] val planeInts: Array[Array[Int]] = planeIntMatrix(LshPoolSize, DIM)
   private[operators] val planes: Array[Array[Double]] =
     planeInts.map(_.map(_ / 1000.0))
 
@@ -190,12 +220,15 @@ object Similarity extends QueryModule {
     * for a SMALL query side, saving a re-derivation + join) — leave empty
     * for the corpus side, where duplicating vectors ×TABLES would bloat
     * the shuffle. */
-  private[graft] def lshBuckets(e: DataFrame, keep: Seq[String] = Nil): DataFrame = {
+  private[graft] def lshBuckets(e: DataFrame, keep: Seq[String] = Nil,
+                                tables: Int = TABLES, bits: Int = BITS): DataFrame = {
+    require(tables * bits <= planes.length,
+      s"plane pool too small for $tables×$bits (have ${planes.length} rows)")
     val withBits = e.withColumn("bits",
-      array((0 until TABLES * BITS).map(h => (dotConst(col("v"), planes(h)) > 0).cast("int")): _*))
-    val tableCols = (0 until TABLES).map { t =>
+      array((0 until tables * bits).map(h => (dotConst(col("v"), planes(h)) > 0).cast("int")): _*))
+    val tableCols = (0 until tables).map { t =>
       struct(lit(t).as("tbl"),
-             (0 until BITS).map(j => element_at(col("bits"), t * BITS + j + 1) * lit(1 << j))
+             (0 until bits).map(j => element_at(col("bits"), t * bits + j + 1) * lit(1 << j))
                .reduce(_ + _).as("bucket"))
     }
     withBits.select(col("vec_id") +: keep.map(col) :+ explode(array(tableCols: _*)).as("tb"): _*)
@@ -217,7 +250,10 @@ object Similarity extends QueryModule {
   def topkLsh(s: SparkSession, dir: String): DataFrame = {
     // persisted: consumed by the query side and the corpus side of the join
     val e = vecs(s, dir)
-    val buckets = lshBuckets(e).persist()
+    // ladder rung from the exact corpus count (the count also warms the
+    // persisted vecs relation every consumer reuses)
+    val (pt, pb) = lshParams(e.count())
+    val buckets = lshBuckets(e, tables = pt, bits = pb).persist()
     rankTopK(lshCandidates(e, buckets), e)
   }
 
@@ -243,9 +279,10 @@ object Similarity extends QueryModule {
     * are unrelated to corpus ids (a numerically colliding id would drop a
     * legitimate neighbor). */
   private[graft] def multiprobeCandidates(qb: DataFrame, corpusBuckets: DataFrame,
-                                          excludeSelf: Boolean = true): DataFrame = {
+                                          excludeSelf: Boolean = true,
+                                          bits: Int = BITS): DataFrame = {
     val joined = qb.withColumn("flip",
-        explode(array((lit(0) +: (0 until BITS).map(j => lit(1 << j))): _*)))
+        explode(array((lit(0) +: (0 until bits).map(j => lit(1 << j))): _*)))
       .withColumn("bucket", col("bucket").bitwiseXOR(col("flip")))
       .join(corpusBuckets.select(col("vec_id").as("neighbor_id"), col("tbl"), col("bucket")),
         Seq("tbl", "bucket"))
@@ -274,10 +311,11 @@ object Similarity extends QueryModule {
   def topkLshMultiprobe(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = vecs(s, dir)
-    val buckets = lshBuckets(e).persist()
+    val (pt, pb) = lshParams(e.count())
+    val buckets = lshBuckets(e, tables = pt, bits = pb).persist()
     val qb = buckets.join(queriesOf(e), $"vec_id" === $"query_id")
       .select($"query_id", $"qv", $"qnorm", $"tbl", $"bucket")
-    rankTopK(multiprobeCandidates(qb, buckets), e)
+    rankTopK(multiprobeCandidates(qb, buckets, bits = pb), e)
   }
 
   /** documents ⋈ embeddings (doc_id = vec_id): the metadata-to-vector
@@ -972,11 +1010,25 @@ object Similarity extends QueryModule {
     """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |e AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e0)""".stripMargin
 
-  /** The LSH plane matrix as SQL VALUES rows `(h, plane DOUBLE[])`. */
+  /** The LSH plane matrix as SQL VALUES rows `(h, plane DOUBLE[])` —
+    * the full [[LshPoolSize]] pool; each rung's `pt·pb` prefix is
+    * selected by the `pl.h < prm.pt * prm.pb` filter in the queries. */
   private def planeSqlValues: String =
     planeInts.zipWithIndex.map { case (row, h) =>
       s"($h, list_transform([${row.mkString(",")}], k -> k / 1000.0))"
     }.mkString(",\n")
+
+  /** The [[lshParams]] ladder as a one-row SQL relation `(pt, pb)`,
+    * generated from [[LshSteps]] so the two engines cannot drift on the
+    * rung thresholds. */
+  private def lshPrmCte: String = {
+    val ptCases = LshSteps.reverse.map { case (thr, pt, _) =>
+      s"WHEN count(*) >= $thr THEN $pt" }.mkString(" ")
+    val pbCases = LshSteps.reverse.map { case (thr, _, pb) =>
+      s"WHEN count(*) >= $thr THEN $pb" }.mkString(" ")
+    s"""prm AS (SELECT CASE $ptCases ELSE $TABLES END AS pt,
+       |             CASE $pbCases ELSE $BITS END AS pb FROM e)""".stripMargin
+  }
 
   /** The JL sign matrix as SQL VALUES rows `(j, sv DOUBLE[])`. */
   private def rpSqlValues: String =
@@ -1326,13 +1378,16 @@ object Similarity extends QueryModule {
          |pl AS (SELECT * FROM (VALUES
          |$planeSqlValues
          |) AS t(h, p)),
+         |$lshPrmCte,
          |bits AS (
          |  SELECT e.vec_id, pl.h,
-         |         CASE WHEN list_dot_product(e.v, pl.p) > 0 THEN 1 ELSE 0 END AS bit
-         |  FROM e CROSS JOIN pl
+         |         CASE WHEN list_dot_product(e.v, pl.p) > 0 THEN 1 ELSE 0 END AS bit,
+         |         prm.pb
+         |  FROM e CROSS JOIN pl CROSS JOIN prm
+         |  WHERE pl.h < prm.pt * prm.pb
          |),
          |buckets AS (
-         |  SELECT vec_id, h // $BITS AS tbl, sum(bit * (1 << (h % $BITS))) AS bucket
+         |  SELECT vec_id, h // pb AS tbl, sum(bit * (1 << (h % pb))) AS bucket
          |  FROM bits GROUP BY 1, 2
          |),
          |cand AS (
@@ -1359,18 +1414,23 @@ object Similarity extends QueryModule {
          |pl AS (SELECT * FROM (VALUES
          |$planeSqlValues
          |) AS t(h, p)),
+         |$lshPrmCte,
          |bits AS (
          |  SELECT e.vec_id, pl.h,
-         |         CASE WHEN list_dot_product(e.v, pl.p) > 0 THEN 1 ELSE 0 END AS bit
-         |  FROM e CROSS JOIN pl
+         |         CASE WHEN list_dot_product(e.v, pl.p) > 0 THEN 1 ELSE 0 END AS bit,
+         |         prm.pb
+         |  FROM e CROSS JOIN pl CROSS JOIN prm
+         |  WHERE pl.h < prm.pt * prm.pb
          |),
          |buckets AS (
-         |  SELECT vec_id, h // $BITS AS tbl, CAST(sum(bit * (1 << (h % $BITS))) AS BIGINT) AS bucket
+         |  SELECT vec_id, h // pb AS tbl, CAST(sum(bit * (1 << (h % pb))) AS BIGINT) AS bucket
          |  FROM bits GROUP BY 1, 2
          |),
          |qprobes AS (
          |  SELECT qb.vec_id, qb.tbl, xor(qb.bucket, CAST(f.flip AS BIGINT)) AS bucket
-         |  FROM buckets qb, unnest([${(Seq(0) ++ (0 until BITS).map(1 << _)).mkString(",")}]) AS f(flip)
+         |  FROM buckets qb CROSS JOIN (
+         |    SELECT CASE WHEN i = 0 THEN 0 ELSE 1 << (i - 1) END AS flip
+         |    FROM (SELECT unnest(range(pb + 1)) AS i FROM prm)) AS f
          |  WHERE qb.vec_id % 50 = 0
          |),
          |cand AS (

@@ -29,12 +29,22 @@ import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, 
   */
 object AnnServeStream {
 
+  /** A prepared corpus index: the vector relation, its sign-LSH
+    * `(vec_id, tbl, bucket)` signatures, and the ladder rung
+    * ([[Similarity.lshParams]]) they were hashed with — query-side
+    * signatures MUST use the same rung or the (tbl, bucket) join is
+    * meaningless, so the rung travels with the index. */
+  final case class LshIndex(vecs: DataFrame, buckets: DataFrame,
+                            tables: Int, bits: Int)
+
   /** The corpus-at-rest index: the prepared vector relation and its
-    * sign-LSH `(vec_id, tbl, bucket)` signatures, both persisted (the
-    * vectors feed the exact verify, the signatures every probe join). */
-  def corpusIndex(corpus: DataFrame): (DataFrame, DataFrame) = {
+    * sign-LSH signatures, both persisted (the vectors feed the exact
+    * verify, the signatures every probe join). The signature width
+    * follows the corpus-size ladder, like the registered batch query. */
+  def corpusIndex(corpus: DataFrame): LshIndex = {
     val e = SemDedupStream.prepVecs(corpus).persist()
-    (e, Similarity.lshBuckets(e).persist())
+    val (pt, pb) = Similarity.lshParams(e.count())
+    LshIndex(e, Similarity.lshBuckets(e, tables = pt, bits = pb).persist(), pt, pb)
   }
 
   /** Answer one batch of `(vec_id, embedding)` query vectors against a
@@ -49,27 +59,28 @@ object AnnServeStream {
     * answer). The query relation is derived ONCE: signatures carry
     * `v`/`norm` through the explode (queries are the small side), so no
     * second scan or re-norm join is needed. */
-  def serveBatch(queries: DataFrame, corpusVecs: DataFrame,
-                 corpusBuckets: DataFrame, k: Int = 5): DataFrame = {
-    val qb = Similarity.lshBuckets(SemDedupStream.prepVecs(queries), keep = Seq("v", "norm"))
+  def serveBatch(queries: DataFrame, idx: LshIndex, k: Int = 5): DataFrame = {
+    val qb = Similarity.lshBuckets(SemDedupStream.prepVecs(queries),
+        keep = Seq("v", "norm"), tables = idx.tables, bits = idx.bits)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"),
               col("tbl"), col("bucket"))
     Similarity.rankTopK(
-      Similarity.multiprobeCandidates(qb, corpusBuckets, excludeSelf = false),
-      corpusVecs, k)
+      Similarity.multiprobeCandidates(qb, idx.buckets, excludeSelf = false,
+        bits = idx.bits),
+      idx.vecs, k)
   }
 
   /** foreachBatch driver: starts the streaming query answering each
     * micro-batch of `queries` (a STREAMING `(vec_id, embedding)` frame)
     * against the prepared index. The single streaming entry point — the
     * checkpointed [[AnnServeJob]] routes through here. */
-  def start(queries: DataFrame, corpusVecs: DataFrame, corpusBuckets: DataFrame,
+  def start(queries: DataFrame, idx: LshIndex,
             k: Int = 5, checkpoint: Option[String] = None)
            (onBatch: (DataFrame, Long) => Unit): StreamingQuery = {
     var w = queries.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        onBatch(serveBatch(batch, corpusVecs, corpusBuckets, k), epochId)
+        onBatch(serveBatch(batch, idx, k), epochId)
       }
     checkpoint.foreach(c => w = w.option("checkpointLocation", c))
     w.start()
@@ -97,12 +108,12 @@ object AnnServeJob {
           outputDir: String, checkpointDir: String, k: Int = 5,
           maxFilesPerTrigger: Int = 1): StreamingQuery = {
     val corpus = spark.read.parquet(corpusDir).select("vec_id", "embedding")
-    val (vecsRel, buckets) = AnnServeStream.corpusIndex(corpus)
+    val idx = AnnServeStream.corpusIndex(corpus)
     val stream = spark.readStream.schema(querySchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(inputDir)
       .select("vec_id", "embedding")
-    val query = AnnServeStream.start(stream, vecsRel, buckets, k,
+    val query = AnnServeStream.start(stream, idx, k,
       checkpoint = Some(checkpointDir)) { (answers, epochId) =>
       answers.write.mode("overwrite").parquet(s"$outputDir/epoch=$epochId")
     }
@@ -114,7 +125,7 @@ object AnnServeJob {
       override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = ()
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
         if (e.id == qid) {
-          vecsRel.unpersist(); buckets.unpersist()
+          idx.vecs.unpersist(); idx.buckets.unpersist()
           spark.streams.removeListener(this)
         }
     })

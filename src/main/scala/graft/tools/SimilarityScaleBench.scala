@@ -109,18 +109,18 @@ object SimilarityScaleBench {
     // AnnServeJob), timed warm through the full-plan noop sink.
     {
       val embAll = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
-      val (vecsRel, buckets) = graft.streaming.AnnServeStream.corpusIndex(embAll)
+      val idx = graft.streaming.AnnServeStream.corpusIndex(embAll)
       val queries = embAll.where($"vec_id" % 50 === 0)
       def serveOnce(): Double = {
         val t0 = System.nanoTime()
-        graft.streaming.AnnServeStream.serveBatch(queries, vecsRel, buckets)
+        graft.streaming.AnnServeStream.serveBatch(queries, idx)
           .write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
       }
       serveOnce() // warm the serve-path codegen
       val sec = Seq(serveOnce(), serveOnce()).min
       val nq = queries.count()
-      vecsRel.unpersist(); buckets.unpersist()
+      idx.vecs.unpersist(); idx.buckets.unpersist()
       println(s"""{"bench":"ann_serve_batch","sf":"$sfDir","queries":$nq,"sec":${r3(sec)},"qps":${r3(nq / sec)}}""")
     }
 
@@ -173,15 +173,25 @@ object SimilarityScaleBench {
 
       val e = Similarity.vecs(spark, dir)
       val nVec = e.count()
+      // the ladder rung the registered queries would run at this size
+      val (pt, pb) = Similarity.lshParams(nVec)
       val nQueries = e.filter($"vec_id" % 50 === 0).count()
-      val buckets = Similarity.lshBuckets(e).persist()
+      val buckets = Similarity.lshBuckets(e, tables = pt, bits = pb).persist()
       val candidates = Similarity.lshCandidates(e, buckets).count()
       val scanned = nQueries * (nVec - 1) // brute force would score this many
       val t0 = System.nanoTime()
       Similarity.topkLsh(spark, dir).count()
       val sec = (System.nanoTime() - t0) / 1e9
+      // recall vs the exact brute twin AT THIS corpus size — the rung
+      // must hold the recall floor while selectivity falls (the whole
+      // point of the ladder; VERDICT r10 pattern)
+      val bf = nbrSet(Similarity.topkBruteForce(spark, dir))
+      val lshRec = nbrSet(Similarity.topkLsh(spark, dir))
+        .intersect(bf).size.toDouble / bf.size
+      val mpRec = nbrSet(Similarity.topkLshMultiprobe(spark, dir))
+        .intersect(bf).size.toDouble / bf.size
       spark.catalog.clearCache()
-      println(s"""{"bench":"ann_lsh","k":$k,"vectors":$nVec,"queries":$nQueries,"candidates":$candidates,"brute_scored":$scanned,"selectivity":${r3(candidates.toDouble / scanned)},"sec":${r3(sec)}}""")
+      println(s"""{"bench":"ann_lsh","k":$k,"vectors":$nVec,"tables":$pt,"bits":$pb,"queries":$nQueries,"candidates":$candidates,"brute_scored":$scanned,"selectivity":${r3(candidates.toDouble / scanned)},"recall_lsh":${r3(lshRec)},"recall_multiprobe":${r3(mpRec)},"sec":${r3(sec)}}""")
     }
     spark.stop()
   }

@@ -162,11 +162,11 @@ class RecoverySpec extends AnyFunSuite {
     // answers are per-query functions of the fixed corpus, so the union
     // across epochs and restarts must equal a one-shot serve of all queries
     val corpus = spark.read.parquet(corpusDir)
-    val (vecsRel, buckets) = graft.streaming.AnnServeStream.corpusIndex(corpus)
+    val idx = graft.streaming.AnnServeStream.corpusIndex(corpus)
     val allQueries = Tables.embeddings(spark, TestSpark.sf)
       .select("vec_id", "embedding").where(col("vec_id") % 10 === 0)
     val expected = graft.streaming.AnnServeStream
-      .serveBatch(allQueries, vecsRel, buckets).collect()
+      .serveBatch(allQueries, idx).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
     spark.catalog.clearCache()
     assert(got.toSet === expected,

@@ -209,14 +209,14 @@ class StreamingOpsSpec extends AnyFunSuite {
     val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     // corpus = even ids; query stream = odd ids (disjoint from the corpus,
     // the serving-shaped case: no self-exclusion semantics in play)
-    val (vecsRel, buckets) = graft.streaming.AnnServeStream.corpusIndex(
+    val idx = graft.streaming.AnnServeStream.corpusIndex(
       emb.where(col("vec_id") % 2 === 0))
     try {
       val odds = emb.where(col("vec_id") % 2 === 1)
       def answersOf(df: org.apache.spark.sql.DataFrame) = df.collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
       val oneShot = answersOf(
-        graft.streaming.AnnServeStream.serveBatch(odds, vecsRel, buckets))
+        graft.streaming.AnnServeStream.serveBatch(odds, idx))
       assert(oneShot.nonEmpty, "vacuous: no ANN answers at this SF")
       // answers only name corpus (even) vectors
       oneShot.foreach { case (_, n, _, _) => assert(n % 2 == 0, s"neighbor $n") }
@@ -224,7 +224,7 @@ class StreamingOpsSpec extends AnyFunSuite {
       val in = MemoryStream[(Long, Array[Float])]
       val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Double)]
       val q = graft.streaming.AnnServeStream.start(
-        in.toDF().toDF("vec_id", "embedding"), vecsRel, buckets) { (answers, _) =>
+        in.toDF().toDF("vec_id", "embedding"), idx) { (answers, _) =>
         got ++= answers.collect().map(r =>
           (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
       }
@@ -239,7 +239,7 @@ class StreamingOpsSpec extends AnyFunSuite {
       // answers are per-query functions of the fixed corpus: micro-batch
       // boundaries cannot change the set
       assert(got.toSet == oneShot)
-    } finally { vecsRel.unpersist(); buckets.unpersist() }
+    } finally { idx.vecs.unpersist(); idx.buckets.unpersist() }
   }
 
   test("streaming IVF-PQ serving: micro-batched == one-shot; self at rank 1") {
