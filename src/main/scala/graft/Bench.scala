@@ -13,9 +13,18 @@ object Bench {
   }
   private def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
 
+  /** Max failed-query names carried verbatim on a DEGRADED rung. 10 names
+    * at ~25 chars each keeps the floor rung provably under [[MaxLine]] even
+    * if every query fails (ADVICE r12: the unbounded list was ~2314 chars
+    * at 115 failures — over the window exactly in the mass-failure case the
+    * list exists for). "failed_n" always carries the TRUE count, so a
+    * truncated list is self-identifying (failed_n > names shown). */
+  private[graft] val FailedCap = 10
+
   /** The bench stdout line, degraded until it fits [[MaxLine]] — pure so
     * BenchLineSpec can pin the bound at any synthetic query count. Ladder:
-    * full per-query map at 2 then 1 decimals, then a TOP-K-SLOWEST map
+    * full per-query map at 2 then 1 decimals (first with the full failed
+    * list, then with it capped at [[FailedCap]]), then a TOP-K-SLOWEST map
     * (1 decimal, remainder rolled into "_rest_n"/"_rest_total" — the
     * expensive tail is what the plan audit reads), then a marker-only
     * "_omitted_n" map as the never-ship-garbage guard. The headline total
@@ -23,27 +32,35 @@ object Bench {
   private[graft] def stdoutLine(results: Seq[(String, Double)], sfDir: String,
                                 loadBefore: String, contaminated: String,
                                 loadAfter: String = "-1", waitSec: Int = 0,
-                                failed: Seq[String] = Nil): String = {
+                                failed: Seq[String] = Nil,
+                                filtered: Boolean = false): String = {
     def queriesJson(dec: Int): String =
       results.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
         .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Same field set as the canonical BENCH.json record (ADVICE r11: the
     // per-round record parsed from this line must round-trip with it):
-    // full sf path, load_after, wait_sec, and the failed-query list.
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    def wrap(queries: String): String =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$queries,"sf":"$sfDir","load_before":$loadBefore,"load_after":$loadAfter,"wait_sec":$waitSec,"failed":$failedJson,"contaminated":$contaminated}"""
+    // full sf path, load_after, wait_sec, failed list + true count, and
+    // the filtered flag (ADVICE r12: a SPARK_GRAFT_BENCH_ONLY run's
+    // partial total must self-identify IN-BAND — the stderr warning is
+    // not part of the record the driver parses).
+    def failedJson(cap: Int): String =
+      failed.take(cap).map("\"" + _ + "\"").mkString("[", ",", "]")
+    def wrap(queries: String, fCap: Int): String =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$queries,"sf":"$sfDir","load_before":$loadBefore,"load_after":$loadAfter,"wait_sec":$waitSec,"failed":${failedJson(fCap)},"failed_n":${failed.size},"filtered":$filtered,"contaminated":$contaminated}"""
     val byCost = results.sortBy { case (n, v) => (-v, n) }
     def lineTopK(k: Int): String = {
       val (top, rest) = byCost.splitAt(k)
       val entries = top.map { case (n, v) => "\"" + n + "\":" + fmt(v, 1) } ++
         Seq("\"_rest_n\":" + rest.size,
             "\"_rest_total\":" + fmt(rest.map(_._2).sum, 1))
-      wrap(entries.mkString("{", ",", "}"))
+      wrap(entries.mkString("{", ",", "}"), FailedCap)
     }
-    val noQueries = wrap(s"""{"_omitted_n":${results.size}}""")
-    val ladder = Seq(wrap(queriesJson(2)), wrap(queriesJson(1))).view ++
+    val noQueries = wrap(s"""{"_omitted_n":${results.size}}""", FailedCap)
+    val ladder = Seq(wrap(queriesJson(2), failed.size),
+                     wrap(queriesJson(1), failed.size),
+                     wrap(queriesJson(2), FailedCap),
+                     wrap(queriesJson(1), FailedCap)).view ++
       (results.size to 1 by -1).view.map(lineTopK)
     ladder.find(_.length <= MaxLine).getOrElse(noQueries)
   }
@@ -144,10 +161,14 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val passA = named.map { case (name, fn) => once(name, fn) }
     val passB = named.map { case (name, fn) => once(name, fn) }
-    val results = named.lazyZip(passA).lazyZip(passB).map { case ((name, fn), a, b) =>
+    val resultsAll = named.lazyZip(passA).lazyZip(passB).map { case ((name, fn), a, b) =>
       val m = math.min(a, b)
       name -> (if (m < 0.5) math.min(m, once(name, fn)) else m)
     }
+    // A failed query's ~70ms time-to-throw is NOT a measurement (ADVICE
+    // r12): excluded from both the queries map and the headline total, so
+    // "value" only ever sums real runs; the failed list names the gaps.
+    val results = resultsAll.filterNot { case (name, _) => failed.contains(name) }
     // The driver parses the JSON line out of the LAST 2000 chars of sbt's
     // stdout, so the stdout line must fit that window (round 4 and round 7
     // both shipped parsed:null when it didn't: r4 from log noise after the
@@ -195,10 +216,13 @@ object Bench {
     val loadAfter = loadAvg()
     val failedJson = failed.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(stdoutLine(results, sfDir, loadBefore, contaminated,
-                       loadAfter, waited, failed.toSeq))
+                       loadAfter, waited, failed.toSeq,
+                       filtered = only.nonEmpty))
+    // "filtered" is literally false here: a filtered run never reaches this
+    // write (the canonical record is only ever a full-suite measurement).
     if (only.isEmpty) try {
       val w = new java.io.PrintWriter("/root/repo/BENCH.json")
-      try w.println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${queriesJson(3)},"sf":"$sfDir","load_before":$loadBefore,"load_after":$loadAfter,"wait_sec":$waited,"failed":$failedJson,"contaminated":$contaminated}""") finally w.close()
+      try w.println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${queriesJson(3)},"sf":"$sfDir","load_before":$loadBefore,"load_after":$loadAfter,"wait_sec":$waited,"failed":$failedJson,"failed_n":${failed.size},"filtered":false,"contaminated":$contaminated}""") finally w.close()
     } catch { case _: Throwable => () }
     spark.stop()
   }

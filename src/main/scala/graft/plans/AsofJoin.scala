@@ -213,6 +213,15 @@ object Asof {
         s"asof time column $col must be TimestampType, TimestampNTZType " +
           s"or LongType (8-byte ordinal), got $dt — cast it explicitly first")
     }
+    // And the two sides must agree (ADVICE r12): a mixed LTZ/NTZ (or
+    // timestamp/long) pair passes the per-side check but compares UTC
+    // epoch-micros against naive micros — silently wrong matches in any
+    // non-UTC session. Same-flavor is part of the plan-time contract.
+    val (lDt, rDt) = (attr(lPlan, leftTimeCol).dataType,
+                      attr(rPlan, rightTimeCol).dataType)
+    require(lDt == rDt,
+      s"asof time columns must share one type: $leftTimeCol is $lDt but " +
+        s"$rightTimeCol is $rDt — cast one side explicitly first")
     bridge.dfOf(spark, AsofJoin(
       lPlan, rPlan,
       leftOn.map(attr(lPlan, _)), rightOn.map(attr(rPlan, _)),

@@ -222,4 +222,26 @@ class AsofJoinSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("rt"), e2.getMessage)
   }
+
+  test("rejects mixed time-column flavors at plan time (ADVICE r12)") {
+    import spark.implicits._
+    // Each side alone passes the per-type check, but LTZ epoch-micros vs
+    // NTZ naive micros (or vs a raw long ordinal) are different clocks —
+    // comparing them silently mismatches in any non-UTC session.
+    val ltz = Seq((1L, ts("2024-01-01 10:00:00"), "a")).toDF("k", "t", "v")
+    val ntz = ltz.select($"k".as("rk"),
+      $"t".cast("timestamp_ntz").as("rt"), lit(1.0).as("price"))
+    val e = intercept[IllegalArgumentException] {
+      Asof.join(ltz, ntz, Seq("k"), Seq("rk"), "t", "rt")
+    }
+    assert(e.getMessage.contains("share one type"), e.getMessage)
+    val asLong = Seq((1L, 5L, 1.0)).toDF("rk", "rt", "price")
+    val e2 = intercept[IllegalArgumentException] {
+      Asof.join(ltz, asLong, Seq("k"), Seq("rk"), "t", "rt")
+    }
+    assert(e2.getMessage.contains("share one type"), e2.getMessage)
+    // same-flavor NTZ×NTZ still plans and runs
+    val lNtz = ltz.select($"k", $"t".cast("timestamp_ntz").as("t"), $"v")
+    assert(Asof.join(lNtz, ntz, Seq("k"), Seq("rk"), "t", "rt").count() === 1L)
+  }
 }

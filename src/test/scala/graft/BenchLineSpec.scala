@@ -31,17 +31,59 @@ class BenchLineSpec extends AnyFunSuite {
       "false", "1.44", 75, failed = Seq("ev_asof_join", "ev_transitions"))
     assert(line.length <= Bench.MaxLine)
     val parsed = JsonMethods.parse(line)
-    // same field set as the canonical BENCH.json record (ADVICE r11 low)
+    // same field set as the canonical BENCH.json record (ADVICE r11 low;
+    // failed_n + filtered added for ADVICE r12)
     for (f <- Seq("sf", "load_before", "load_after", "wait_sec", "failed",
-                  "contaminated"))
+                  "failed_n", "filtered", "contaminated"))
       assert((parsed \ f) != JNothing, s"missing field $f")
     val JArray(fs) = (parsed \ "failed"): @unchecked
     assert(fs == List(JString("ev_asof_join"), JString("ev_transitions")))
+    assert((parsed \ "failed_n") == JInt(2))
+    assert((parsed \ "filtered") == JBool(false))
     // a failing query must be impossible to mistake for a fast one
     val clean = Bench.stdoutLine(synth(120), "/root/testdata/sf0.1", "0.39",
       "false", "1.44", 75)
     val JArray(none) = (JsonMethods.parse(clean) \ "failed"): @unchecked
     assert(none.isEmpty)
+  }
+
+  test("mass failure: floor rung still fits and self-identifies (ADVICE r12)") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    // Worst case: every query fails (bad SF dir / flavor flip). Failed
+    // queries are excluded from results by main, so the queries map is
+    // empty and ONLY the failed list competes for line budget.
+    for (n <- Seq(115, 300)) {
+      val allFailed = synth(n).map(_._1)
+      val line = Bench.stdoutLine(Nil, "/root/testdata/sf0.1", "0.39",
+        "false", "1.44", 75, failed = allFailed)
+      assert(line.length <= Bench.MaxLine,
+        s"n=$n: mass-failure line ${line.length} chars exceeds ${Bench.MaxLine}")
+      val parsed = JsonMethods.parse(line)
+      // the true count survives truncation, and the shown names are a
+      // prefix of the real list — the record can't understate the damage
+      assert((parsed \ "failed_n") == JInt(n))
+      val JArray(shown) = (parsed \ "failed"): @unchecked
+      assert(shown.size <= Bench.FailedCap && shown.nonEmpty)
+      assert(shown.map { case JString(s) => s; case _ => "" } ==
+        allFailed.take(shown.size))
+      assert((parsed \ "value") == JDouble(0.0))
+    }
+    // moderate failure count with a full result map: full list when it fits
+    val some = synth(115).map(_._1).take(4)
+    val withResults = Bench.stdoutLine(synth(115), "/root/testdata/sf0.1",
+      "0.39", "false", "1.44", 75, failed = some)
+    assert(withResults.length <= Bench.MaxLine)
+    val JArray(full) = (JsonMethods.parse(withResults) \ "failed"): @unchecked
+    assert(full.size == 4)
+  }
+
+  test("a filtered run self-identifies in-band (ADVICE r12)") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val line = Bench.stdoutLine(synth(3), "/root/testdata/sf0.1", "0.39",
+      "false", "1.44", 0, filtered = true)
+    assert((JsonMethods.parse(line) \ "filtered") == JBool(true))
   }
 
   test("degraded lines stay parseable JSON with the headline total intact") {
