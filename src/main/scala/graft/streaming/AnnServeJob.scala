@@ -47,6 +47,64 @@ object AnnServeStream {
     LshIndex(e, Similarity.lshBuckets(e, tables = pt, bits = pb).persist(), pt, pb)
   }
 
+  // ---- Materialized form (VERDICT r12 #4): the index above lives only in
+  // one run's cache — every restart re-hashes the corpus. The at-rest form
+  // below writes the signature relation once and keys the path by the
+  // corpus directory's parquet footprint, the [[graft.operators.Similarity]]
+  // IVF-PQ staleness contract: a regenerated corpus changes the key, so a
+  // stale index is UNREACHABLE rather than guarded against. The ladder
+  // rung is STORED WITH the index (not recomputed at load): query-side
+  // hashing must use the planes the corpus was signed with, and deriving
+  // the rung from a live count could diverge from the stored signatures
+  // if the ladder thresholds ever move between versions.
+
+  /** Materialization root for a corpus directory's LSH serve index, keyed
+    * by its data files' (count, newest mtime, total bytes). */
+  private[graft] def indexPath(corpusDir: String): String = {
+    val d = new java.io.File(corpusDir)
+    val files = Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val mtime = if (files.isEmpty) d.lastModified() else files.map(_.lastModified()).max
+    val size = files.map(_.length()).sum
+    val safe = d.getCanonicalPath.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"/tmp/graft_lsh_index/${safe}_${files.length}_${mtime}_$size"
+  }
+
+  private def indexReady(p: String): Boolean =
+    Seq("buckets", "rung").forall(x => new java.io.File(s"$p/$x/_SUCCESS").exists())
+
+  /** Hash the corpus once and write the index at rest: the `(vec_id, tbl,
+    * bucket)` signature relation plus a one-row `rung` table. */
+  private def writeIndex(spark: SparkSession, corpusDir: String): String = {
+    val e = SemDedupStream.prepVecs(
+      spark.read.parquet(corpusDir).select("vec_id", "embedding")).persist()
+    try {
+      val (pt, pb) = Similarity.lshParams(e.count())
+      val p = indexPath(corpusDir)
+      Similarity.lshBuckets(e, tables = pt, bits = pb)
+        .write.mode("overwrite").parquet(s"$p/buckets")
+      import spark.implicits._
+      Seq((pt, pb)).toDF("tables", "bits").coalesce(1)
+        .write.mode("overwrite").parquet(s"$p/rung")
+      p
+    } finally e.unpersist()
+  }
+
+  /** The serve index for the corpus at `corpusDir`, from its at-rest
+    * materialization — built first iff absent (first run, or the corpus
+    * was regenerated and the old index's key no longer matches). The
+    * returned relations are persisted for the run, exactly like
+    * [[corpusIndex]]; the rung comes from the STORED index. */
+  def loadOrBuildIndex(spark: SparkSession, corpusDir: String): LshIndex = {
+    val p = indexPath(corpusDir)
+    if (!indexReady(p)) writeIndex(spark, corpusDir)
+    val rung = spark.read.parquet(s"$p/rung").collect().head
+    val vecs = SemDedupStream.prepVecs(
+      spark.read.parquet(corpusDir).select("vec_id", "embedding")).persist()
+    LshIndex(vecs, spark.read.parquet(s"$p/buckets").persist(),
+      rung.getAs[Int]("tables"), rung.getAs[Int]("bits"))
+  }
+
   /** Answer one batch of `(vec_id, embedding)` query vectors against a
     * prepared corpus index. Returns `(query_id, neighbor_id, rnk, score)`.
     * Pure batch-side function, shared by the streaming and batch forms —
@@ -107,8 +165,10 @@ object AnnServeJob {
   def run(spark: SparkSession, corpusDir: String, inputDir: String,
           outputDir: String, checkpointDir: String, k: Int = 5,
           maxFilesPerTrigger: Int = 1): StreamingQuery = {
-    val corpus = spark.read.parquet(corpusDir).select("vec_id", "embedding")
-    val idx = AnnServeStream.corpusIndex(corpus)
+    // At-rest index, keyed by the corpus footprint: a restart re-reads the
+    // stored signatures instead of re-hashing the corpus; a regenerated
+    // corpus misses the key and rebuilds (stale index unreachable).
+    val idx = AnnServeStream.loadOrBuildIndex(spark, corpusDir)
     val stream = spark.readStream.schema(querySchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(inputDir)

@@ -174,6 +174,52 @@ class RecoverySpec extends AnyFunSuite {
     assert(got.nonEmpty, "vacuous: no ANN answers at this SF")
   }
 
+  test("LSH serve index persists at rest; a regenerated corpus invalidates it") {
+    import graft.streaming.AnnServeStream
+    val corpusDir = Files.createTempDirectory("lshidx_corpus").toString
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.where(col("vec_id") % 50 === 0)
+    def answers(idx: AnnServeStream.LshIndex) =
+      AnnServeStream.serveBatch(queries, idx).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+
+    emb.where(col("vec_id") < 250).write.mode("overwrite").parquet(corpusDir)
+    val p1 = AnnServeStream.indexPath(corpusDir)
+    val idx1 = AnnServeStream.loadOrBuildIndex(spark, corpusDir)
+    // the rung travels WITH the stored index and matches the build ladder
+    assert((idx1.tables, idx1.bits) ===
+      graft.operators.Similarity.lshParams(250L))
+    // answers from the at-rest index == answers from the in-memory build
+    val a1 = answers(idx1)
+    assert(a1.nonEmpty && a1 === answers(
+      AnnServeStream.corpusIndex(spark.read.parquet(corpusDir))))
+    spark.catalog.clearCache()
+
+    // a second load REUSES the materialization (no rebuild: the signature
+    // write's _SUCCESS mtime is unchanged) and serves identically
+    val succ = new java.io.File(s"$p1/buckets/_SUCCESS")
+    val m0 = succ.lastModified()
+    val idx1b = AnnServeStream.loadOrBuildIndex(spark, corpusDir)
+    assert(succ.lastModified() === m0, "second load rewrote the index")
+    assert(answers(idx1b) === a1)
+    spark.catalog.clearCache()
+
+    // regenerate the corpus: the footprint key changes, so the OLD index
+    // is unreachable and the new build serves only new-corpus neighbors —
+    // a stale-index answer would surface ids < 250
+    emb.where(col("vec_id") >= 250).write.mode("overwrite").parquet(corpusDir)
+    val p2 = AnnServeStream.indexPath(corpusDir)
+    assert(p2 !== p1, "regenerated corpus kept the same index key")
+    val idx2 = AnnServeStream.loadOrBuildIndex(spark, corpusDir)
+    val a2 = answers(idx2)
+    assert(a2.nonEmpty)
+    val staleNeighbors = a2.filter(_._2 < 250)
+    assert(staleNeighbors.isEmpty,
+      s"answers served from the stale index: $staleNeighbors")
+    spark.catalog.clearCache()
+  }
+
   test("PQ serve job restarts from checkpoint; answers == one-shot, exactly once") {
     val in = Files.createTempDirectory("pq_in").toString
     val out = Files.createTempDirectory("pq_out").toString
