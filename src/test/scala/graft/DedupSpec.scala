@@ -120,4 +120,32 @@ class DedupSpec extends AnyFunSuite {
       assert(viaUnionFind(a) === viaUnionFind(b), s"pair ($a,$b) split across components")
     }
   }
+
+  test("embcos audit: histogram covers exactly the within-sample pairs, scaled consistently") {
+    import org.apache.spark.sql.functions._
+    val rows = Dedup.embeddingCosineAudit(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    // reconstruct the deterministic sample size the audit used
+    val n = Tables.embeddings(spark, TestSpark.sf).count()
+    val k = math.max(1L, math.sqrt(n.toDouble).toLong / 4L)
+    val m = Tables.embeddings(spark, TestSpark.sf)
+      .where((col("vec_id") * lit(2654435761L)) % lit(1000003L) % lit(k) === 0L)
+      .count()
+    // every within-sample pair lands in exactly one bucket
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum === m * (m - 1) / 2)
+    // population estimates scale each bucket by C(n,2)/C(m,2)
+    val scale = (n * (n - 1) / 2).toDouble / (m * (m - 1) / 2).toDouble
+    rows.foreach { r =>
+      val np = r.getAs[Long]("n_pairs")
+      assert(r.getAs[Long]("est_pairs") === math.floor(np * scale).toLong)
+      assert(r.getAs[Double]("ci_half") >= 0.0)
+    }
+    // the audit's estimate of the dup-pair mass at the exact query's
+    // threshold must bracket plausibility: buckets at/above 0.45 imply
+    // dup pairs; on this corpus (max cos ~0.51) high buckets are rare,
+    // so the histogram must be dominated by sub-threshold mass
+    val below = rows.filter(_.getAs[Double]("cos_bucket") < 0.45)
+      .map(_.getAs[Long]("n_pairs")).sum
+    assert(below.toDouble / (m * (m - 1) / 2) > 0.99)
+  }
 }
