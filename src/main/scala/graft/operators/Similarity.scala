@@ -224,27 +224,39 @@ object Similarity extends QueryModule {
                                 tables: Int = TABLES, bits: Int = BITS): DataFrame = {
     require(tables * bits <= planes.length,
       s"plane pool too small for $tables×$bits (have ${planes.length} rows)")
-    val withBits = e.withColumn("bits",
-      array((0 until tables * bits).map(h => (dotConst(col("v"), planes(h)) > 0).cast("int")): _*))
-    val tableCols = (0 until tables).map { t =>
-      struct(lit(t).as("tbl"),
-             (0 until bits).map(j => element_at(col("bits"), t * bits + j + 1) * lit(1 << j))
-               .reduce(_ + _).as("bucket"))
-    }
-    withBits.select(col("vec_id") +: keep.map(col) :+ explode(array(tableCols: _*)).as("tb"): _*)
-      .select(col("vec_id") +: keep.map(col) :+ col("tb.tbl").as("tbl") :+ col("tb.bucket").as("bucket"): _*)
+    // One LshBucketIds expression for ALL tables' buckets (r13): the old
+    // tables*bits-element array of per-plane dotConst comparisons fused
+    // into a whole-stage method that outgrew HotSpot's JIT threshold at
+    // the ladder's (6,8) rung and ran interpreted — 4× the wall-clock for
+    // 2× the planes on the sf1 corpus. Same bit addressing and dot
+    // arithmetic (the oracle SQL rebuilds these buckets), constant-size
+    // generated code at any rung.
+    import graft.functions.LshBucketIds.lshBucketIds
+    e.withColumn("bks", lshBucketIds(col("v"), planes, tables, bits))
+      .select(col("vec_id") +: keep.map(col) :+ posexplode(col("bks")): _*)
+      .select(col("vec_id") +: keep.map(col) :+ col("pos").cast("int").as("tbl") :+ col("col").as("bucket"): _*)
   }
 
   /** Query→candidate pairs from an LSH bucket join, carrying the query
-    * vector for the downstream exact ranking. */
+    * vector for the downstream exact ranking.
+    *
+    * The bucket join and the de-dup run on SLIM `(query_id, neighbor_id)`
+    * rows; the 64-double query vector joins back AFTER the distinct
+    * (r13: carrying qv through the multi-bucket collision rows made the
+    * distinct shuffle qv-fat — ~500 bytes/row × every duplicate collision
+    * — which dominated sf1 wall-clock; the slim form moves 16 bytes/row
+    * and re-attaches vectors once per SURVIVING pair, with AQE free to
+    * broadcast the small query relation). */
   private[graft] def lshCandidates(e: DataFrame, buckets: DataFrame): DataFrame = {
     val qb = buckets.join(queriesOf(e), col("vec_id") === col("query_id"))
-      .select(col("query_id"), col("qv"), col("qnorm"), col("tbl"), col("bucket"))
+      .select(col("query_id"), col("tbl"), col("bucket"))
     qb.join(buckets.select(col("vec_id").as("neighbor_id"), col("tbl"), col("bucket")),
         Seq("tbl", "bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("qv"), col("qnorm"), col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
       .distinct()
+      .join(queriesOf(e), "query_id")
+      .select(col("query_id"), col("qv"), col("qnorm"), col("neighbor_id"))
   }
 
   def topkLsh(s: SparkSession, dir: String): DataFrame = {
@@ -281,14 +293,24 @@ object Similarity extends QueryModule {
   private[graft] def multiprobeCandidates(qb: DataFrame, corpusBuckets: DataFrame,
                                           excludeSelf: Boolean = true,
                                           bits: Int = BITS): DataFrame = {
-    val joined = qb.withColumn("flip",
+    // Same slim-pair shape as [[lshCandidates]] (r13): probe expansion,
+    // bucket join and distinct all run on (query_id, neighbor_id) alone —
+    // the ×(1+bits) probe fan-out multiplied the old qv-fat rows exactly
+    // where volume peaks — and each query's vector re-attaches once per
+    // surviving pair from the (small) distinct query-side relation.
+    val qmeta = qb.select(col("query_id"), col("qv"), col("qnorm"))
+      .dropDuplicates("query_id")
+    val joined = qb.select(col("query_id"), col("tbl"), col("bucket"))
+      .withColumn("flip",
         explode(array((lit(0) +: (0 until bits).map(j => lit(1 << j))): _*)))
       .withColumn("bucket", col("bucket").bitwiseXOR(col("flip")))
       .join(corpusBuckets.select(col("vec_id").as("neighbor_id"), col("tbl"), col("bucket")),
         Seq("tbl", "bucket"))
     (if (excludeSelf) joined.where(col("neighbor_id") =!= col("query_id")) else joined)
-      .select(col("query_id"), col("qv"), col("qnorm"), col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
       .distinct()
+      .join(qmeta, "query_id")
+      .select(col("query_id"), col("qv"), col("qnorm"), col("neighbor_id"))
   }
 
   /** Exact-cosine ranking of `(query_id, qv, qnorm, neighbor_id)`
