@@ -461,8 +461,13 @@ object EventOps extends QueryModule {
     val planes =
       if (pt * pk <= profPlanes.length) profPlanes
       else Similarity.planeIntMatrix(pt * pk, 24).map(_.map(_ / 1000.0))
-    val qCols = array((0 until pt * pk).map(h =>
-      floor(ConstVectorDot.dotConst(col("vec"), planes(h)) / pw).cast("long")): _*)
+    // One E2lshKeys expression for ALL pt*pk grid keys (r13): the old
+    // per-projection floor(dotConst/w) array hit the same whole-stage
+    // JIT cliff as sign-LSH once the ladder widened (224 fused dot loops
+    // at the 15k-user rung ran interpreted). Same dot order and
+    // floor-divide sequence — the oracle rebuilds identical keys.
+    val qCols = graft.functions.E2lshKeys.e2lshKeys(
+      col("vec"), planes.take(pt * pk), pw)
     val tableCols = (0 until pt).map { t =>
       struct((lit(t).as("tbl") +:
         (0 until pk).map(j => element_at(col("q"), t * pk + j + 1).as(s"b$j"))): _*)
