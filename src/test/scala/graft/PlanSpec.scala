@@ -59,8 +59,10 @@ class PlanSpec extends AnyFunSuite {
     val p = executedPlan("ev_ts_similarity")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
-    // E2LSH projections run as the native constant-dot expression
-    assert(p.contains("const_vector_dot"), p)
+    // E2LSH projections run as the native all-keys expression (r13:
+    // one e2lsh_keys per row replaced the per-projection dotConst array,
+    // which fell off the whole-stage JIT cliff at wide ladder rungs)
+    assert(p.contains("e2lsh_keys"), p)
   }
 
   test("events scan prunes columns for windowed count") {
