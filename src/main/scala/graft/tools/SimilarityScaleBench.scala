@@ -158,8 +158,11 @@ object SimilarityScaleBench {
     }
 
     // ---- 2b. sign-LSH ANN candidate selectivity as the corpus grows K×
+    // (K=20 reaches the ladder's (9,10) rung — r13: every shipped rung
+    // threshold below 131,072 vectors is now exercised by measurement,
+    // not only the first step)
     val emb = Tables.embeddings(spark, sfDir)
-    Seq(1, 2, 5, 10).foreach { k =>
+    Seq(1, 2, 5, 10, 20).foreach { k =>
       val dir = s"/tmp/sim_scale/emb_x$k"
       (0 until k).map { r =>
         emb.select(
@@ -192,6 +195,31 @@ object SimilarityScaleBench {
         .intersect(bf).size.toDouble / bf.size
       spark.catalog.clearCache()
       println(s"""{"bench":"ann_lsh","k":$k,"vectors":$nVec,"tables":$pt,"bits":$pb,"queries":$nQueries,"candidates":$candidates,"brute_scored":$scanned,"selectivity":${r3(candidates.toDouble / scanned)},"recall_lsh":${r3(lshRec)},"recall_multiprobe":${r3(mpRec)},"sec":${r3(sec)}}""")
+
+      // per-trigger serving cost at THIS corpus size (r13): the serve
+      // kernel's wall-clock must grow with the BATCH, not the corpus —
+      // the claim behind AnnServeStream's scale story, previously only
+      // measured at the bench SF. Same standard query set construction
+      // as 1c (every 50th vector), which itself grows with the corpus,
+      // so qps holding ~flat means per-query cost is corpus-insensitive.
+      {
+        val embAll = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select("vec_id", "embedding")
+        val idx = graft.streaming.AnnServeStream.corpusIndex(embAll)
+        val queries = embAll.where($"vec_id" % 50 === 0)
+        def serveOnce(): Double = {
+          val t0 = System.nanoTime()
+          graft.streaming.AnnServeStream.serveBatch(queries, idx)
+            .write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        serveOnce() // warm this rung's serve-path codegen
+        val ssec = Seq(serveOnce(), serveOnce()).min
+        val nq = queries.count()
+        idx.vecs.unpersist(); idx.buckets.unpersist()
+        spark.catalog.clearCache()
+        println(s"""{"bench":"ann_serve_batch_scale","k":$k,"vectors":$nVec,"tables":$pt,"bits":$pb,"queries":$nq,"sec":${r3(ssec)},"qps":${r3(nq / ssec)}}""")
+      }
     }
     spark.stop()
   }
