@@ -57,10 +57,14 @@ object Bench {
       wrap(entries.mkString("{", ",", "}"), FailedCap)
     }
     val noQueries = wrap(s"""{"_omitted_n":${results.size}}""", FailedCap)
-    val ladder = Seq(wrap(queriesJson(2), failed.size),
-                     wrap(queriesJson(1), failed.size),
-                     wrap(queriesJson(2), FailedCap),
-                     wrap(queriesJson(1), FailedCap)).view ++
+    // capped-failed rungs exist only when the cap actually bites —
+    // otherwise they'd duplicate the full-list rungs byte for byte
+    val cappedRungs =
+      if (failed.size > FailedCap)
+        Seq(wrap(queriesJson(2), FailedCap), wrap(queriesJson(1), FailedCap))
+      else Nil
+    val ladder = (Seq(wrap(queriesJson(2), failed.size),
+                      wrap(queriesJson(1), failed.size)) ++ cappedRungs).view ++
       (results.size to 1 by -1).view.map(lineTopK)
     ladder.find(_.length <= MaxLine).getOrElse(noQueries)
   }

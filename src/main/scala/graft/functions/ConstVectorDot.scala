@@ -23,33 +23,15 @@ case class ConstVectorDot(child: Expression, weights: Array[Double])
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "const_vector_dot"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = math.min(arr.numElements(), weights.length)
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      if (!arr.isNullAt(i)) acc += arr.getDouble(i) * weights(i)
-      i += 1
-    }
-    acc
-  }
+  override def nullSafeEval(input: Any): Any =
+    DotKernel.dot(input.asInstanceOf[ArrayData], weights)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val w = ctx.addReferenceObj("weights", weights, "double[]")
-    nullSafeCodeGen(ctx, ev, arr => {
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      val acc = ctx.freshName("acc")
-      s"""
-         |int $n = java.lang.Math.min($arr.numElements(), $w.length);
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$arr.isNullAt($i)) $acc += $arr.getDouble($i) * $w[$i];
-         |}
-         |${ev.value} = $acc;
-       """.stripMargin
-    })
+    // generated code calls the SAME static kernel the interpreted path
+    // runs ([[DotKernel]]) — bit-identical by construction, JIT-inlined
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.DotKernel.dot($arr, $w);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): ConstVectorDot =

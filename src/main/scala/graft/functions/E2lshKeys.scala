@@ -35,15 +35,7 @@ case class E2lshKeys(child: Expression, planes: Array[Array[Double]],
     val out = new Array[Long](planes.length)
     var h = 0
     while (h < planes.length) {
-      val w = planes(h)
-      val n = math.min(arr.numElements(), w.length)
-      var acc = 0.0
-      var i = 0
-      while (i < n) {
-        if (!arr.isNullAt(i)) acc += arr.getDouble(i) * w(i)
-        i += 1
-      }
-      out(h) = math.floor(acc / width).toLong
+      out(h) = math.floor(DotKernel.dot(arr, planes(h)) / width).toLong
       h += 1
     }
     new GenericArrayData(out)
@@ -53,21 +45,14 @@ case class E2lshKeys(child: Expression, planes: Array[Array[Double]],
     val w = ctx.addReferenceObj("planes", planes, "double[][]")
     nullSafeCodeGen(ctx, ev, arr => {
       val h = ctx.freshName("h")
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      val acc = ctx.freshName("acc")
       val out = ctx.freshName("out")
-      val row = ctx.freshName("row")
+      // generated code calls the SAME static kernel the interpreted path
+      // runs ([[DotKernel]]) — bit-identical by construction, JIT-inlined
       s"""
          |long[] $out = new long[$w.length];
          |for (int $h = 0; $h < $w.length; $h++) {
-         |  double[] $row = $w[$h];
-         |  int $n = java.lang.Math.min($arr.numElements(), $row.length);
-         |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    if (!$arr.isNullAt($i)) $acc += $arr.getDouble($i) * $row[$i];
-         |  }
-         |  $out[$h] = (long) java.lang.Math.floor($acc / $width);
+         |  $out[$h] = (long) java.lang.Math.floor(
+         |    graft.functions.DotKernel.dot($arr, $w[$h]) / $width);
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin

@@ -47,15 +47,7 @@ case class LshBucketIds(child: Expression, planes: Array[Array[Double]],
       var bucket = 0
       var j = 0
       while (j < bits) {
-        val w = planes(t * bits + j)
-        val n = math.min(arr.numElements(), w.length)
-        var acc = 0.0
-        var i = 0
-        while (i < n) {
-          if (!arr.isNullAt(i)) acc += arr.getDouble(i) * w(i)
-          i += 1
-        }
-        if (acc > 0) bucket |= 1 << j
+        if (DotKernel.dot(arr, planes(t * bits + j)) > 0) bucket |= 1 << j
         j += 1
       }
       out(t) = bucket
@@ -69,24 +61,17 @@ case class LshBucketIds(child: Expression, planes: Array[Array[Double]],
     nullSafeCodeGen(ctx, ev, arr => {
       val t = ctx.freshName("t")
       val j = ctx.freshName("j")
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      val acc = ctx.freshName("acc")
       val bucket = ctx.freshName("bucket")
       val out = ctx.freshName("out")
-      val row = ctx.freshName("row")
+      // generated code calls the SAME static kernel the interpreted path
+      // runs ([[DotKernel]]) — bit-identical by construction, JIT-inlined
       s"""
          |int[] $out = new int[$tables];
          |for (int $t = 0; $t < $tables; $t++) {
          |  int $bucket = 0;
          |  for (int $j = 0; $j < $bits; $j++) {
-         |    double[] $row = $w[$t * $bits + $j];
-         |    int $n = java.lang.Math.min($arr.numElements(), $row.length);
-         |    double $acc = 0.0;
-         |    for (int $i = 0; $i < $n; $i++) {
-         |      if (!$arr.isNullAt($i)) $acc += $arr.getDouble($i) * $row[$i];
-         |    }
-         |    if ($acc > 0) $bucket |= (1 << $j);
+         |    if (graft.functions.DotKernel.dot($arr, $w[$t * $bits + $j]) > 0)
+         |      $bucket |= (1 << $j);
          |  }
          |  $out[$t] = $bucket;
          |}

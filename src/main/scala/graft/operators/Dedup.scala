@@ -655,16 +655,24 @@ object Dedup extends QueryModule {
       .select($"vec_id", $"v")
     val n = e0.count()
     val k = math.max(1L, math.sqrt(n.toDouble).toLong / 4L)
+    // vec_id is reduced mod 1000003 BEFORE the knuth multiply: modular
+    // arithmetic makes the result identical, and the intermediate stays
+    // ≤ 1000002·2654435761 ≈ 2.7e15 — no int64 overflow at any id,
+    // where the raw product wraps (Spark) or errors (DuckDB) past
+    // vec_id ≈ 3.5e9, i.e. exactly the corpus sizes the audit targets.
     val sampled = e0
-      .where(($"vec_id" * lit(2654435761L)) % lit(1000003L) % lit(k) === 0L)
+      .where($"vec_id" % lit(1000003L) * lit(2654435761L) % lit(1000003L) % lit(k) === 0L)
       .as[(Long, Array[Double])]
+      .persist() // ~4√n rows; reused for m and the pair scan (one corpus
+                 // data scan total — the linear-cost pitch depends on it)
     val m = sampled.count()
-    // C(n,2) / C(m,2) as exact int64 counts, divided once in double —
-    // the oracle repeats the same sequence so the scale factor is
-    // bit-identical. greatest(…,1) guards the m<2 degenerate corpus.
-    val popPairs = n * (n - 1L) / 2L
-    val totPairs = math.max(m * (m - 1L) / 2L, 1L).toDouble
-    val scale = popPairs.toDouble / totPairs
+    // C(n,2) / C(m,2) in DOUBLE from the start (n·(n-1) overflows int64
+    // past n ≈ 4.3e9); the oracle repeats the same IEEE sequence so the
+    // scale factor is bit-identical, and counts are exact in double far
+    // beyond any realistic corpus row count's square root (m ~ 4√n).
+    // max(…,1) guards the m<2 degenerate corpus.
+    val totPairs = math.max(m.toDouble * (m - 1L).toDouble / 2.0, 1.0)
+    val scale = n.toDouble * (n - 1L).toDouble / 2.0 / totPairs
     val p = $"n_pairs" / lit(totPairs)
     blockPairCosines(s, sampled, m, thr = -2.0)
       .withColumn("cos_bucket", floor($"cos_sim" * lit(20.0)) / lit(20.0))
@@ -1102,10 +1110,10 @@ object Dedup extends QueryModule {
         |nn AS (SELECT count(*) AS n FROM e0),
         |kk AS (SELECT greatest(1, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) // 4) AS k FROM nn),
         |s AS (SELECT vec_id, v FROM e0, kk
-        |      WHERE ((vec_id * 2654435761) % 1000003) % k = 0),
+        |      WHERE (((vec_id % 1000003) * 2654435761) % 1000003) % k = 0),
         |mm AS (SELECT count(*) AS m FROM s),
-        |z AS (SELECT CAST(n * (n - 1) // 2 AS DOUBLE) AS pop,
-        |             CAST(greatest(m * (m - 1) // 2, 1) AS DOUBLE) AS tot
+        |z AS (SELECT CAST(n AS DOUBLE) * (n - 1) / 2 AS pop,
+        |             greatest(CAST(m AS DOUBLE) * (m - 1) / 2, 1) AS tot
         |      FROM nn, mm),
         |e AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM s),
         |p AS (SELECT round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim

@@ -58,6 +58,12 @@ object AnnServeStream {
   // the rung from a live count could diverge from the stored signatures
   // if the ladder thresholds ever move between versions.
 
+  /** Corpus dir → filesystem-safe name head shared by all of its index
+    * keys (the stale-sibling sweep in [[writeIndex]] matches on it). */
+  private def safeName(corpusDir: String): String =
+    new java.io.File(corpusDir).getCanonicalPath
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+
   /** Materialization root for a corpus directory's LSH serve index, keyed
     * by its data files' (count, newest mtime, total bytes). */
   private[graft] def indexPath(corpusDir: String): String = {
@@ -66,38 +72,71 @@ object AnnServeStream {
       .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
     val mtime = if (files.isEmpty) d.lastModified() else files.map(_.lastModified()).max
     val size = files.map(_.length()).sum
-    val safe = d.getCanonicalPath.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"/tmp/graft_lsh_index/${safe}_${files.length}_${mtime}_$size"
+    s"/tmp/graft_lsh_index/${safeName(corpusDir)}_${files.length}_${mtime}_$size"
   }
 
   private def indexReady(p: String): Boolean =
     Seq("buckets", "rung").forall(x => new java.io.File(s"$p/$x/_SUCCESS").exists())
 
-  /** Hash the corpus once and write the index at rest: the `(vec_id, tbl,
-    * bucket)` signature relation plus a one-row `rung` table. */
-  private def writeIndex(spark: SparkSession, corpusDir: String): String = {
+  /** Hash the corpus once and write the index at rest under `path`: the
+    * `(vec_id, tbl, bucket)` signature relation plus a one-row `rung`
+    * table — staged in a process-unique sibling dir and renamed into
+    * place, so a concurrent builder racing on the same new corpus can
+    * never expose a half-written index (the loser's rename fails against
+    * the winner's completed dir and its staging dir is dropped). Also
+    * best-effort-deletes SIBLING keys of the same corpus dir: each
+    * regeneration changes the footprint key, and without the sweep every
+    * old signature relation would sit in /tmp forever. */
+  private def writeIndex(spark: SparkSession, corpusDir: String,
+                         path: String): Unit = {
     val e = SemDedupStream.prepVecs(
       spark.read.parquet(corpusDir).select("vec_id", "embedding")).persist()
+    val staging = s"$path.tmp-${java.lang.ProcessHandle.current().pid()}"
     try {
       val (pt, pb) = Similarity.lshParams(e.count())
-      val p = indexPath(corpusDir)
       Similarity.lshBuckets(e, tables = pt, bits = pb)
-        .write.mode("overwrite").parquet(s"$p/buckets")
+        .write.mode("overwrite").parquet(s"$staging/buckets")
       import spark.implicits._
       Seq((pt, pb)).toDF("tables", "bits").coalesce(1)
-        .write.mode("overwrite").parquet(s"$p/rung")
-      p
-    } finally e.unpersist()
+        .write.mode("overwrite").parquet(s"$staging/rung")
+      if (!new java.io.File(staging).renameTo(new java.io.File(path)) &&
+          !indexReady(path))
+        throw new IllegalStateException(
+          s"could not publish LSH index at $path (and no winner is present)")
+    } finally {
+      e.unpersist()
+      deleteRecursively(new java.io.File(staging)) // no-op after a rename
+      // stale siblings: same corpus dir, different (older) footprint key.
+      // A differently-named corpus whose safe name extends this one can
+      // match too — deleting its key only forces a rebuild there, never
+      // wrong serving (staleness is carried by the key, not the sweep).
+      val dir = new java.io.File(path).getParentFile
+      val prefix = safeName(corpusDir) + "_"
+      Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.getName.startsWith(prefix) && f.getPath != path &&
+          !f.getName.contains(".tmp-"))
+        .foreach(deleteRecursively)
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   /** The serve index for the corpus at `corpusDir`, from its at-rest
     * materialization — built first iff absent (first run, or the corpus
     * was regenerated and the old index's key no longer matches). The
-    * returned relations are persisted for the run, exactly like
-    * [[corpusIndex]]; the rung comes from the STORED index. */
+    * path is computed ONCE and passed through the build, so the loaded
+    * index is always the one that was just written even if the corpus
+    * footprint shifts mid-build (the next call will see the new key and
+    * rebuild). The returned relations are persisted for the run, exactly
+    * like [[corpusIndex]]; the rung comes from the STORED index. */
   def loadOrBuildIndex(spark: SparkSession, corpusDir: String): LshIndex = {
     val p = indexPath(corpusDir)
-    if (!indexReady(p)) writeIndex(spark, corpusDir)
+    if (!indexReady(p)) writeIndex(spark, corpusDir, p)
     val rung = spark.read.parquet(s"$p/rung").collect().head
     val vecs = SemDedupStream.prepVecs(
       spark.read.parquet(corpusDir).select("vec_id", "embedding")).persist()

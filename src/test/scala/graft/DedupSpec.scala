@@ -129,7 +129,7 @@ class DedupSpec extends AnyFunSuite {
     val n = Tables.embeddings(spark, TestSpark.sf).count()
     val k = math.max(1L, math.sqrt(n.toDouble).toLong / 4L)
     val m = Tables.embeddings(spark, TestSpark.sf)
-      .where((col("vec_id") * lit(2654435761L)) % lit(1000003L) % lit(k) === 0L)
+      .where(col("vec_id") % lit(1000003L) * lit(2654435761L) % lit(1000003L) % lit(k) === 0L)
       .count()
     // every within-sample pair lands in exactly one bucket
     assert(rows.map(_.getAs[Long]("n_pairs")).sum === m * (m - 1) / 2)

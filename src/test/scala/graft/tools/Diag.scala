@@ -4,7 +4,8 @@ import graft.operators.Similarity
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev scratch (r13): localize where sim_ann_lsh time goes at sf1. */
+/** Dev scratch (r13): localize where sim_ann_lsh time goes at sf1.
+  * Test-scope tool: run with `sbt "Test/runMain graft.tools.Diag <dir>"`. */
 object Diag {
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse("/tmp/graft_sf1")
