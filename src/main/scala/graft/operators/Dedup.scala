@@ -6,6 +6,8 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 /** Deduplication operators over `documents` / `embeddings` — the dedup
   * half of the LLM-data-pipeline surface: exact (hash groupBy), n-gram
   * Jaccard via an inverted shingle index, MinHash+LSH banding, SimHash
@@ -594,6 +596,10 @@ object Dedup extends QueryModule {
         }
         def score(ida: Long, va: Array[Double], na: Double,
                   idb: Long, vb: Array[Double], nb: Double): Option[(Long, Long, Double)] = {
+          // a zero-norm vector has no direction: cosine is undefined, and
+          // the naive 0/0 = NaN would throw in BigDecimal.valueOf. Skip
+          // the pair — the oracle applies the identical `nrm > 0` cut.
+          if (na * nb == 0.0) return None
           val m = math.min(va.length, vb.length)
           var dot = 0.0; var k = 0
           while (k < m) { dot += va(k) * vb(k); k += 1 }
@@ -674,7 +680,7 @@ object Dedup extends QueryModule {
     val totPairs = math.max(m.toDouble * (m - 1L).toDouble / 2.0, 1.0)
     val scale = n.toDouble * (n - 1L).toDouble / 2.0 / totPairs
     val p = $"n_pairs" / lit(totPairs)
-    blockPairCosines(s, sampled, m, thr = -2.0)
+    val hist = blockPairCosines(s, sampled, m, thr = -2.0)
       .withColumn("cos_bucket", floor($"cos_sim" * lit(20.0)) / lit(20.0))
       .groupBy($"cos_bucket")
       .agg(count(lit(1)).as("n_pairs"))
@@ -684,6 +690,15 @@ object Dedup extends QueryModule {
         round(lit(1.96) * sqrt(p * (lit(1.0) - p) / lit(totPairs)), 6))
       .select($"cos_bucket", $"n_pairs", $"frac", $"est_pairs", $"ci_half")
       .orderBy($"cos_bucket")
+    // Finalize eagerly: the histogram is BOUNDED at ≤41 rows by
+    // construction (cos ∈ [−1, 1], bucket width 0.05), so a driver-side
+    // collect is a constant-size finalizer (same class as the 4-row
+    // curriculum finalizer) — and it lets the cached √n sample be
+    // released HERE instead of leaking for the session's lifetime
+    // (ADVICE r13: callers outside the bench harness never clearCache).
+    val rows = hist.collect().toIndexedSeq
+    sampled.unpersist()
+    s.createDataFrame(rows.asJava, hist.schema).coalesce(1)
   }
 
   // ---------------------------------------------------------- decontaminate
@@ -1099,7 +1114,8 @@ object Dedup extends QueryModule {
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.45
+        |WHERE a.nrm * b.nrm > 0
+        |  AND round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.45
         |ORDER BY vec_a, vec_b""".stripMargin,
     // Same deterministic knuth-hash √n sample, same cosine sequence, same
     // single double-division scale factor — every derived double repeats
@@ -1117,7 +1133,8 @@ object Dedup extends QueryModule {
         |      FROM nn, mm),
         |e AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM s),
         |p AS (SELECT round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
-        |      FROM e a JOIN e b ON a.vec_id < b.vec_id),
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |      WHERE a.nrm * b.nrm > 0),
         |c AS (SELECT floor(cos_sim * 20.0) / 20.0 AS cos_bucket, count(*) AS n_pairs
         |      FROM p GROUP BY 1)
         |SELECT cos_bucket, n_pairs,

@@ -65,15 +65,27 @@ object AnnServeStream {
       .replaceAll("[^A-Za-z0-9._-]", "_")
 
   /** Materialization root for a corpus directory's LSH serve index, keyed
-    * by its data files' (count, newest mtime, total bytes). */
+    * by its data files' (count, newest mtime, total bytes) PLUS a digest
+    * of the sorted file names. Spark part-file names embed a per-write
+    * job UUID, so a corpus regenerated with identical count/bytes inside
+    * one mtime tick (or on a coarse-mtime filesystem) still changes the
+    * digest — the mtime alone is NOT trusted to carry staleness. */
   private[graft] def indexPath(corpusDir: String): String = {
     val d = new java.io.File(corpusDir)
     val files = Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
     val mtime = if (files.isEmpty) d.lastModified() else files.map(_.lastModified()).max
     val size = files.map(_.length()).sum
-    s"/tmp/graft_lsh_index/${safeName(corpusDir)}_${files.length}_${mtime}_$size"
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    files.map(_.getName).sorted.foreach(n => md.update(n.getBytes("UTF-8")))
+    val nameDigest = md.digest().take(8).map(b => f"$b%02x").mkString
+    s"/tmp/graft_lsh_index/${safeName(corpusDir)}_${files.length}_${mtime}_${size}_$nameDigest"
   }
+
+  /** Grace window before a superseded sibling index is swept: long enough
+    * for any live process that loaded it to finish its run, short enough
+    * that /tmp does not accumulate. Overridable for tests. */
+  private[graft] var sweepAgeMs: Long = 6L * 3600 * 1000
 
   private def indexReady(p: String): Boolean =
     Seq("buckets", "rung").forall(x => new java.io.File(s"$p/$x/_SUCCESS").exists())
@@ -110,11 +122,31 @@ object AnnServeStream {
       // A differently-named corpus whose safe name extends this one can
       // match too — deleting its key only forces a rebuild there, never
       // wrong serving (staleness is carried by the key, not the sweep).
+      // AGE-GATED (ADVICE r13): a process that loaded the old key lazily
+      // (persisted DataFrames re-read parquet on cache eviction) must not
+      // lose its files mid-run, so only siblings untouched for
+      // `sweepAgeMs` are deleted — a fresh regeneration leaves the
+      // previous index alive for that grace window, then it goes.
+      // Orphaned `.tmp-<pid>` staging dirs from crashed builders are ALSO
+      // swept here once their pid is no longer alive (they were excluded
+      // before and accumulated in /tmp forever).
       val dir = new java.io.File(path).getParentFile
       val prefix = safeName(corpusDir) + "_"
+      val now = System.currentTimeMillis()
       Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-        .filter(f => f.getName.startsWith(prefix) && f.getPath != path &&
-          !f.getName.contains(".tmp-"))
+        .filter(f => f.getName.startsWith(prefix) && f.getPath != path)
+        .filter { f =>
+          val tmpPid = "\\.tmp-(\\d+)$".r.findFirstMatchIn(f.getName)
+          tmpPid match {
+            case Some(m) => // staging dir: orphaned iff its builder died
+              val pid = m.group(1).toLong
+              pid != java.lang.ProcessHandle.current().pid() &&
+                !java.lang.ProcessHandle.of(pid).map[Boolean](_.isAlive)
+                  .orElse(false)
+            case None => // published sibling: only past the grace window
+              now - f.lastModified() > sweepAgeMs
+          }
+        }
         .foreach(deleteRecursively)
     }
   }

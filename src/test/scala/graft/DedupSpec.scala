@@ -148,4 +148,37 @@ class DedupSpec extends AnyFunSuite {
       .map(_.getAs[Long]("n_pairs")).sum
     assert(below.toDouble / (m * (m - 1) / 2) > 0.99)
   }
+
+  test("embcos: zero-norm embeddings are skipped, not NaN-crashed (ADVICE r13)") {
+    import org.apache.spark.sql.functions._
+    // a corpus containing a zero vector: cosine against it is undefined
+    // (0/0); pre-guard this crashed BigDecimal.valueOf(NaN) in the kernel
+    val dir = java.nio.file.Files.createTempDirectory("embcos_zero").toString
+    import spark.implicits._
+    Seq(
+      (0L, Array(0f, 0f, 0f)),              // zero norm — must pair with nobody
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(1f, 0.01f, 0f)),           // near-dup of 1
+      (3L, Array(0f, 1f, 0f))
+    ).toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val pairs = Dedup.embeddingCosine(spark, dir).collect()
+    assert(pairs.nonEmpty, "near-dup pair (1,2) missing")
+    assert(!pairs.exists(r => r.getLong(0) == 0L || r.getLong(1) == 0L),
+      "a zero-norm vector produced a cosine pair")
+    assert(pairs.forall(r => !r.getDouble(2).isNaN))
+    // the audit runs the same kernel with thr=-2.0 (every pair kept):
+    // the zero-norm pairs must be skipped there too, not crash or NaN
+    val hist = Dedup.embeddingCosineAudit(spark, dir).collect()
+    assert(hist.map(_.getAs[Long]("n_pairs")).sum === 3L,
+      "expected C(3,2)=3 pairs among the three nonzero vectors")
+  }
+
+  test("embcos audit releases its cached sample (ADVICE r13 leak)") {
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Dedup.embeddingCosineAudit(spark, TestSpark.sf).collect()
+    assert(spark.sparkContext.getPersistentRDDs.size === before,
+      "embeddingCosineAudit leaked a cached relation")
+  }
 }

@@ -220,6 +220,55 @@ class RecoverySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("index key survives an mtime/count/bytes collision; sweep is age-gated (ADVICE r13)") {
+    import graft.streaming.AnnServeStream
+    val corpusDir = Files.createTempDirectory("lshidx_key").toString
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), col("embedding")).where(col("vec_id") < 200)
+
+    // --- key: a regenerated corpus with IDENTICAL (count, mtime, bytes)
+    // must still change the key, via the part-file-name digest
+    emb.coalesce(1).write.mode("overwrite").parquet(corpusDir)
+    def dataFiles() = new java.io.File(corpusDir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val mtime0 = dataFiles().map(_.lastModified()).max
+    val p1 = AnnServeStream.indexPath(corpusDir)
+    emb.coalesce(1).write.mode("overwrite").parquet(corpusDir) // same rows → same count/bytes
+    dataFiles().foreach(f => assert(f.setLastModified(mtime0))) // force the mtime collision
+    val p2 = AnnServeStream.indexPath(corpusDir)
+    assert(p2 !== p1,
+      "identical (count, mtime, bytes) footprint reused the stale key — name digest missing")
+
+    // --- sweep: a superseded sibling survives inside the grace window...
+    val idxRoot = new java.io.File("/tmp/graft_lsh_index")
+    AnnServeStream.loadOrBuildIndex(spark, corpusDir)
+    spark.catalog.clearCache()
+    emb.repartition(2).write.mode("overwrite").parquet(corpusDir)
+    val saved = AnnServeStream.sweepAgeMs
+    try {
+      AnnServeStream.sweepAgeMs = Long.MaxValue
+      AnnServeStream.loadOrBuildIndex(spark, corpusDir)
+      spark.catalog.clearCache()
+      assert(new java.io.File(p2).exists(),
+        "sweep deleted a sibling inside the grace window")
+
+      // ...and is swept past it; an orphaned .tmp of a dead builder goes
+      // too, while a live builder's staging dir is untouched
+      val deadTmp = new java.io.File(idxRoot, new java.io.File(p2).getName + ".tmp-999999999")
+      val liveTmp = new java.io.File(idxRoot, new java.io.File(p2).getName +
+        s".tmp-${java.lang.ProcessHandle.current().pid()}")
+      assert(deadTmp.mkdirs() && liveTmp.mkdirs())
+      AnnServeStream.sweepAgeMs = -1L
+      emb.repartition(3).write.mode("overwrite").parquet(corpusDir)
+      AnnServeStream.loadOrBuildIndex(spark, corpusDir)
+      spark.catalog.clearCache()
+      assert(!new java.io.File(p2).exists(), "aged-out sibling index not swept")
+      assert(!deadTmp.exists(), "orphaned staging dir of a dead builder not swept")
+      assert(liveTmp.exists(), "a LIVE builder's staging dir was swept")
+      liveTmp.delete()
+    } finally AnnServeStream.sweepAgeMs = saved
+  }
+
   test("PQ serve job restarts from checkpoint; answers == one-shot, exactly once") {
     val in = Files.createTempDirectory("pq_in").toString
     val out = Files.createTempDirectory("pq_out").toString
