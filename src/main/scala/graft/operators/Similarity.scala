@@ -793,6 +793,33 @@ object Similarity extends QueryModule {
   private[graft] val IvfPqProbe = 24 // cells probed per query (37.5% of cells)
   private val IvfPqShortlist = 300 // ADC shortlist before exact rerank
 
+  // ---- Corpus-adaptive IVF cell-count ladder (round 14) — the semCells /
+  // lshParams pattern applied to the recommended-at-scale ANN route. At
+  // FIXED (cells, nprobe) the per-query code scan is a constant FRACTION
+  // (nprobe/cells = 37.5%) of a growing code table — a soft linear term
+  // per query that the IVF cell ladder exists to cut (VERDICT r13 #1).
+  // Cells grow ~√n (the FAISS sizing: cell occupancy ~√n balances the
+  // probe-the-centroids cost against the scan-the-cells cost) while
+  // nprobe grows slower, so the scan fraction FALLS with the corpus:
+  // 24/64 = 37.5% → 32/128 = 25% → 48/256 = 18.75% → 64/512 = 12.5%.
+  // nprobe still RISES in absolute terms (more, smaller cells need more
+  // probes for the same recall mass — the Lv'07 observation), and the
+  // measured recall per rung is recorded in SimilarityScaleBench /
+  // BASELINE.md. Integer thresholds on the exact corpus count (never a
+  // libm expression — the [[LshSteps]] / `EventOps.profParams` contract),
+  // anchored above every driver SF (sf0.1 = 2,000 vectors) so the gated
+  // hashes stay on the r13-tuned (64, 24) base rung. Nothing here touches
+  // generated code size: cells are DATA rows (broadcast centroid
+  // relations), not expression fan-out, so the LshBucketIds JIT-cliff
+  // class does not apply by construction.
+  private[graft] val IvfPqSteps: Seq[(Long, Int, Int)] = Seq(
+    // (min corpus rows, cells, nprobe)
+    (8192L, 128, 32), (32768L, 256, 48), (131072L, 512, 64))
+  private[graft] def ivfPqParams(n: Long): (Int, Int) =
+    IvfPqSteps.foldLeft((IvfPqCells, IvfPqProbe)) {
+      case (acc, (thr, c, p)) => if (n >= thr) (c, p) else acc
+    }
+
   /** Spherical-k-means-refined coarse centroids for [[topkIvfPq]]:
     * [[IvfPqCells]] cells seeded from the first 64 corpus vectors, then
     * [[PqLloydIters]] deterministic Lloyd steps — assignment by rounded
@@ -811,10 +838,11 @@ object Similarity extends QueryModule {
     * 64 ≈ √2000 cells at the bench SF mirrors the √n production
     * sizing; at 10⁹ rows the cell count grows and [[TrainCap]] bounds
     * the sample, not the algorithm. */
-  private[graft] def ivfPqCentroids(e: DataFrame): DataFrame = {
+  private[graft] def ivfPqCentroids(e: DataFrame,
+                                    cells: Int = IvfPqCells): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
-    var cb: DataFrame = e.filter($"vec_id" < IvfPqCells)
+    var cb: DataFrame = e.filter($"vec_id" < cells)
       .select($"vec_id".as("cid"), $"v".as("cv"), $"norm".as("cnorm"))
     for (_ <- 1 to PqLloydIters) {
       // map-side-combined argmax (see cellAssignment): v rides inside
@@ -864,8 +892,9 @@ object Similarity extends QueryModule {
     * nprobe/cells of the corpus — the flat scan is gone. */
   def topkIvfPq(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
-    val (cent, assign, cbk, codes) = ivfPqIndex(e)
-    ivfPqServe(queriesOf(e), e, cent, assign, cbk, codes, excludeSelf = true)
+    val idx = ivfPqIndex(e)
+    ivfPqServe(queriesOf(e), e, idx.cent, idx.assign, idx.cbk, idx.codes,
+      nprobe = idx.nprobe, excludeSelf = true)
   }
 
   // ---- Index-build / serve split (VERDICT r10 next-round #4). In
@@ -881,12 +910,15 @@ object Similarity extends QueryModule {
   /** Local materialization root for built indexes. The tag folds in the
     * source file's (mtime, size) so a regenerated corpus can never be
     * served from a stale index — the key property the correctness gate
-    * leans on (the serve oracle retrains from the live table). */
-  private def ivfPqIndexPath(dir: String): String = {
+    * leans on (the serve oracle retrains from the live table) — plus the
+    * ladder's cell count, so an index built before a rung change (or by
+    * an older library version with a different ladder) is unreachable
+    * rather than served with mismatched probe parameters. */
+  private def ivfPqIndexPath(dir: String, cells: Int): String = {
     val src = new java.io.File(dir, "embeddings.parquet")
     val safe = new java.io.File(dir).getCanonicalPath
       .replaceAll("[^A-Za-z0-9._-]", "_")
-    s"/tmp/graft_ivfpq_index/${safe}_${src.lastModified()}_${src.length()}"
+    s"/tmp/graft_ivfpq_index/${safe}_${src.lastModified()}_${src.length()}_c$cells"
   }
 
   private val IndexParts = Seq("cent", "assign", "cbk", "codes")
@@ -899,12 +931,12 @@ object Similarity extends QueryModule {
     * query MEASURES training; staleness is handled by the path tag). */
   private def writeIvfPqIndex(s: SparkSession, dir: String): String = {
     val e = vecs(s, dir)
-    val (cent, assign, cbk, codes) = ivfPqIndex(e)
-    val p = ivfPqIndexPath(dir)
-    cent.write.mode("overwrite").parquet(s"$p/cent")
-    assign.write.mode("overwrite").parquet(s"$p/assign")
-    cbk.write.mode("overwrite").parquet(s"$p/cbk")
-    codes.write.mode("overwrite").parquet(s"$p/codes")
+    val idx = ivfPqIndex(e)
+    val p = ivfPqIndexPath(dir, idx.cells)
+    idx.cent.write.mode("overwrite").parquet(s"$p/cent")
+    idx.assign.write.mode("overwrite").parquet(s"$p/assign")
+    idx.cbk.write.mode("overwrite").parquet(s"$p/cbk")
+    idx.codes.write.mode("overwrite").parquet(s"$p/codes")
     p
   }
 
@@ -932,14 +964,19 @@ object Similarity extends QueryModule {
     * identical to [[topkIvfPq]]: same probes, ADC, shortlist, rerank —
     * which IS the claim: a prebuilt index answers the same contract. */
   def topkIvfPqServe(s: SparkSession, dir: String): DataFrame = {
-    val p = ivfPqIndexPath(dir)
-    if (!ivfPqIndexReady(p)) writeIvfPqIndex(s, dir)
     val e = vecs(s, dir)
+    // the ladder rung for the LIVE corpus count: the index path folds in
+    // `cells`, so a stored index can only ever be served with the probe
+    // count its rung was built for
+    val (cells, nprobe) = ivfPqParams(e.count())
+    val p = ivfPqIndexPath(dir, cells)
+    if (!ivfPqIndexReady(p)) writeIvfPqIndex(s, dir)
     val cent = broadcast(s.read.parquet(s"$p/cent"))
     val assign = s.read.parquet(s"$p/assign")
     val cbk = broadcast(s.read.parquet(s"$p/cbk"))
     val codes = s.read.parquet(s"$p/codes")
-    ivfPqServe(queriesOf(e), e, cent, assign, cbk, codes, excludeSelf = true)
+    ivfPqServe(queriesOf(e), e, cent, assign, cbk, codes,
+      nprobe = nprobe, excludeSelf = true)
   }
 
   /** The four relations of a prebuilt IVF-PQ serving index over a
@@ -949,15 +986,26 @@ object Similarity extends QueryModule {
     * index tables (assignment = the partitioning of the corpus, codes =
     * the compressed representation); [[graft.streaming.PqServeStream]]
     * persists them once and serves every micro-batch from them. */
-  private[graft] def ivfPqIndex(e: DataFrame)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val cent = ivfPqCentroids(e)
+  /** A built IVF-PQ index plus the ladder rung it was built at — the
+    * rung travels with the index ([[graft.streaming.AnnServeStream]]
+    * convention) so serving always probes with the parameters the cells
+    * were trained for. */
+  private[graft] final case class IvfPqRelations(
+    cent: DataFrame, assign: DataFrame, cbk: DataFrame, codes: DataFrame,
+    cells: Int, nprobe: Int)
+
+  private[graft] def ivfPqIndex(e: DataFrame): IvfPqRelations = {
+    // count() is one metadata-cheap job on the persisted vecs relation;
+    // the ladder keeps the per-query scan FRACTION falling as the corpus
+    // grows (see [[IvfPqSteps]])
+    val (cells, nprobe) = ivfPqParams(e.count())
+    val cent = ivfPqCentroids(e, cells)
     val assign = cellAssignment(e, cent)
     val cbk = pqCodebook(e)
     val codes = pqAssign(e, cbk).select(
       col("vec_id").as("neighbor_id") +:
         (0 until PqBlocks).map(b => col(s"m$b.c").as(s"code$b")): _*)
-    (cent, assign, cbk, codes)
+    IvfPqRelations(cent, assign, cbk, codes, cells, nprobe)
   }
 
   /** Serve `(query_id, qv, qnorm)` queries from a prebuilt
@@ -970,7 +1018,8 @@ object Similarity extends QueryModule {
     * [[graft.streaming.AnnServeStream]] convention). */
   private[graft] def ivfPqServe(queries0: DataFrame, e: DataFrame,
       cent: DataFrame, assign: DataFrame, cbk: DataFrame, codes: DataFrame,
-      k: Int = K, excludeSelf: Boolean = false): DataFrame = {
+      k: Int = K, nprobe: Int = IvfPqProbe,
+      excludeSelf: Boolean = false): DataFrame = {
     val s = queries0.sparkSession
     import s.implicits._
     val q = queries0.withColumn("qq", vectorDot($"qv", $"qv"))
@@ -978,7 +1027,7 @@ object Similarity extends QueryModule {
     val probes = q.select($"query_id", $"qv", $"qnorm").join(cent)
       .withColumn("qcos", round(vectorDot($"qv", $"cv") / ($"qnorm" * $"cnorm"), 6))
       .withColumn("prn", row_number().over(probeW))
-      .where($"prn" <= IvfPqProbe)
+      .where($"prn" <= nprobe)
       .select($"query_id", $"cid")
     val qluts = pqLutArrays(q, cbk).join(q.select($"query_id", $"qq"), "query_id")
     val inCell = broadcast(probes)
@@ -1123,9 +1172,22 @@ object Similarity extends QueryModule {
        |         FROM kb$PqLloydIters GROUP BY cid)""".stripMargin
   }
 
-  /** SQL mirror of [[ivfPqCentroids]]: 64 seed cells, spherical Lloyd
-    * steps (rounded-cosine assignment, exact scaled-integer means);
-    * ends in `icent(cid, cv, cnrm)`. */
+  /** The [[ivfPqParams]] ladder as a one-row SQL relation
+    * `iprm(cells, nprobe)`, generated from [[IvfPqSteps]] so the two
+    * engines cannot drift on the rung thresholds (the [[lshPrmCte]]
+    * pattern). */
+  private def ivfPrmCte: String = {
+    val cCases = IvfPqSteps.reverse.map { case (thr, c, _) =>
+      s"WHEN count(*) >= $thr THEN $c" }.mkString(" ")
+    val pCases = IvfPqSteps.reverse.map { case (thr, _, p) =>
+      s"WHEN count(*) >= $thr THEN $p" }.mkString(" ")
+    s"""iprm AS (SELECT CASE $cCases ELSE $IvfPqCells END AS cells,
+       |              CASE $pCases ELSE $IvfPqProbe END AS nprobe FROM e)""".stripMargin
+  }
+
+  /** SQL mirror of [[ivfPqCentroids]]: ladder-rung seed cells
+    * ([[ivfPrmCte]]), spherical Lloyd steps (rounded-cosine assignment,
+    * exact scaled-integer means); ends in `icent(cid, cv, cnrm)`. */
   private def ivfKmCte: String = {
     val iters = (1 to PqLloydIters).map { i =>
       val prev = if (i == 1) "ib0" else s"ib${i - 1}"
@@ -1154,8 +1216,10 @@ object Similarity extends QueryModule {
          |             FROM im$i GROUP BY cid) c2 ON c2.cid = b0.cid
          |)""".stripMargin
     }.mkString(",\n")
-    s"""et AS (SELECT * FROM e WHERE vec_id < $TrainCap),
-       |ib0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $IvfPqCells),
+    s"""$ivfPrmCte,
+       |et AS (SELECT * FROM e WHERE vec_id < $TrainCap),
+       |ib0 AS (SELECT vec_id AS cid, v AS cv FROM e
+       |        WHERE vec_id < (SELECT cells FROM iprm)),
        |$iters,
        |icent AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnrm
        |          FROM ib$PqLloydIters)""".stripMargin
@@ -1211,7 +1275,7 @@ object Similarity extends QueryModule {
        |               ORDER BY round(list_dot_product(q.qv, c.cv) / (q.qnrm * c.cnrm), 6) DESC,
        |                        c.cid ASC) AS rn
        |    FROM q CROSS JOIN icent c)
-       |  WHERE rn <= $IvfPqProbe
+       |  WHERE rn <= (SELECT nprobe FROM iprm)
        |),
        |lut AS (
        |  SELECT q.query_id, t.b, cent.cid,

@@ -35,7 +35,7 @@ object PqServeStream {
     * assignment, PQ codebook, PQ codes. */
   final case class PqIndex(vecs: DataFrame, cent: DataFrame,
                            assign: DataFrame, cbk: DataFrame,
-                           codes: DataFrame,
+                           codes: DataFrame, nprobe: Int,
                            training: Similarity.TrainingScope) {
     def unpersist(): Unit = {
       vecs.unpersist(); assign.unpersist(); codes.unpersist()
@@ -52,9 +52,12 @@ object PqServeStream {
     * once, inside its own cache scope — serving never retrains. */
   def corpusIndex(corpus: DataFrame): PqIndex = {
     val e = SemDedupStream.prepVecs(corpus).persist()
-    val ((cent, assign, cbk, codes), scope) =
+    val (idx, scope) =
       Similarity.withTrainingScope(Similarity.ivfPqIndex(e))
-    PqIndex(e, cent, assign.persist(), cbk, codes.persist(), scope)
+    // the ladder rung ([[Similarity.ivfPqParams]]) travels with the index:
+    // serving must probe with the cell count the index was trained for
+    PqIndex(e, idx.cent, idx.assign.persist(), idx.cbk, idx.codes.persist(),
+      idx.nprobe, scope)
   }
 
   /** Answer one batch of `(vec_id, embedding)` query vectors from the
@@ -65,7 +68,7 @@ object PqServeStream {
     val q = SemDedupStream.prepVecs(queries).select(
       col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
     Similarity.ivfPqServe(q, idx.vecs, idx.cent, idx.assign, idx.cbk,
-      idx.codes, k, excludeSelf = false)
+      idx.codes, k, nprobe = idx.nprobe, excludeSelf = false)
   }
 
   /** foreachBatch driver answering each micro-batch of `queries` (a

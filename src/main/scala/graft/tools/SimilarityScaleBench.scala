@@ -77,13 +77,18 @@ object SimilarityScaleBench {
     // ---- 1b'. IVF-PQ pruning: the fraction of corpus CODES each query
     // ADC-scores (probed-cell membership) vs the flat scan's 1.0 — the
     // candidate-volume claim behind composing IVF with PQ (VERDICT r9).
-    {
+    // Ladder-aware (r14): measures the rung [[Similarity.ivfPqParams]]
+    // picks for THIS corpus size; reused below per replica size so the
+    // falling-fraction claim is a measured row, not an arithmetic one.
+    def ivfPqScanFraction(dir: String): (Long, Int, Int, Double) = {
       // the SAME vector prep the shipped serve path runs — if prep ever
       // changes in the library, this bench follows instead of silently
       // measuring a different pipeline
       val emb = graft.streaming.SemDedupStream.prepVecs(
-        Tables.embeddings(spark, sfDir)).persist()
-      val cent = Similarity.ivfPqCentroids(emb)
+        Tables.embeddings(spark, dir)).persist()
+      val n = emb.count()
+      val (cells, nprobe) = Similarity.ivfPqParams(n)
+      val cent = Similarity.ivfPqCentroids(emb, cells)
       val assign = Similarity.cellAssignment(emb, cent).select($"vec_id", $"cid")
       val cellSizes = assign.groupBy($"cid").agg(count(lit(1)).as("csz"))
       val probeW = org.apache.spark.sql.expressions.Window
@@ -94,14 +99,17 @@ object SimilarityScaleBench {
         .withColumn("qcos", round(graft.functions.VectorDot.vectorDot($"qv", $"cv")
           / ($"qnorm" * $"cnorm"), 6))
         .withColumn("prn", org.apache.spark.sql.functions.row_number().over(probeW))
-        .where($"prn" <= Similarity.IvfPqProbe)
+        .where($"prn" <= nprobe)
         .select($"query_id", $"cid")
-      val n = emb.count().toDouble
       val scanned = probes.join(cellSizes, "cid")
         .groupBy($"query_id").agg(sum($"csz").as("scanned"))
         .agg(avg($"scanned")).head.getDouble(0)
       spark.catalog.clearCache()
-      println(s"""{"check":"ivfpq_code_scan_fraction","sf":"$sfDir","cells":${Similarity.IvfPqCells},"nprobe":${Similarity.IvfPqProbe},"fraction":${r3(scanned / n)}}""")
+      (n, cells, nprobe, scanned / n)
+    }
+    {
+      val (_, cells, nprobe, frac) = ivfPqScanFraction(sfDir)
+      println(s"""{"check":"ivfpq_code_scan_fraction","sf":"$sfDir","cells":$cells,"nprobe":$nprobe,"fraction":${r3(frac)}}""")
     }
 
     // ---- 1c. ANN serving-kernel throughput at the bench SF: one-shot
@@ -118,7 +126,7 @@ object SimilarityScaleBench {
         (System.nanoTime() - t0) / 1e9
       }
       serveOnce() // warm the serve-path codegen
-      val sec = Seq(serveOnce(), serveOnce()).min
+      val sec = Seq(serveOnce(), serveOnce(), serveOnce()).min
       val nq = queries.count()
       idx.vecs.unpersist(); idx.buckets.unpersist()
       println(s"""{"bench":"ann_serve_batch","sf":"$sfDir","queries":$nq,"sec":${r3(sec)},"qps":${r3(nq / sec)}}""")
@@ -162,14 +170,23 @@ object SimilarityScaleBench {
     // threshold below 131,072 vectors is now exercised by measurement,
     // not only the first step)
     val emb = Tables.embeddings(spark, sfDir)
-    Seq(1, 2, 5, 10, 20).foreach { k =>
+    // K=66 (r14) reaches the sign-LSH ladder's top rung (14×12 at
+    // ≥131,072 vectors) and the IVF ladder's 512-cell rung — every
+    // shipped threshold is now exercised by measurement. Replicas past
+    // r=63 exhaust the 64 distinct rotations, so they compose the
+    // rotation with NEGATION (also orthogonal: distances and |cos|
+    // within a replica are preserved, and cross-replica cosines flip
+    // sign, so no artificial near-dups are planted).
+    Seq(1, 2, 5, 10, 20, 66).foreach { k =>
       val dir = s"/tmp/sim_scale/emb_x$k"
       (0 until k).map { r =>
+        val rot = r % 64
+        val rotated =
+          if (rot == 0) $"embedding"
+          else concat(slice($"embedding", rot + 1, 64 - rot), slice($"embedding", 1, rot))
         emb.select(
           ($"vec_id" + lit(r.toLong * 10000000L)).as("vec_id"),
-          (if (r == 0) $"embedding"
-           else concat(slice($"embedding", r + 1, 64 - r), slice($"embedding", 1, r)))
-            .as("embedding"),
+          (if (r < 64) rotated else transform(rotated, x => -x)).as("embedding"),
           $"label")
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
@@ -196,6 +213,20 @@ object SimilarityScaleBench {
       spark.catalog.clearCache()
       println(s"""{"bench":"ann_lsh","k":$k,"vectors":$nVec,"tables":$pt,"bits":$pb,"queries":$nQueries,"candidates":$candidates,"brute_scored":$scanned,"selectivity":${r3(candidates.toDouble / scanned)},"recall_lsh":${r3(lshRec)},"recall_multiprobe":${r3(mpRec)},"sec":${r3(sec)}}""")
 
+      // IVF×PQ at THIS corpus size (r14): the cell-count rung the ladder
+      // picks, the measured per-query code-scan fraction (must FALL
+      // across rungs where the fixed grid sat flat at 0.375), and
+      // recall@5 vs the same brute twin.
+      {
+        val t1 = System.nanoTime()
+        val ivfpqRec = nbrSet(Similarity.topkIvfPq(spark, dir))
+          .intersect(bf).size.toDouble / bf.size
+        val isec = (System.nanoTime() - t1) / 1e9
+        spark.catalog.clearCache()
+        val (_, cells, nprobe, frac) = ivfPqScanFraction(dir)
+        println(s"""{"bench":"ann_ivfpq_scale","k":$k,"vectors":$nVec,"cells":$cells,"nprobe":$nprobe,"scan_fraction":${r3(frac)},"recall":${r3(ivfpqRec)},"sec":${r3(isec)}}""")
+      }
+
       // per-trigger serving cost at THIS corpus size (r13): the serve
       // kernel's wall-clock must grow with the BATCH, not the corpus —
       // the claim behind AnnServeStream's scale story, previously only
@@ -214,7 +245,7 @@ object SimilarityScaleBench {
           (System.nanoTime() - t0) / 1e9
         }
         serveOnce() // warm this rung's serve-path codegen
-        val ssec = Seq(serveOnce(), serveOnce()).min
+        val ssec = Seq(serveOnce(), serveOnce(), serveOnce()).min
         val nq = queries.count()
         idx.vecs.unpersist(); idx.buckets.unpersist()
         spark.catalog.clearCache()

@@ -65,6 +65,59 @@ class SimilaritySpec extends AnyFunSuite {
     assert(bad == 0L, s"$bad embeddings are not 64-dim")
   }
 
+  test("IVF-PQ cell ladder rungs are pinned (oracle iprm CASE mirrors them)") {
+    import operators.Similarity.ivfPqParams
+    // bench SFs (≤2,000 vectors) stay on the r13-tuned base rung
+    assert(ivfPqParams(500L) === (64, 24))
+    assert(ivfPqParams(2000L) === (64, 24))
+    assert(ivfPqParams(8191L) === (64, 24))
+    assert(ivfPqParams(8192L) === (128, 32))
+    assert(ivfPqParams(32768L) === (256, 48))
+    assert(ivfPqParams(131072L) === (512, 64))
+    // the point of the ladder: the per-query code-scan FRACTION
+    // (nprobe/cells) strictly falls across rungs, while cells rise
+    val rungs = Seq(1L, 8192L, 32768L, 131072L).map(ivfPqParams)
+    assert(rungs.sliding(2).forall { case Seq((c1, p1), (c2, p2)) =>
+      c2 > c1 && p2.toDouble / c2 < p1.toDouble / c1 })
+  }
+
+  test("IVF-PQ above the base rung: serve-from-index == train-in-query, sane top-k") {
+    // a 2×-replicated corpus past the first rung threshold exercises the
+    // parametric (cells, nprobe) path end-to-end — the oracle gate only
+    // runs at base-rung SFs, so the ladder plumbing gets its own pin
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_rung").toString
+    val emb = Tables.embeddings(spark, TestSpark.sf).select(col("vec_id"), col("embedding"))
+    // 5 rotated replicas of sf0.01 (500 rows) = 2,500 < 8,192: stay cheap
+    // but prove the parametric path with a NON-default cells value by
+    // replicating to 10,000 rows (rung 1: 128 cells, 32 probes)
+    (0 until 20).map { r =>
+      val rot = r % 64
+      emb.select(
+        (col("vec_id") + lit(r.toLong * 10000000L)).as("vec_id"),
+        (if (rot == 0) col("embedding")
+         else concat(slice(col("embedding"), rot + 1, 64 - rot),
+                     slice(col("embedding"), 1, rot))).as("embedding"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(operators.Similarity.ivfPqParams(n) === (128, 32))
+    val composed = Similarity.topkIvfPq(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val served = Similarity.topkIvfPqServe(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    spark.catalog.clearCache()
+    assert(composed.nonEmpty)
+    assert(composed.toSeq === served.toSeq,
+      "materialized-index serve diverged from the composed form at rung 1")
+    // every query gets at most K ranked neighbors, ranks dense from 1
+    composed.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length),
+        s"query $q ranks not dense")
+      assert(rows.length <= 5)
+    }
+  }
+
   test("SemDeDup cell ladder rungs are pinned (oracle CASE mirrors them)") {
     assert(operators.Similarity.semCells(200L) === 16)
     assert(operators.Similarity.semCells(2048L) === 16)
