@@ -557,7 +557,12 @@ object Dedup extends QueryModule {
       .withColumn("v", $"embedding".cast("array<double>"))
       .select($"vec_id", $"v")
       .as[(Long, Array[Double])]
-    blockPairCosines(s, e, e.count(), thr = 0.45)
+    val n = e.count()
+    // declared O(n²) exact baseline — fail fast past the configured bound
+    // rather than silently burning a cluster; the linear audit twin is
+    // the production form (VERDICT r13 #6)
+    graft.ExactScanGuard.check(s, "dedup_embcos", "dedup_embcos_audit", n)
+    blockPairCosines(s, e, n, thr = 0.45)
       .orderBy($"vec_a", $"vec_b")
   }
 

@@ -58,6 +58,11 @@ object Similarity extends QueryModule {
   def topkBruteForce(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = vecs(s, dir)
+    // declared all-pairs exact baseline (queries ∝ n × corpus n): fail
+    // fast past the configured bound; the pruned IVF-PQ serve is the
+    // registered production twin (VERDICT r13 #6)
+    graft.ExactScanGuard.check(s, "sim_topk_bruteforce", "sim_topk_ivfpq_serve",
+      e.count())
     val byQuery = Window.partitionBy($"query_id")
       .orderBy($"score".desc, $"neighbor_id".asc)
     broadcast(queriesOf(e))

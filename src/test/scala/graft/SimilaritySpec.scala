@@ -118,6 +118,29 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("O(n^2) baselines fail fast past the bound, naming their twin (VERDICT r13 #6)") {
+    val key = graft.ExactScanGuard.ConfKey
+    try {
+      spark.conf.set(key, "10") // sf0.01 has 500 vectors — trips the guard
+      val e1 = intercept[IllegalStateException] {
+        Similarity.topkBruteForce(spark, TestSpark.sf).collect()
+      }
+      assert(e1.getMessage.contains("sim_topk_ivfpq_serve"),
+        s"guard message does not name the twin: ${e1.getMessage}")
+      val e2 = intercept[IllegalStateException] {
+        operators.Dedup.embeddingCosine(spark, TestSpark.sf).collect()
+      }
+      assert(e2.getMessage.contains("dedup_embcos_audit"),
+        s"guard message does not name the twin: ${e2.getMessage}")
+      // opt-out: -1 disables the guard
+      spark.conf.set(key, "-1")
+      assert(Similarity.topkBruteForce(spark, TestSpark.sf).limit(1).count() === 1L)
+    } finally {
+      spark.conf.unset(key)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("SemDeDup cell ladder rungs are pinned (oracle CASE mirrors them)") {
     assert(operators.Similarity.semCells(200L) === 16)
     assert(operators.Similarity.semCells(2048L) === 16)
