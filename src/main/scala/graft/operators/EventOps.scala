@@ -440,6 +440,31 @@ object EventOps extends QueryModule {
     ProfSteps.foldLeft((ProfTables, ProfProj)) {
       case (acc, (thr, pk, pt)) => if (nUsers >= thr) (pt, pk) else acc
     }
+
+  // Hot-bucket postings cap for the profile E2LSH (round 14) — the
+  // [[Similarity.capPostings]] treatment. Round 10 measured and REJECTED
+  // an aggressive absolute cap (cap=100 at the then-(5,18) grid cost
+  // recall 0.95→0.60: near pairs DO live in crowded buckets here), so
+  // the r14 cap is a SKEW-TAIL cut, not a mean-occupancy bound: it
+  // activates only at/above the first ladder rung (every driver SF is
+  // below 5k users → gated hashes unchanged) with a cap high enough
+  // that only the few pathological buckets — which contribute pairs
+  // QUADRATICALLY in their size — are truncated, and the table count
+  // (24-53 at the capped rungs) gives a truncated-away near pair many
+  // independent chances to survive elsewhere. Cap=400 is MEASURED
+  // (CapSweep, 15k-user rung (7,32), ts-shifted replica corpus): it
+  // leaves the top-20 recall UNCHANGED at 0.85 and the post-distinct
+  // candidate set within 0.7% — its entire win is cutting the
+  // PRE-distinct pair blowup, which grows with Σ m² per bucket while
+  // the distinct output doesn't (a 2,000-member bucket emits 4M join
+  // pairs; capped at 400 it emits 160k) — wall-clock ~12.4 s → ~5.6 s
+  // at K=10. The next rungs down are the cliff the r10 rejection
+  // mapped: cap=200 → recall 0.80, cap=100 → 0.55. Deterministic
+  // knuth-hash keep rank, mirrored in the oracle SQL.
+  private[graft] val ProfCapMinUsers: Long = ProfSteps.head._1
+  private[graft] val ProfCap = 400L
+  private[graft] def profCap(nUsers: Long): Option[Long] =
+    if (nUsers >= ProfCapMinUsers) Some(ProfCap) else None
   private val ProfPoolSize: Int = {
     val (pt, pk) = (ProfSteps.last._3, ProfSteps.last._2)
     pt * pk // 344 — the largest rung's plane demand
@@ -457,7 +482,8 @@ object EventOps extends QueryModule {
   private[graft] def tsCandidates(vecs: DataFrame,
                                   pt: Int = ProfTables,
                                   pk: Int = ProfProj,
-                                  pw: Double = ProfWidth): DataFrame = {
+                                  pw: Double = ProfWidth,
+                                  cap: Option[Long] = None): DataFrame = {
     val planes =
       if (pt * pk <= profPlanes.length) profPlanes
       else Similarity.planeIntMatrix(pt * pk, 24).map(_.map(_ / 1000.0))
@@ -468,15 +494,24 @@ object EventOps extends QueryModule {
     // floor-divide sequence — the oracle rebuilds identical keys.
     val qCols = graft.functions.E2lshKeys.e2lshKeys(
       col("vec"), planes.take(pt * pk), pw)
-    val tableCols = (0 until pt).map { t =>
-      struct((lit(t).as("tbl") +:
-        (0 until pk).map(j => element_at(col("q"), t * pk + j + 1).as(s"b$j"))): _*)
-    }
-    val buckets = vecs.withColumn("q", qCols)
-      .select(col("user_id"), explode(array(tableCols: _*)).as("tb"))
-      .select((col("user_id") +: (col("tb.tbl").as("tbl") +:
-        (0 until pk).map(j => col(s"tb.b$j").as(s"b$j")))): _*)
-    val joinKeys = "tbl" +: (0 until pk).map(j => s"b$j")
+    // Per-table key = the rung's pk-element SLICE of the key array —
+    // array-valued join key, exactly the oracle's `qs` list. The r13
+    // form unrolled pt·pk element_at struct fields into the projection;
+    // at the (53, 8) rung that one whole-stage method crossed HotSpot's
+    // 8000-byte JIT limit (CodegenBudgetSpec caught it) — slice inside
+    // posexplode generates a constant-size loop at any rung.
+    val buckets0 = vecs.withColumn("q", qCols)
+      .select(col("user_id"), posexplode(
+        transform(sequence(lit(0), lit(pt - 1)),
+          t => slice(col("q"), t * lit(pk) + lit(1), lit(pk)))))
+      .select(col("user_id"), col("pos").cast("int").as("tbl"), col("col").as("qs"))
+    val joinKeys = Seq("tbl", "qs")
+    // Pairs form within a bucket QUADRATICALLY in its size, so the
+    // skew-tail cap applies to BOTH sides of the self-join (unlike the
+    // asymmetric query/corpus ANN form): within a truncated bucket only
+    // the deterministic sample pairs up.
+    val buckets = Similarity.capPostings(buckets0, cap,
+      idCol = "user_id", keyCols = joinKeys)
     buckets.as("ba")
       .join(buckets.as("bb"), joinKeys, "inner")
       .where(col("ba.user_id") < col("bb.user_id"))
@@ -523,11 +558,20 @@ object EventOps extends QueryModule {
     * with id tie-breaks — and the ladder is integer thresholds on the
     * exact user count, so both engines deterministically pick the same
     * rung. */
-  def tsSimilarity(s: SparkSession, dir: String): DataFrame = {
+  def tsSimilarity(s: SparkSession, dir: String): DataFrame =
+    tsTopPairs(s, dir, None)
+
+  /** [[tsSimilarity]] with a cap OVERRIDE for the calibration sweep
+    * ([[graft.tools.CapSweep]]); the registered query always passes
+    * `None` → the shipped [[profCap]] ladder value. */
+  private[graft] def tsTopPairs(s: SparkSession, dir: String,
+                                capOverride: Option[Option[Long]]): DataFrame = {
     import s.implicits._
     val vecs = profileVecs(s, dir).persist() // bucket derivation + both distance sides
-    val (pt, pk) = profParams(vecs.count())
-    val withVecs = tsCandidates(vecs, pt, pk)
+    val nUsers = vecs.count()
+    val (pt, pk) = profParams(nUsers)
+    val cap = capOverride.getOrElse(profCap(nUsers))
+    val withVecs = tsCandidates(vecs, pt, pk, cap = cap)
       .join(vecs.select($"user_id".as("user_a"), $"vec".as("va")), "user_a")
       .join(vecs.select($"user_id".as("user_b"), $"vec".as("vb")), "user_b")
     pairDist(withVecs)
@@ -744,7 +788,9 @@ object EventOps extends QueryModule {
     val ptCase = steps.map { case (thr, _, pt) => s"WHEN nu >= $thr THEN $pt" }
       .mkString(" ")
     s"""SELECT CASE $pkCase ELSE $ProfProj END AS pk,
-       |         CASE $ptCase ELSE $ProfTables END AS pt
+       |         CASE $ptCase ELSE $ProfTables END AS pt,
+       |         CASE WHEN nu >= $ProfCapMinUsers THEN $ProfCap
+       |              ELSE NULL END AS cap
        |  FROM (SELECT count(*) AS nu FROM vecs)""".stripMargin
   }
 
@@ -935,9 +981,17 @@ object EventOps extends QueryModule {
         |), buckets AS (
         |  SELECT user_id, h // pk AS tbl, list(q ORDER BY h) AS qs
         |  FROM proj GROUP BY 1, 2
+        |), cbk AS (
+        |  SELECT user_id, tbl, qs FROM (
+        |    SELECT b.user_id, b.tbl, b.qs, par.cap,
+        |           row_number() OVER (PARTITION BY b.tbl, b.qs
+        |               ORDER BY ((b.user_id % 1000003) * 2654435761) % 1000003 ASC,
+        |                        b.user_id ASC) AS prn
+        |    FROM buckets b CROSS JOIN par)
+        |  WHERE cap IS NULL OR prn <= cap
         |), cand AS (
         |  SELECT DISTINCT ba.user_id AS user_a, bb.user_id AS user_b
-        |  FROM buckets ba JOIN buckets bb
+        |  FROM cbk ba JOIN cbk bb
         |    ON ba.tbl = bb.tbl AND ba.qs = bb.qs AND ba.user_id < bb.user_id
         |)
         |SELECT c.user_a, c.user_b,

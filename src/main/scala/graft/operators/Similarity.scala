@@ -3,7 +3,7 @@ package graft.operators
 import graft.{QueryModule, Tables}
 import graft.functions.ConstVectorDot.dotConst
 import graft.functions.VectorDot.vectorDot
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -192,6 +192,71 @@ object Similarity extends QueryModule {
     LshSteps.foldLeft((TABLES, BITS)) {
       case (acc, (thr, pt, pb)) => if (n >= thr) (pt, pb) else acc
     }
+
+  // ---- Hot-bucket postings cap (round 14). The ladder holds EXPECTED
+  // occupancy ~flat (n/2^bits ≈ 31→39 along the rungs), but measured
+  // candidates-per-query still grew ~10.7× across 20× corpus growth
+  // (SIMILARITY_SCALE_r13.json: 192→2,063) — bucket SKEW, not mean
+  // occupancy: embedding corpora concentrate direction mass, so a few
+  // buckets hold orders of magnitude more postings than the mean, and a
+  // query landing there pays the whole bucket. The dedup family's
+  // `maxDf` answer applies: cap CORPUS postings per (table, bucket) at a
+  // multiple of expected occupancy — only the skew tail is truncated
+  // (a uniform bucket never reaches 8× its expectation), and with
+  // multiple independent tables a truncated-away true neighbor usually
+  // survives in another table (recall cost measured per rung in
+  // SimilarityScaleBench / BASELINE.md). The kept subset is a
+  // DETERMINISTIC pseudo-random sample — ranked by the same knuth-hash
+  // the dedup audit sampler uses, never by raw vec_id (ids correlate
+  // with ingest order; hash rank keeps the cap unbiased) — so the
+  // DuckDB oracle rebuilds the identical subset. Active only at/above
+  // the first ladder rung: every driver SF (≤2k vectors) is below it,
+  // so gated hashes sit on the uncapped base rung, and the QUERY side
+  // is never capped (a query always probes its own buckets).
+  //
+  // Mult choice is MEASURED (CapSweep, 40k-vector rung (9,10), bucket
+  // sizes mean 41 / p99 591 / max 1269): deeper caps trade recall for
+  // volume near-linearly — mult 8 cut candidates/query 43% but
+  // multiprobe recall 0.545→0.484, mult 4 → 0.425 — because sign-LSH
+  // hot buckets CARRY SIGNAL (direction-mass concentration puts true
+  // neighbors in crowded signatures; same finding as the r10 E2LSH
+  // cap rejection), so a mean-occupancy-scale cap is rejected. Mult 16
+  // is the p99-tail trim: worst bucket bounded 1269→624 (the actual
+  // 100 TB risk — one pathological signature no longer dominates a
+  // probe join), candidates/query −17.6% for multiprobe −0.021
+  // (0.545→0.524; the trimmed tail carries ~2× less signal per
+  // candidate than average, so the cut is net-positive efficiency).
+  private[graft] val LshCapMinRows = 8192L
+  private[graft] val LshCapMult = 16L
+  private[graft] def lshPostingsCap(n: Long, bits: Int): Option[Long] =
+    if (n >= LshCapMinRows) Some(LshCapMult * math.max(1L, n >> bits)) else None
+
+  /** Knuth-hash rank column for deterministic postings sampling — the
+    * exact integer chain of [[Dedup.embeddingCosineAudit]]'s sampler
+    * (`(id % 1000003) * 2654435761 % 1000003`): modular reduce BEFORE
+    * the multiply keeps the product < 2.7e15 at any id, and the oracle
+    * SQL reproduces it verbatim. */
+  private[graft] def knuthRank(id: Column): Column =
+    id % lit(1000003L) * lit(2654435761L) % lit(1000003L)
+
+  /** Corpus bucket postings truncated to `cap` rows per (tbl, bucket),
+    * keeping the knuth-hash-ranked prefix (tie-break id). The window
+    * partitions on the bucket key itself, so only genuinely hot buckets
+    * sort more than ~expected-occupancy rows in one task; at 100 TB the
+    * capped relation is what the index stores at rest — downstream
+    * probe joins then have a hard per-bucket work bound. `idCol` names
+    * the posting id (vec_id here, user_id for the E2LSH profile form). */
+  private[graft] def capPostings(buckets: DataFrame, cap: Option[Long],
+                                 idCol: String = "vec_id",
+                                 keyCols: Seq[String] = Seq("tbl", "bucket")): DataFrame =
+    cap match {
+      case None => buckets
+      case Some(m) =>
+        val w = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(knuthRank(col(idCol)).asc, col(idCol).asc)
+        buckets.withColumn("prn", row_number().over(w))
+          .where(col("prn") <= m).drop("prn")
+    }
   /** Largest rung's plane demand — the shared pool size. */
   private val LshPoolSize: Int = LshSteps.last._2 * LshSteps.last._3
   private def lcg(x: Long): Long =
@@ -252,10 +317,11 @@ object Similarity extends QueryModule {
     * — which dominated sf1 wall-clock; the slim form moves 16 bytes/row
     * and re-attaches vectors once per SURVIVING pair, with AQE free to
     * broadcast the small query relation). */
-  private[graft] def lshCandidates(e: DataFrame, buckets: DataFrame): DataFrame = {
+  private[graft] def lshCandidates(e: DataFrame, buckets: DataFrame,
+                                   corpusBuckets: DataFrame): DataFrame = {
     val qb = buckets.join(queriesOf(e), col("vec_id") === col("query_id"))
       .select(col("query_id"), col("tbl"), col("bucket"))
-    qb.join(buckets.select(col("vec_id").as("neighbor_id"), col("tbl"), col("bucket")),
+    qb.join(corpusBuckets.select(col("vec_id").as("neighbor_id"), col("tbl"), col("bucket")),
         Seq("tbl", "bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"))
@@ -269,9 +335,11 @@ object Similarity extends QueryModule {
     val e = vecs(s, dir)
     // ladder rung from the exact corpus count (the count also warms the
     // persisted vecs relation every consumer reuses)
-    val (pt, pb) = lshParams(e.count())
+    val n = e.count()
+    val (pt, pb) = lshParams(n)
     val buckets = lshBuckets(e, tables = pt, bits = pb).persist()
-    rankTopK(lshCandidates(e, buckets), e)
+    val corpus = capPostings(buckets, lshPostingsCap(n, pb))
+    rankTopK(lshCandidates(e, buckets, corpus), e)
   }
 
   /** Multi-probe LSH ANN (Lv et al., "Multi-probe LSH", VLDB'07): each
@@ -338,11 +406,13 @@ object Similarity extends QueryModule {
   def topkLshMultiprobe(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = vecs(s, dir)
-    val (pt, pb) = lshParams(e.count())
+    val n = e.count()
+    val (pt, pb) = lshParams(n)
     val buckets = lshBuckets(e, tables = pt, bits = pb).persist()
     val qb = buckets.join(queriesOf(e), $"vec_id" === $"query_id")
       .select($"query_id", $"qv", $"qnorm", $"tbl", $"bucket")
-    rankTopK(multiprobeCandidates(qb, buckets, bits = pb), e)
+    val corpus = capPostings(buckets, lshPostingsCap(n, pb))
+    rankTopK(multiprobeCandidates(qb, corpus, bits = pb), e)
   }
 
   /** documents ⋈ embeddings (doc_id = vec_id): the metadata-to-vector
@@ -1094,17 +1164,39 @@ object Similarity extends QueryModule {
       s"($h, list_transform([${row.mkString(",")}], k -> k / 1000.0))"
     }.mkString(",\n")
 
-  /** The [[lshParams]] ladder as a one-row SQL relation `(pt, pb)`,
-    * generated from [[LshSteps]] so the two engines cannot drift on the
-    * rung thresholds. */
+  /** The [[lshParams]] ladder as a one-row SQL relation `(pt, pb, cap)`,
+    * generated from [[LshSteps]] / [[lshPostingsCap]] so the two engines
+    * cannot drift on the rung thresholds OR the hot-bucket cap: `cap` is
+    * the same `mult · max(1, n >> bits)` integer arithmetic (NULL below
+    * [[LshCapMinRows]], i.e. at every driver SF). */
   private def lshPrmCte: String = {
     val ptCases = LshSteps.reverse.map { case (thr, pt, _) =>
       s"WHEN count(*) >= $thr THEN $pt" }.mkString(" ")
     val pbCases = LshSteps.reverse.map { case (thr, _, pb) =>
       s"WHEN count(*) >= $thr THEN $pb" }.mkString(" ")
-    s"""prm AS (SELECT CASE $ptCases ELSE $TABLES END AS pt,
-       |             CASE $pbCases ELSE $BITS END AS pb FROM e)""".stripMargin
+    s"""prm0 AS (SELECT count(*) AS n,
+       |              CASE $ptCases ELSE $TABLES END AS pt,
+       |              CASE $pbCases ELSE $BITS END AS pb FROM e),
+       |prm AS (SELECT n, pt, pb,
+       |              CASE WHEN n >= $LshCapMinRows
+       |                   THEN $LshCapMult * greatest(1, n // (1 << pb))
+       |                   ELSE NULL END AS cap
+       |        FROM prm0)""".stripMargin
   }
+
+  /** Corpus-side capped postings as SQL — the [[capPostings]] mirror:
+    * per (tbl, bucket), keep the `cap` lowest rows by the identical
+    * knuth-hash rank (NULL cap keeps all). */
+  private def lshCapCte: String =
+    """cb AS (
+      |  SELECT vec_id, tbl, bucket FROM (
+      |    SELECT b.vec_id, b.tbl, b.bucket, prm.cap,
+      |           row_number() OVER (PARTITION BY b.tbl, b.bucket
+      |               ORDER BY ((b.vec_id % 1000003) * 2654435761) % 1000003 ASC,
+      |                        b.vec_id ASC) AS prn
+      |    FROM buckets b CROSS JOIN prm)
+      |  WHERE cap IS NULL OR prn <= cap
+      |)""".stripMargin
 
   /** The JL sign matrix as SQL VALUES rows `(j, sv DOUBLE[])`. */
   private def rpSqlValues: String =
@@ -1481,9 +1573,10 @@ object Similarity extends QueryModule {
          |  SELECT vec_id, h // pb AS tbl, sum(bit * (1 << (h % pb))) AS bucket
          |  FROM bits GROUP BY 1, 2
          |),
+         |$lshCapCte,
          |cand AS (
          |  SELECT DISTINCT qb.vec_id AS query_id, n.vec_id AS neighbor_id
-         |  FROM buckets qb JOIN buckets n ON qb.tbl = n.tbl AND qb.bucket = n.bucket
+         |  FROM buckets qb JOIN cb n ON qb.tbl = n.tbl AND qb.bucket = n.bucket
          |  WHERE qb.vec_id % 50 = 0 AND n.vec_id <> qb.vec_id
          |)
          |SELECT query_id, neighbor_id, rnk, score FROM (
@@ -1524,9 +1617,10 @@ object Similarity extends QueryModule {
          |    FROM (SELECT unnest(range(pb + 1)) AS i FROM prm)) AS f
          |  WHERE qb.vec_id % 50 = 0
          |),
+         |$lshCapCte,
          |cand AS (
          |  SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
-         |  FROM qprobes q JOIN buckets n ON q.tbl = n.tbl AND q.bucket = n.bucket
+         |  FROM qprobes q JOIN cb n ON q.tbl = n.tbl AND q.bucket = n.bucket
          |  WHERE n.vec_id <> q.vec_id
          |)
          |SELECT query_id, neighbor_id, rnk, score FROM (

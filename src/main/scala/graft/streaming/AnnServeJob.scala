@@ -43,8 +43,17 @@ object AnnServeStream {
     * follows the corpus-size ladder, like the registered batch query. */
   def corpusIndex(corpus: DataFrame): LshIndex = {
     val e = SemDedupStream.prepVecs(corpus).persist()
-    val (pt, pb) = Similarity.lshParams(e.count())
-    LshIndex(e, Similarity.lshBuckets(e, tables = pt, bits = pb).persist(), pt, pb)
+    val n = e.count()
+    val (pt, pb) = Similarity.lshParams(n)
+    // The index stores CAPPED postings (r14 hot-bucket cap, a pure
+    // function of the corpus size and rung): the probe join then has a
+    // hard per-bucket work bound no matter how skewed the corpus, and
+    // every consumer of the index inherits it for free.
+    LshIndex(e,
+      Similarity.capPostings(
+        Similarity.lshBuckets(e, tables = pt, bits = pb),
+        Similarity.lshPostingsCap(n, pb)).persist(),
+      pt, pb)
   }
 
   // ---- Materialized form (VERDICT r12 #4): the index above lives only in
@@ -105,8 +114,12 @@ object AnnServeStream {
       spark.read.parquet(corpusDir).select("vec_id", "embedding")).persist()
     val staging = s"$path.tmp-${java.lang.ProcessHandle.current().pid()}"
     try {
-      val (pt, pb) = Similarity.lshParams(e.count())
-      Similarity.lshBuckets(e, tables = pt, bits = pb)
+      val n = e.count()
+      val (pt, pb) = Similarity.lshParams(n)
+      // capped postings at rest — same relation [[corpusIndex]] serves
+      Similarity.capPostings(
+          Similarity.lshBuckets(e, tables = pt, bits = pb),
+          Similarity.lshPostingsCap(n, pb))
         .write.mode("overwrite").parquet(s"$staging/buckets")
       import spark.implicits._
       Seq((pt, pb)).toDF("tables", "bits").coalesce(1)

@@ -35,6 +35,10 @@ import org.apache.spark.sql.functions._
   *     name-grouped results keep per-replica distinctness.
   *
   * Run: `sbt "runMain graft.tools.MakeScale /root/testdata/sf0.1 /tmp/graft_sf1 10"`
+  * An optional 4th arg restricts output to a comma-listed table subset
+  * (e.g. `events,embeddings,documents` for the sf10 ladder probe, where
+  * replicating 60M lineitem rows would cost minutes for tables the
+  * probed queries never read).
   */
 object MakeScale {
 
@@ -44,6 +48,7 @@ object MakeScale {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft_sf1")
     val k = args.lift(2).map(_.toInt).getOrElse(10)
+    val tableFilter = args.lift(3).map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -62,10 +67,11 @@ object MakeScale {
     def tag(c: String, r: Int): Column2 =
       if (r == 0) col(c) else concat(col(c), lit(s"~$r"))
 
-    def write(name: String, df: DataFrame): Unit = {
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
-      println(s"$name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
-    }
+    def write(name: String, df: => DataFrame): Unit =
+      if (tableFilter.forall(_.contains(name))) {
+        df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+        println(s"$name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
+      }
 
     write("region", Tables.region(spark, src))
     write("nation", Tables.nation(spark, src))

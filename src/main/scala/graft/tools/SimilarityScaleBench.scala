@@ -151,7 +151,8 @@ object SimilarityScaleBench {
       // (VERDICT r10: at fixed k selectivity sat flat at 0.196 = Θ(n²);
       // the rung must drive it DOWN as users grow)
       val (pt, pk) = EventOps.profParams(users)
-      val candidates = EventOps.tsCandidates(vecs, pt, pk).count()
+      val candidates = EventOps.tsCandidates(vecs, pt, pk,
+        cap = EventOps.profCap(users)).count()
       val allPairs = users * (users - 1) / 2
       val t0 = System.nanoTime()
       EventOps.tsSimilarity(spark, dir).count()
@@ -197,7 +198,9 @@ object SimilarityScaleBench {
       val (pt, pb) = Similarity.lshParams(nVec)
       val nQueries = e.filter($"vec_id" % 50 === 0).count()
       val buckets = Similarity.lshBuckets(e, tables = pt, bits = pb).persist()
-      val candidates = Similarity.lshCandidates(e, buckets).count()
+      // the registered query's corpus side: hot-bucket-capped (r14)
+      val corpus = Similarity.capPostings(buckets, Similarity.lshPostingsCap(nVec, pb))
+      val candidates = Similarity.lshCandidates(e, buckets, corpus).count()
       val scanned = nQueries * (nVec - 1) // brute force would score this many
       val t0 = System.nanoTime()
       Similarity.topkLsh(spark, dir).count()

@@ -39,7 +39,8 @@ object Diag {
     occ.agg(max($"count"), avg($"count"), count(lit(1))).show()
     // top buckets
     occ.orderBy($"count".desc).show(5)
-    val cand = Similarity.lshCandidates(e, buckets)
+    val cand = Similarity.lshCandidates(e, buckets,
+      Similarity.capPostings(buckets, Similarity.lshPostingsCap(n, pb)))
     val nc = time("candidates count")(cand.count())
     println(s"DIAG candidates=$nc")
     time("rankTopK")(Similarity.rankTopK(cand, e).write.mode("overwrite").format("noop").save())
