@@ -133,8 +133,12 @@ object SimilarityScaleBench {
     }
 
     // ---- 2a. E2LSH profile-candidate selectivity as users grow K×
+    // (SPARK_GRAFT_SIM_EV_K narrows it, same contract as SPARK_GRAFT_SIM_K;
+    // "" skips the section)
     val ev = Tables.events(spark, sfDir)
-    Seq(1, 2, 5, 10).foreach { k =>
+    sys.env.get("SPARK_GRAFT_SIM_EV_K")
+      .map(_.split(",").filter(_.nonEmpty).map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(1, 2, 5, 10)).foreach { k =>
       val dir = s"/tmp/sim_scale/ev_x$k"
       (0 until k).map { r =>
         ev.select(
@@ -178,7 +182,12 @@ object SimilarityScaleBench {
     // rotation with NEGATION (also orthogonal: distances and |cos|
     // within a replica are preserved, and cross-replica cosines flip
     // sign, so no artificial near-dups are planted).
-    Seq(1, 2, 5, 10, 20, 66).foreach { k =>
+    // SPARK_GRAFT_SIM_K narrows the replica ladder for iteration on one
+    // rung (e.g. "66" re-measures only the top rung after a fix without
+    // re-paying the four lower corpora).
+    val kList = sys.env.get("SPARK_GRAFT_SIM_K")
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 2, 5, 10, 20, 66))
+    kList.foreach { k =>
       val dir = s"/tmp/sim_scale/emb_x$k"
       (0 until k).map { r =>
         val rot = r % 64
