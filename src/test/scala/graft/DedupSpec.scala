@@ -176,9 +176,15 @@ class DedupSpec extends AnyFunSuite {
 
   test("embcos audit releases its cached sample (ADVICE r13 leak)") {
     spark.catalog.clearCache()
-    val before = spark.sparkContext.getPersistentRDDs.size
+    // Compare ID SETS, not counts: earlier tests' localCheckpoint RDDs
+    // (union-find rounds) linger in getPersistentRDDs until the
+    // ContextCleaner GC-collects them, which can happen asynchronously
+    // DURING this test — a count equality races against that cleanup.
+    // The audit is leak-free iff it leaves behind no NEW persisted RDD.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     Dedup.embeddingCosineAudit(spark, TestSpark.sf).collect()
-    assert(spark.sparkContext.getPersistentRDDs.size === before,
-      "embeddingCosineAudit leaked a cached relation")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"embeddingCosineAudit leaked cached relation(s): RDD ids $leaked")
   }
 }
