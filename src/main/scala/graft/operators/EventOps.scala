@@ -435,7 +435,16 @@ object EventOps extends QueryModule {
     // L=40 on the 15k-user corpus (the K=10 top-20 are ~20 independent
     // amplification trials, 17/20 either way) with selectivity 0.089 vs
     // 0.105 — equal recall, 30% less candidate work, so the floor wins.
-    (5000L, 6, 24), (12500L, 7, 32), (31250L, 8, 53))
+    // 4th rung (round 14): the sf10 probe measured the (8,53) top rung
+    // one decade up (150k users) at 2,817 candidates/user — 4.2× per
+    // decade — and 175 s wall even after the broadcast-verify fix. The
+    // CapSweep rung sweep at 150k (ts-shifted replicas, brute ground
+    // truth): 9×64 → 2,581/user, 10×72 → 2,017, 11×80 → 1,429 (79.5 s),
+    // all at recall 1.00 with cap 400. 11×80 holds candidates/user
+    // growth at ~2.1× per decade (666 → 1,429 from the 15k rung) —
+    // inside the ≤3× target the sign-LSH family meets. Threshold keeps
+    // the ladder's ×2.5 geometric spacing.
+    (5000L, 6, 24), (12500L, 7, 32), (31250L, 8, 53), (78125L, 11, 80))
   private[graft] def profParams(nUsers: Long): (Int, Int) =
     ProfSteps.foldLeft((ProfTables, ProfProj)) {
       case (acc, (thr, pk, pt)) => if (nUsers >= thr) (pt, pk) else acc
@@ -565,17 +574,43 @@ object EventOps extends QueryModule {
     * ([[graft.tools.CapSweep]]); the registered query always passes
     * `None` → the shipped [[profCap]] ladder value. */
   private[graft] def tsTopPairs(s: SparkSession, dir: String,
-                                capOverride: Option[Option[Long]]): DataFrame = {
+                                capOverride: Option[Option[Long]],
+                                rungOverride: Option[(Int, Int)] = None): DataFrame = {
     import s.implicits._
     val vecs = profileVecs(s, dir).persist() // bucket derivation + both distance sides
     val nUsers = vecs.count()
-    val (pt, pk) = profParams(nUsers)
+    val (pt, pk) = rungOverride.getOrElse(profParams(nUsers))
     val cap = capOverride.getOrElse(profCap(nUsers))
+    // Verify-join shape (r14, found by the sf10 probe): the candidate
+    // relation is the BIG side (candidates/user × users — 10⁸⁺ slim pairs
+    // one decade above the top rung), while the profile relation is
+    // |users| × ~230 B. Between 10 MB and autoBroadcast's ceiling Spark
+    // picks sort-merge: the measured sf10 plan shuffled + sorted the
+    // whole candidate relation TWICE (once per vector re-attach join) —
+    // 345 s wall, executor page-allocation thrash. Profiles at ≤500k
+    // users are ≤ ~120 MB — well inside executor memory at any sane
+    // config — so broadcast them explicitly and the verify becomes a
+    // map-only pipeline into the TakeOrdered(20) heap. Above the bound
+    // (profiles genuinely too big to ship) the sort-merge join IS the
+    // right 100 TB shape: candidates partition by user key and the
+    // profile side co-shuffles once per join. Plan-only switch on the
+    // already-computed exact count — results, oracle, hashes unchanged.
+    val fits = nUsers <= BroadcastProfileMaxUsers
+    def side(col: String, as: String) = {
+      val p = vecs.select($"user_id".as(col), $"vec".as(as))
+      if (fits) broadcast(p) else p
+    }
     val withVecs = tsCandidates(vecs, pt, pk, cap = cap)
-      .join(vecs.select($"user_id".as("user_a"), $"vec".as("va")), "user_a")
-      .join(vecs.select($"user_id".as("user_b"), $"vec".as("vb")), "user_b")
+      .join(side("user_a", "va"), "user_a")
+      .join(side("user_b", "vb"), "user_b")
     pairDist(withVecs)
   }
+
+  /** Max user count whose 24-dim profile relation we'll broadcast to the
+    * verify joins (~230 B/row → ~120 MB at the bound; the driver-side
+    * collect a broadcast implies is bounded the same way the dedup
+    * family's broadcast relations are). */
+  private[graft] val BroadcastProfileMaxUsers = 500000L
 
   /** Keyed first-event extraction (streaming dedup-by-key analog):
     * earliest event per (user_id, event_type), ties broken by event_id. */

@@ -79,6 +79,26 @@ object Similarity extends QueryModule {
   private val NCENT = 16
   private val NPROBE = 4
 
+  // ---- Plain-IVF cell-count ladder (round 14, sf10-probe follow-up).
+  // The last fixed-grid member of the ANN family: at (16, 4) the probe
+  // step scans a flat 25% of a growing corpus, and the sf10 probe
+  // measured the consequence — per-query verify cost rose once scoring
+  // dominated (35.9 s total at 200k vectors). Same design as
+  // [[IvfPqSteps]]: cells ~√n (bounded expected cell size), nprobe
+  // rising slower so the scan fraction FALLS 25% → 12.5% → 9.4% →
+  // 6.25% along the rungs; integer thresholds mirrored into the oracle
+  // CASE, anchored above every driver SF so gated hashes stay on the
+  // historical (16, 4) base. First-n seed centroids stay the family's
+  // documented teaching form — the trained-centroid production path is
+  // [[topkIvfPq]], which already ladders.
+  private[graft] val IvfSteps: Seq[(Long, Int, Int)] = Seq(
+    // (min corpus rows, cells, nprobe)
+    (8192L, 64, 8), (32768L, 128, 12), (131072L, 256, 16))
+  private[graft] def ivfParams(n: Long): (Int, Int) =
+    IvfSteps.foldLeft((NCENT, NPROBE)) {
+      case (acc, (thr, c, p)) => if (n >= thr) (c, p) else acc
+    }
+
   private[graft] def centroidsOf(e: DataFrame, ncent: Int = NCENT): DataFrame =
     broadcast(e.filter(col("vec_id") < ncent)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cnorm")))
@@ -135,14 +155,17 @@ object Similarity extends QueryModule {
   def topkIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = vecs(s, dir)
-    val cent = centroidsOf(e)
+    // ladder rung from the exact corpus count (also warms the persisted
+    // vecs relation every consumer reuses — the topkLsh convention)
+    val (cells, nprobe) = ivfParams(e.count())
+    val cent = centroidsOf(e, cells)
     val assign = cellAssignment(e, cent)
 
     val probeW = Window.partitionBy($"query_id").orderBy($"qcos".desc, $"cid".asc)
     val probes = queriesOf(e).join(cent)
       .withColumn("qcos", round(vectorDot($"qv", $"cv") / ($"qnorm" * $"cnorm"), 6))
       .withColumn("prn", row_number().over(probeW))
-      .where($"prn" <= NPROBE)
+      .where($"prn" <= nprobe)
       .select($"query_id", $"qv", $"qnorm", $"cid")
 
     val byQuery = Window.partitionBy($"query_id").orderBy($"score".desc, $"neighbor_id".asc)
@@ -1273,6 +1296,19 @@ object Similarity extends QueryModule {
     * `iprm(cells, nprobe)`, generated from [[IvfPqSteps]] so the two
     * engines cannot drift on the rung thresholds (the [[lshPrmCte]]
     * pattern). */
+  /** The [[ivfParams]] plain-IVF ladder as a one-row SQL relation
+    * `vprm(cells, nprobe)` — generated from [[IvfSteps]] so the two
+    * engines cannot drift on the rung thresholds (the [[ivfPrmCte]]
+    * pattern). */
+  private def ivfPlainPrmCte: String = {
+    val cCases = IvfSteps.reverse.map { case (thr, c, _) =>
+      s"WHEN count(*) >= $thr THEN $c" }.mkString(" ")
+    val pCases = IvfSteps.reverse.map { case (thr, _, p) =>
+      s"WHEN count(*) >= $thr THEN $p" }.mkString(" ")
+    s"""vprm AS (SELECT CASE $cCases ELSE $NCENT END AS cells,
+       |              CASE $pCases ELSE $NPROBE END AS nprobe FROM e)""".stripMargin
+  }
+
   private def ivfPrmCte: String = {
     val cCases = IvfPqSteps.reverse.map { case (thr, c, _) =>
       s"WHEN count(*) >= $thr THEN $c" }.mkString(" ")
@@ -1523,14 +1559,24 @@ object Similarity extends QueryModule {
          |ORDER BY query_id, rnk""".stripMargin,
     "sim_topk_ivf" ->
       s"""$vecCte,
-         |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e WHERE vec_id < $NCENT),
+         |$ivfPlainPrmCte,
+         |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e
+         |      WHERE vec_id < (SELECT cells FROM vprm)),
+         |-- scores pre-projected to slim (id, cid, sc) rows BEFORE each
+         |-- window: at rung-active corpus sizes the n×cells relation is
+         |-- 10⁷⁺ rows, and a window sort that carries the 64-double
+         |-- vector lists through it spills past any memory budget; the
+         |-- rounded score is the same value either way (r14).
+         |ascore AS (
+         |  SELECT e.vec_id, c.cid,
+         |         round(list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm), 6) AS sc
+         |  FROM e CROSS JOIN c),
          |assign AS (
          |  SELECT vec_id, cid FROM (
-         |    SELECT e.vec_id, c.cid,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |               ORDER BY round(list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm), 6) DESC,
-         |                        c.cid ASC) AS rn
-         |    FROM e CROSS JOIN c)
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id
+         |               ORDER BY sc DESC, cid ASC) AS rn
+         |    FROM ascore)
          |  WHERE rn = 1
          |),
          |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM e WHERE vec_id % 50 = 0),
@@ -1541,18 +1587,29 @@ object Similarity extends QueryModule {
          |               ORDER BY round(list_dot_product(q.qv, c.cv) / (q.qnrm * c.cnrm), 6) DESC,
          |                        c.cid ASC) AS rn
          |    FROM q CROSS JOIN c)
-         |  WHERE rn <= $NPROBE
+         |  WHERE rn <= (SELECT nprobe FROM vprm)
+         |),
+         |-- candidate pairs stay SLIM and pure-equi-join until the
+         |-- vectors attach: with the <> predicate inside the e-join the
+         |-- planner can (and at 200k vectors, did) pick an order that
+         |-- materializes list-carrying intermediates and spills ~80 GB
+         |cpair AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id
+         |  FROM probes p JOIN assign a ON p.cid = a.cid
+         |  WHERE a.vec_id <> p.query_id
+         |),
+         |cscore AS (
+         |  SELECT cp.query_id, cp.neighbor_id,
+         |         round(list_dot_product(q.qv, e.v) / (q.qnrm * e.nrm), 6) AS score
+         |  FROM cpair cp
+         |  JOIN e ON e.vec_id = cp.neighbor_id
+         |  JOIN q ON q.query_id = cp.query_id
          |)
          |SELECT query_id, neighbor_id, rnk, score FROM (
-         |  SELECT p.query_id, a.vec_id AS neighbor_id,
-         |         round(list_dot_product(q.qv, e.v) / (q.qnrm * e.nrm), 6) AS score,
-         |         row_number() OVER (PARTITION BY p.query_id
-         |             ORDER BY round(list_dot_product(q.qv, e.v) / (q.qnrm * e.nrm), 6) DESC,
-         |                      a.vec_id ASC) AS rnk
-         |  FROM probes p
-         |  JOIN assign a ON p.cid = a.cid
-         |  JOIN e ON e.vec_id = a.vec_id AND e.vec_id <> p.query_id
-         |  JOIN q ON q.query_id = p.query_id
+         |  SELECT query_id, neighbor_id, score,
+         |         row_number() OVER (PARTITION BY query_id
+         |             ORDER BY score DESC, neighbor_id ASC) AS rnk
+         |  FROM cscore
          |)
          |WHERE rnk <= $K
          |ORDER BY query_id, rnk""".stripMargin,

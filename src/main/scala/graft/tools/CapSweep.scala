@@ -67,6 +67,38 @@ object CapSweep {
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$edir/embeddings.parquet")
 
+    // ---- E2LSH rung sweep (round 14, sf10-probe follow-up): when
+    // SPARK_GRAFT_SWEEP_TS_RUNGS="8x53:400,9x64:400,…" is set, sweep
+    // (pk, pt, cap) LADDER CANDIDATES at the EVK corpus instead of the
+    // cap sweep — the measurement behind any rung added above the shipped
+    // ProfSteps top. Brute ground truth runs ONCE (global top-20 over
+    // C(n,2) pairs — minutes at 150k users, the one-off price of a real
+    // recall number at the probed decade).
+    sys.env.get("SPARK_GRAFT_SWEEP_TS_RUNGS").foreach { spec =>
+      val vecs = EventOps.profileVecs(spark, dir).persist()
+      val users = vecs.count()
+      var t0 = System.nanoTime()
+      val brute = EventOps.tsSimilarityBrute(spark, dir)
+        .select("user_a", "user_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(s"""{"sweep":"ts_rung","users":$users,"brute_sec":${r3((System.nanoTime() - t0) / 1e9)}}""")
+      spec.split(",").foreach { cfg =>
+        val Array(rung, capS) = cfg.split(":")
+        val Array(pkS, ptS) = rung.split("x")
+        val (pk, pt, cap) = (pkS.toInt, ptS.toInt, capS.toLong)
+        t0 = System.nanoTime()
+        val cands = EventOps.tsCandidates(vecs, pt, pk, cap = Some(cap)).count()
+        val candSec = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val top = EventOps.tsTopPairs(spark, dir, Some(Some(cap)), Some((pt, pk)))
+          .select("user_a", "user_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val fullSec = (System.nanoTime() - t0) / 1e9
+        val rec = top.intersect(brute).size.toDouble / brute.size
+        println(s"""{"sweep":"ts_rung","pk":$pk,"pt":$pt,"cap":$cap,"candidates":$cands,"cands_per_user":${r3(cands.toDouble / users)},"recall":${r3(rec)},"cand_sec":${r3(candSec)},"full_sec":${r3(fullSec)}}""")
+      }
+      spark.stop()
+      return
+    }
+
     // ---- E2LSH profile pairs: bucket tail + cap sweep
     val vecs = EventOps.profileVecs(spark, dir).persist()
     val users = vecs.count()
@@ -95,7 +127,7 @@ object CapSweep {
     val buckets = Similarity.lshBuckets(e, tables = lt, bits = lb).persist()
     val tail = buckets.groupBy($"tbl", $"bucket").agg(count(lit(1)).as("m"))
       .agg(max($"m").as("mx"), expr("approx_percentile(m, 0.99)").as("p99"),
-           avg($"m").as("mean")).head
+           avg($"m").as("mean")).head()
     println(s"""{"sweep":"signlsh","vectors":$n,"tables":$lt,"bits":$lb,"bucket_max":${tail.getLong(0)},"bucket_p99":${tail.getLong(1)},"bucket_mean":${r3(tail.getDouble(2))}}""")
     val bf = Similarity.topkBruteForce(spark, edir)
       .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -103,7 +103,7 @@ object SimilarityScaleBench {
         .select($"query_id", $"cid")
       val scanned = probes.join(cellSizes, "cid")
         .groupBy($"query_id").agg(sum($"csz").as("scanned"))
-        .agg(avg($"scanned")).head.getDouble(0)
+        .agg(avg($"scanned")).head().getDouble(0)
       spark.catalog.clearCache()
       (n, cells, nprobe, scanned / n)
     }
@@ -237,6 +237,39 @@ object SimilarityScaleBench {
         spark.catalog.clearCache()
         val (_, cells, nprobe, frac) = ivfPqScanFraction(dir)
         println(s"""{"bench":"ann_ivfpq_scale","k":$k,"vectors":$nVec,"cells":$cells,"nprobe":$nprobe,"scan_fraction":${r3(frac)},"recall":${r3(ivfpqRec)},"sec":${r3(isec)}}""")
+      }
+
+      // Plain IVF at THIS corpus size (r14, sf10-probe follow-up): the
+      // last fixed-grid family member gained the same cell ladder —
+      // scan fraction must fall along the rungs (was flat 25% at
+      // (16, 4)) while recall@5 is recorded per rung.
+      {
+        val t1 = System.nanoTime()
+        val ivfRec = nbrSet(Similarity.topkIvf(spark, dir))
+          .intersect(bf).size.toDouble / bf.size
+        val isec = (System.nanoTime() - t1) / 1e9
+        val (icells, inprobe) = Similarity.ivfParams(nVec)
+        // MEASURED scanned fraction (cell sizes are uneven with first-n
+        // seeds — the nominal nprobe/cells ratio would flatter it), the
+        // ivfPqScanFraction method on the plain-centroid assignment
+        val icent = Similarity.centroidsOf(e, icells)
+        val isizes = Similarity.cellAssignment(e, icent)
+          .groupBy($"cid").agg(count(lit(1)).as("csz"))
+        val iprobeW = org.apache.spark.sql.expressions.Window
+          .partitionBy($"query_id").orderBy($"qcos".desc, $"cid".asc)
+        val ifrac = e.where($"vec_id" % 50 === 0)
+          .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"))
+          .join(icent)
+          .withColumn("qcos", round(graft.functions.VectorDot.vectorDot($"qv", $"cv")
+            / ($"qnorm" * $"cnorm"), 6))
+          .withColumn("prn", row_number().over(iprobeW))
+          .where($"prn" <= inprobe)
+          .select($"query_id", $"cid")
+          .join(isizes, "cid")
+          .groupBy($"query_id").agg(sum($"csz").as("scanned"))
+          .agg(avg($"scanned")).head().getDouble(0) / nVec
+        spark.catalog.clearCache()
+        println(s"""{"bench":"ann_ivf_scale","k":$k,"vectors":$nVec,"cells":$icells,"nprobe":$inprobe,"scan_fraction":${r3(ifrac)},"recall":${r3(ivfRec)},"sec":${r3(isec)}}""")
       }
 
       // per-trigger serving cost at THIS corpus size (r13): the serve

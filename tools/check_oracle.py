@@ -29,6 +29,16 @@ def norm(v):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # In-memory DuckDB cannot spill (no temp_directory), so its default
+    # memory budget OOMs on the ladder oracles' 1e8-pair intermediate
+    # relations at rung-active corpus sizes (the 150k-user E2LSH check).
+    # The driver's gate runs at sf0.01 where this is irrelevant; for
+    # local rung-activation checks give it a spill dir + the host's RAM.
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
+    con.sql("SET memory_limit='96GB'")
+    # Fewer threads = fewer per-thread operator buffers for the
+    # window/list-agg-heavy ladder oracles (correctness unaffected).
+    con.sql(f"SET threads TO {os.environ.get('ORACLE_THREADS', '8')}")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(p):
