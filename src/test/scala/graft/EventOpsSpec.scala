@@ -61,8 +61,13 @@ class EventOpsSpec extends AnyFunSuite {
     assert(EventOps.profParams(5000L) === ((24, 6)))
     assert(EventOps.profParams(12500L) === ((32, 7)))
     assert(EventOps.profParams(31250L) === ((53, 8)))
+    // r14 4th rung (sf10 probe): holds candidates/user ~2.1×/decade at
+    // 150k users where (8,53) had reverted to linear growth
+    assert(EventOps.profParams(78124L) === ((53, 8)))
+    assert(EventOps.profParams(78125L) === ((80, 11)))
+    assert(EventOps.profParams(150000L) === ((80, 11)))
     // amplification must be monotone: bigger corpora never hash LESS
-    val rungs = Seq(1L, 5000L, 12500L, 31250L, 1000000L).map(EventOps.profParams)
+    val rungs = Seq(1L, 5000L, 12500L, 31250L, 78125L, 1000000L).map(EventOps.profParams)
     assert(rungs.sliding(2).forall { case Seq((t1, k1), (t2, k2)) =>
       t2 >= t1 && k2 >= k1 })
   }

@@ -81,6 +81,21 @@ class SimilaritySpec extends AnyFunSuite {
       c2 > c1 && p2.toDouble / c2 < p1.toDouble / c1 })
   }
 
+  test("plain-IVF cell ladder rungs are pinned (oracle vprm CASE mirrors them)") {
+    import operators.Similarity.ivfParams
+    // bench SFs (≤2,000 vectors) stay on the historical (16, 4) grid
+    assert(ivfParams(500L) === (16, 4))
+    assert(ivfParams(2000L) === (16, 4))
+    assert(ivfParams(8191L) === (16, 4))
+    assert(ivfParams(8192L) === (64, 8))
+    assert(ivfParams(32768L) === (128, 12))
+    assert(ivfParams(131072L) === (256, 16))
+    // nominal scan fraction strictly falls across rungs (25% → 6.25%)
+    val rungs = Seq(1L, 8192L, 32768L, 131072L).map(ivfParams)
+    assert(rungs.sliding(2).forall { case Seq((c1, p1), (c2, p2)) =>
+      c2 > c1 && p2.toDouble / c2 < p1.toDouble / c1 })
+  }
+
   test("IVF-PQ above the base rung: serve-from-index == train-in-query, sane top-k") {
     // a 2×-replicated corpus past the first rung threshold exercises the
     // parametric (cells, nprobe) path end-to-end — the oracle gate only
