@@ -63,6 +63,18 @@ class PlanSpec extends AnyFunSuite {
     // one e2lsh_keys per row replaced the per-projection dotConst array,
     // which fell off the whole-stage JIT cliff at wide ladder rungs)
     assert(p.contains("e2lsh_keys"), p)
+    // r14: the exact-verify joins BROADCAST the ≤500k-user profile
+    // relation — at 150k users the profile side sat just above the
+    // 10 MB autoBroadcast threshold and Spark sort-merged the 10⁸-pair
+    // candidate relation twice (sf10 probe: 345 s → 159 s). The
+    // physical plan can't distinguish our hint from AQE's small-SF
+    // auto-broadcast here, so pin the HINTS in the analyzed logical
+    // plan: one per verify side (corpus-size-independent, unlike AQE).
+    assert(p.contains("BroadcastHashJoin"), p)
+    val logical = graft.SparkEntry.queries("ev_ts_similarity")(spark, TestSpark.sf)
+      .queryExecution.analyzed.toString
+    assert("(?s)ResolvedHint.*ResolvedHint".r.findFirstIn(logical).isDefined,
+      s"expected two broadcast hints on the profile verify joins:\n$logical")
   }
 
   test("events scan prunes columns for windowed count") {
