@@ -115,6 +115,29 @@ object Similarity extends QueryModule {
     * historical 16-cell behavior at the driver's SFs bit-for-bit. The
     * 1024 cap marks where first-n "centroids" should hand over to
     * trained ones (the [[ivfPqCentroids]] path). */
+  // ---- Trained-centroid hand-over (round 14, closing the documented
+  // residue): past [[SemTrainedMinRows]] the first-n seed rule stops
+  // being representative (seeds all live in the earliest corpus slice)
+  // and the 1,024-cell cap would turn the within-cell pair term back
+  // into a growing fraction of n². The top rung hands over to
+  // [[ivfPqCentroids]] — the same TrainCap-bounded deterministic
+  // spherical Lloyd the IVF×PQ coarse quantizer uses, whose SQL mirror
+  // ([[semKmCte]], the [[ivfKmCte]] chain at this rung's cell count)
+  // keeps the oracle bit-identical. Cell count doubles at the hand-over
+  // (expected cell ~n/2048 at the rung floor), and training cost is
+  // FIXED by the cap — the 100 TB shape. Gated SFs (≤2,048 vectors) sit
+  // three rungs below; integer threshold, the profParams contract.
+  private[graft] val SemTrainedMinRows = 131072L
+  private[graft] val SemTrainedCells = 2048
+  /** (cell count, trained?) for a corpus of n vectors — the semdedup
+    * centroid rule both engines derive from the same constants. */
+  private[graft] def semPlan(n: Long): (Int, Boolean) =
+    if (n >= SemTrainedMinRows) (SemTrainedCells, true) else (semCells(n), false)
+  private[graft] def semCentroids(e: DataFrame, n: Long): DataFrame = {
+    val (cells, trained) = semPlan(n)
+    if (trained) ivfPqCentroids(e, cells) else centroidsOf(e, cells)
+  }
+
   private[graft] def semCells(n: Long): Int =
     if (n <= 2048L) 16
     else if (n <= 8192L) 64
@@ -473,8 +496,21 @@ object Similarity extends QueryModule {
     import s.implicits._
     val e = vecs(s, dir)
     // count() is one metadata-cheap job; the ladder keeps cell size
-    // bounded as the corpus grows (see [[semCells]])
-    val assign = cellAssignment(e, centroidsOf(e, semCells(e.count())))
+    // bounded as the corpus grows, and past [[SemTrainedMinRows]] the
+    // centroids are TRAINED (see [[semPlan]]). Assignment is the SLIM
+    // argmin — (vec_id, cid) only, vectors re-attached by join from the
+    // persisted corpus afterward: at the trained rung the n×cells
+    // relation is 4×10⁸ rows, and carrying the 64-double vector inside
+    // every aggregation-buffer struct (the [[cellAssignment]] shape,
+    // fine at ≤10⁸ rows) overruns the 8 GB driver contract heap.
+    val slim = e.join(semCentroids(e, e.count()))
+      .withColumn("ccos",
+        round(vectorDot($"v", $"cv") / ($"norm" * $"cnorm"), 6))
+      .withColumn("ccos", nanvl($"ccos", lit(1.0)))
+      .groupBy($"vec_id")
+      .agg(min(struct((lit(1.0) - $"ccos").as("d"), $"cid".as("c"))).as("m"))
+      .select($"vec_id", $"m.c".as("cid"))
+    val assign = slim.join(e, "vec_id")
     assign.as("a").join(assign.as("b"),
         $"a.cid" === $"b.cid" && $"a.vec_id" < $"b.vec_id")
       .withColumn("score",
@@ -946,13 +982,18 @@ object Similarity extends QueryModule {
       // map-side-combined argmax (see cellAssignment): v rides inside
       // the struct-min, one row per vector reaches the shuffle; training
       // runs on the bounded [[trainSample]], encoding stays full-corpus
+      // slim argmin (d, cid) with the vector re-attached by join: at
+      // the semdedup trained rung this runs at TrainCap × 2,048 cells
+      // (1.3×10⁸ rows), and a 64-double vector inside every agg-buffer
+      // struct overruns the 8 GB driver-contract heap (r14)
       val assigned = trainSample(e).join(broadcast(cb))
         .withColumn("ccos",
           round(vectorDot($"v", $"cv") / ($"norm" * $"cnorm"), 6))
         .groupBy($"vec_id")
-        .agg(min(struct((lit(1.0) - $"ccos").as("d"), $"cid".as("c"),
-          $"v".as("v"))).as("m"))
-        .select($"m.c".as("cid"), $"m.v".as("v"))
+        .agg(min(struct((lit(1.0) - $"ccos").as("d"), $"cid".as("c"))).as("m"))
+        .select($"vec_id", $"m.c".as("cid"))
+        .join(trainSample(e).select($"vec_id", $"v"), "vec_id")
+        .select($"cid", $"v")
       val sums = assigned.groupBy($"cid")
         .agg(count(lit(1)).as("n"),
           (0 until DIM).map(j =>
@@ -1296,6 +1337,50 @@ object Similarity extends QueryModule {
     * `iprm(cells, nprobe)`, generated from [[IvfPqSteps]] so the two
     * engines cannot drift on the rung thresholds (the [[lshPrmCte]]
     * pattern). */
+  /** The semdedup trained-centroid Lloyd chain — the [[ivfKmCte]]
+    * structure at [[SemTrainedCells]] cells with `s`-prefixed CTE names
+    * (so it can coexist with the first-n chain in one query), ending in
+    * `scent(cid, cv, cnrm)`. Mirrors [[ivfPqCentroids]] step for step:
+    * first-`cells` seeds, [[PqLloydIters]] rounds of rounded-cosine
+    * assignment over the [[TrainCap]]-bounded sample (lowest-cid ties)
+    * and exact scaled-integer means, empty cells keeping their previous
+    * centroid. */
+  private def semKmCte: String = {
+    val iters = (1 to PqLloydIters).map { i =>
+      val prev = if (i == 1) "sb0" else s"sb${i - 1}"
+      s"""sa$i AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |               ORDER BY round(list_dot_product(e.v, c.cv)
+         |                        / (e.nrm * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+         |                        c.cid ASC) AS rn
+         |    FROM strain e CROSS JOIN $prev c)
+         |  WHERE rn = 1
+         |),
+         |sm$i AS (
+         |  SELECT a.cid, g.j, count(*) AS n,
+         |         CAST(sum(CAST(floor(e.v[g.j] * $PqScaleSql) AS BIGINT)) AS BIGINT) AS sj
+         |  FROM sa$i a JOIN strain e ON e.vec_id = a.vec_id
+         |  CROSS JOIN generate_series(1, $DIM) g(j)
+         |  GROUP BY a.cid, g.j
+         |),
+         |sb$i AS (
+         |  SELECT b0.cid, COALESCE(c2.cv, b0.cv) AS cv
+         |  FROM $prev b0
+         |  LEFT JOIN (SELECT cid,
+         |                    list((CAST(sj AS DOUBLE) / $PqScaleSql) / n ORDER BY j) AS cv
+         |             FROM sm$i GROUP BY cid) c2 ON c2.cid = b0.cid
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""strain AS (SELECT * FROM e WHERE vec_id < $TrainCap),
+       |sb0 AS (SELECT vec_id AS cid, v AS cv FROM e
+       |        WHERE vec_id < $SemTrainedCells),
+       |$iters,
+       |scent AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnrm
+       |          FROM sb$PqLloydIters)""".stripMargin
+  }
+
   /** The [[ivfParams]] plain-IVF ladder as a one-row SQL relation
     * `vprm(cells, nprobe)` — generated from [[IvfSteps]] so the two
     * engines cannot drift on the rung thresholds (the [[ivfPrmCte]]
@@ -1694,27 +1779,44 @@ object Similarity extends QueryModule {
          |ORDER BY query_id, rnk""".stripMargin,
     "sim_semdedup" ->
       s"""$vecCte,
-         |p AS (SELECT CASE WHEN count(*) <= 2048 THEN 16
+         |p AS (SELECT count(*) AS n,
+         |             CASE WHEN count(*) <= 2048 THEN 16
          |             WHEN count(*) <= 8192 THEN 64
          |             WHEN count(*) <= 32768 THEN 256
          |             ELSE 1024 END AS nc FROM e),
-         |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e, p WHERE vec_id < p.nc),
+         |$semKmCte,
+         |-- centroid hand-over (the Scala semPlan rule): first-n seeds
+         |-- below the trained threshold, the Lloyd chain at/above it
+         |cfirst AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm
+         |           FROM e, p WHERE vec_id < p.nc),
+         |c AS (SELECT * FROM cfirst WHERE (SELECT n FROM p) < $SemTrainedMinRows
+         |      UNION ALL
+         |      SELECT * FROM scent WHERE (SELECT n FROM p) >= $SemTrainedMinRows),
+         |-- scores pre-projected to slim rows before the window (the
+         |-- sim_topk_ivf lesson: a list-carrying window sort over the
+         |-- n×cells relation spills past any budget at rung sizes)
+         |ascore AS (
+         |  SELECT e.vec_id, c.cid,
+         |         round(list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm), 6) AS sc
+         |  FROM e CROSS JOIN c),
          |assign AS (
          |  SELECT vec_id, cid FROM (
-         |    SELECT e.vec_id, c.cid,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |               ORDER BY round(list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm), 6) DESC,
-         |                        c.cid ASC) AS rn
-         |    FROM e CROSS JOIN c)
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id
+         |               ORDER BY sc DESC, cid ASC) AS rn
+         |    FROM ascore)
          |  WHERE rn = 1
+         |),
+         |cpair AS (
+         |  SELECT a.cid AS cell, a.vec_id AS keep_id, b.vec_id AS drop_id
+         |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
          |)
          |SELECT cell, keep_id, drop_id, score FROM (
-         |  SELECT a.cid AS cell, a.vec_id AS keep_id, b.vec_id AS drop_id,
+         |  SELECT cp.cell, cp.keep_id, cp.drop_id,
          |         round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS score
-         |  FROM assign a
-         |  JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
-         |  JOIN e x ON x.vec_id = a.vec_id
-         |  JOIN e y ON y.vec_id = b.vec_id
+         |  FROM cpair cp
+         |  JOIN e x ON x.vec_id = cp.keep_id
+         |  JOIN e y ON y.vec_id = cp.drop_id
          |)
          |WHERE score >= $SemThreshold
          |ORDER BY keep_id, drop_id""".stripMargin,

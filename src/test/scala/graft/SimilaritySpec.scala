@@ -168,5 +168,12 @@ class SimilaritySpec extends AnyFunSuite {
     val ns = Seq(1L, 2048L, 2049L, 8193L, 32769L, 10000000L)
     assert(ns.map(operators.Similarity.semCells).sliding(2)
       .forall { case Seq(a, b) => b >= a })
+    // r14 trained hand-over: past the top first-n rung the centroids
+    // come from the TrainCap-bounded Lloyd (the ivfPqCentroids path,
+    // semKmCte mirror); cell count doubles at the hand-over. Measured
+    // at 200k vectors: pair term 19.6M → 10.1M, max cell 263 → 147.
+    assert(operators.Similarity.semPlan(131071L) === ((1024, false)))
+    assert(operators.Similarity.semPlan(131072L) === ((2048, true)))
+    assert(operators.Similarity.semPlan(10000000L) === ((2048, true)))
   }
 }
