@@ -138,6 +138,23 @@ object Similarity extends QueryModule {
     if (trained) ivfPqCentroids(e, cells) else centroidsOf(e, cells)
   }
 
+  /** SLIM max-cosine cell per corpus vector — (vec_id, cid) only, the
+    * assignment the semdedup family ships (vectors re-attach by join
+    * from the persisted corpus afterward): at the trained rung the
+    * n × cells score relation is ~10⁸ rows, and carrying the 64-double
+    * vector inside every aggregation-buffer struct (the
+    * [[cellAssignment]] shape, fine at ≤10⁷ score rows) overruns the
+    * 8 GB driver-contract heap. Same ordering/NaN contract as
+    * [[cellAssignment]] (zero-norm vectors pin to the lowest cid). */
+  private[graft] def semAssign(e: DataFrame, cent: DataFrame): DataFrame =
+    e.join(cent)
+      .withColumn("ccos",
+        round(vectorDot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 6))
+      .withColumn("ccos", nanvl(col("ccos"), lit(1.0)))
+      .groupBy(col("vec_id"))
+      .agg(min(struct((lit(1.0) - col("ccos")).as("d"), col("cid").as("c"))).as("m"))
+      .select(col("vec_id"), col("m.c").as("cid"))
+
   private[graft] def semCells(n: Long): Int =
     if (n <= 2048L) 16
     else if (n <= 8192L) 64
@@ -497,19 +514,8 @@ object Similarity extends QueryModule {
     val e = vecs(s, dir)
     // count() is one metadata-cheap job; the ladder keeps cell size
     // bounded as the corpus grows, and past [[SemTrainedMinRows]] the
-    // centroids are TRAINED (see [[semPlan]]). Assignment is the SLIM
-    // argmin — (vec_id, cid) only, vectors re-attached by join from the
-    // persisted corpus afterward: at the trained rung the n×cells
-    // relation is 4×10⁸ rows, and carrying the 64-double vector inside
-    // every aggregation-buffer struct (the [[cellAssignment]] shape,
-    // fine at ≤10⁸ rows) overruns the 8 GB driver contract heap.
-    val slim = e.join(semCentroids(e, e.count()))
-      .withColumn("ccos",
-        round(vectorDot($"v", $"cv") / ($"norm" * $"cnorm"), 6))
-      .withColumn("ccos", nanvl($"ccos", lit(1.0)))
-      .groupBy($"vec_id")
-      .agg(min(struct((lit(1.0) - $"ccos").as("d"), $"cid".as("c"))).as("m"))
-      .select($"vec_id", $"m.c".as("cid"))
+    // centroids are TRAINED (see [[semPlan]]).
+    val slim = semAssign(e, semCentroids(e, e.count()))
     val assign = slim.join(e, "vec_id")
     assign.as("a").join(assign.as("b"),
         $"a.cid" === $"b.cid" && $"a.vec_id" < $"b.vec_id")
@@ -979,19 +985,11 @@ object Similarity extends QueryModule {
     var cb: DataFrame = e.filter($"vec_id" < cells)
       .select($"vec_id".as("cid"), $"v".as("cv"), $"norm".as("cnorm"))
     for (_ <- 1 to PqLloydIters) {
-      // map-side-combined argmax (see cellAssignment): v rides inside
-      // the struct-min, one row per vector reaches the shuffle; training
-      // runs on the bounded [[trainSample]], encoding stays full-corpus
-      // slim argmin (d, cid) with the vector re-attached by join: at
-      // the semdedup trained rung this runs at TrainCap × 2,048 cells
-      // (1.3×10⁸ rows), and a 64-double vector inside every agg-buffer
-      // struct overruns the 8 GB driver-contract heap (r14)
-      val assigned = trainSample(e).join(broadcast(cb))
-        .withColumn("ccos",
-          round(vectorDot($"v", $"cv") / ($"norm" * $"cnorm"), 6))
-        .groupBy($"vec_id")
-        .agg(min(struct((lit(1.0) - $"ccos").as("d"), $"cid".as("c"))).as("m"))
-        .select($"vec_id", $"m.c".as("cid"))
+      // training runs on the bounded [[trainSample]] via the slim
+      // [[semAssign]] argmin (at the semdedup trained rung each Lloyd
+      // assignment is TrainCap × 2,048 cells = 1.3×10⁸ score rows);
+      // encoding stays full-corpus
+      val assigned = semAssign(trainSample(e), broadcast(cb))
         .join(trainSample(e).select($"vec_id", $"v"), "vec_id")
         .select($"cid", $"v")
       val sums = assigned.groupBy($"cid")

@@ -187,7 +187,8 @@ object SimilarityScaleBench {
     // re-paying the four lower corpora).
     val kList = sys.env.get("SPARK_GRAFT_SIM_K")
       .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 2, 5, 10, 20, 66))
-    kList.foreach { k =>
+
+    def buildEmbCorpus(k: Int): String = {
       val dir = s"/tmp/sim_scale/emb_x$k"
       (0 until k).map { r =>
         val rot = r % 64
@@ -200,6 +201,11 @@ object SimilarityScaleBench {
           $"label")
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+
+    kList.foreach { k =>
+      val dir = buildEmbCorpus(k)
 
       val e = Similarity.vecs(spark, dir)
       val nVec = e.count()
@@ -296,6 +302,47 @@ object SimilarityScaleBench {
         spark.catalog.clearCache()
         println(s"""{"bench":"ann_serve_batch_scale","k":$k,"vectors":$nVec,"tables":$pt,"bits":$pb,"queries":$nq,"sec":${r3(ssec)},"qps":${r3(nq / ssec)}}""")
       }
+    }
+
+    // ---- 2c. SemDeDup trained-centroid hand-over (round 15). The r14
+    // residue read: "one more decade at fixed 1,024 cells multiplies the
+    // pair term ~100×" — the hand-over ships ([[Similarity.semPlan]]:
+    // ≥131,072 vectors → 2,048 TRAINED centroids, the ivfPqCentroids
+    // Lloyd); these rows are its measurement. Per corpus size: the rung
+    // picked, the full registered-query wall, the within-cell pair term
+    // Σ C(sz, 2) (the quadratic work the verify join actually pays) and
+    // max cell size under the SHIPPED centroid rule — and, at trained
+    // sizes, the same two numbers under the pre-hand-over counterfactual
+    // (first-n seeds at the 1,024 cap) so the rung's win is a measured
+    // ratio, not an extrapolation. Env-gated (SPARK_GRAFT_SIM_SEM, a
+    // k-replica list, e.g. "20,66"): the semdedup corpus build + trained
+    // Lloyd is minutes per rung and most runs iterate on the ANN blocks.
+    sys.env.get("SPARK_GRAFT_SIM_SEM")
+      .map(_.split(",").filter(_.nonEmpty).map(_.trim.toInt).toSeq)
+      .getOrElse(Seq.empty).foreach { k =>
+      val dir = buildEmbCorpus(k)
+      val t0 = System.nanoTime()
+      val outPairs = Similarity.semDedup(spark, dir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      val e = Similarity.vecs(spark, dir)
+      val n = e.count()
+      val (cells, trained) = Similarity.semPlan(n)
+      def pairStats(cent: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val sizes = Similarity.semAssign(e, cent)
+          .groupBy($"cid").agg(count(lit(1)).as("csz"))
+        val row = sizes.agg(
+          sum(($"csz" * ($"csz" - lit(1)) / 2).cast("long")).as("pairs"),
+          max($"csz").as("mx")).head()
+        (row.getLong(0), row.getLong(1))
+      }
+      val (pairTerm, maxCell) = pairStats(Similarity.semCentroids(e, n))
+      val counterfactual = if (trained) {
+        val (cfPairs, cfMax) = pairStats(Similarity.centroidsOf(e, 1024))
+        s""","pair_term_firstn1024":$cfPairs,"max_cell_firstn1024":$cfMax"""
+      } else ""
+      spark.catalog.clearCache()
+      println(s"""{"bench":"sem_dedup_scale","k":$k,"vectors":$n,"cells":$cells,"trained":$trained,"pair_term":$pairTerm,"max_cell":$maxCell,"out_pairs":$outPairs,"sec":${r3(sec)}$counterfactual}""")
     }
     spark.stop()
   }
