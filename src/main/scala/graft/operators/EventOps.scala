@@ -348,7 +348,35 @@ object EventOps extends QueryModule {
     * LSH/IVF bucketing of [[Similarity]] applies unchanged to profile
     * vectors. */
   /** 24-dim hourly profile vector per user — the shared front half of
-    * the ts-similarity family (one groupBy; agg state = 24 doubles/user). */
+    * the ts-similarity family (one groupBy; agg state = 24 doubles/user).
+    *
+    * EXACT-TWIN COLLAPSE (round 15): identical profile vectors are kept
+    * only up to the [[ProfTwinKeep]] smallest user_ids per class. This is
+    * OUTPUT-INVARIANT for the family's top-[[ProfTopK]]-pairs contract —
+    * proof: twins have bit-identical vectors, so for any pair P involving
+    * a rank-22+ member m of a twin class, substituting m with each of the
+    * 21 retained smaller-id twins yields ≥ 20 DISTINCT pairs with the
+    * EXACT same distance and a lexicographically smaller (user_a, user_b)
+    * key (the substituted id is smaller than m in every arrangement of
+    * the (min, max) pair ordering), all of which rank strictly ahead of P
+    * under the (dist, user_a, user_b) total order — so P can never reach
+    * the top 20 and dropping m loses nothing. Keeping k+1 (not k) members
+    * covers classes that must fill the whole result from within.
+    *
+    * WHY IT MATTERS AT SCALE: real corpora are duplicate-heavy (the
+    * premise of the dedup family), and exact twins are the worst case
+    * for any LSH self-join — they share EVERY bucket, so candidate pairs
+    * grow quadratically in class size while contributing nothing past
+    * the first 21 members. The r14 sf10 probe measured it: 139.9 s on
+    * the duplicate-heavy MakeScale corpus (every profile × 100 exact
+    * twins) vs 79.5 s on the decorrelated equivalent. The collapse is
+    * one window over the slim (user_id, 24-double) profile relation —
+    * ~200 B/row, partitioned BY VECTOR so classes sort independently —
+    * and deletes the blowup before bucketing ever sees it. On a
+    * twin-free corpus every class is a singleton and the relation passes
+    * through unchanged (all driver SFs verified singleton-only, so gated
+    * candidate sets and hashes are bit-identical to the pre-collapse
+    * form). Mirrored CTE-for-CTE in the oracle SQL. */
   private[graft] def profileVecs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, dir)
@@ -356,20 +384,30 @@ object EventOps extends QueryModule {
     // — a pure per-row transform, not the users × 24 grid join a naive
     // formulation would use (which adds a shuffle AND a
     // BroadcastNestedLoopJoin to the plan).
-    ev.groupBy($"user_id", hour($"ts").as("h"))
+    val raw = ev.groupBy($"user_id", hour($"ts").as("h"))
       .agg(round(sum($"value"), 2).as("v"))
       .groupBy($"user_id")
       .agg(map_from_entries(collect_list(struct($"h", $"v"))).as("m"))
       .select($"user_id",
         expr("transform(sequence(0, 23), h -> coalesce(element_at(m, h), 0D))").as("vec"))
+    val byTwin = Window.partitionBy($"vec").orderBy($"user_id".asc)
+    raw.withColumn("twin_rank", row_number().over(byTwin))
+      .where($"twin_rank" <= ProfTwinKeep)
+      .drop("twin_rank")
   }
+
+  /** Result size of the ts-similarity family (top-k pairs), and the
+    * per-twin-class retention bound it implies (k+1 — see the
+    * [[profileVecs]] collapse proof). */
+  private[graft] val ProfTopK = 20
+  private[graft] val ProfTwinKeep = ProfTopK + 1
 
   private def pairDist(df: DataFrame): DataFrame =
     df.withColumn("dist", round(sqrt(expr(
         "aggregate(zip_with(va, vb, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)")), 6))
       .select(col("user_a"), col("user_b"), col("dist"))
       .orderBy(col("dist").asc, col("user_a").asc, col("user_b").asc)
-      .limit(20)
+      .limit(ProfTopK)
 
   /** Brute-force all-pairs baseline — O(U²) BroadcastNestedLoopJoin, kept
     * UNREGISTERED as the recall cross-check for [[tsSimilarity]]
@@ -997,12 +1035,22 @@ object EventOps extends QueryModule {
         |  SELECT u.user_id, g.h
         |  FROM (SELECT DISTINCT user_id FROM events) u,
         |       unnest(generate_series(0, 23)) AS g(h)
-        |), vecs AS (
+        |), vecs0 AS (
         |  SELECT f.user_id, list(f.v ORDER BY f.h) AS vec
         |  FROM (SELECT g.user_id, g.h, COALESCE(p.v, 0.0) AS v
         |        FROM grid g LEFT JOIN prof p
         |          ON g.user_id = p.user_id AND g.h = p.h) f
         |  GROUP BY 1
+        |), vecs AS (
+        |  -- exact-twin collapse (see profileVecs): keep the $ProfTwinKeep
+        |  -- smallest user_ids per identical vector; output-invariant for
+        |  -- a top-$ProfTopK-pairs query, a no-op on twin-free corpora
+        |  SELECT user_id, vec FROM (
+        |    SELECT v0.user_id, v0.vec,
+        |           row_number() OVER (PARTITION BY v0.vec
+        |               ORDER BY v0.user_id ASC) AS twin_rank
+        |    FROM vecs0 v0)
+        |  WHERE twin_rank <= $ProfTwinKeep
         |), par AS (
         |  $profParamCaseSql
         |), pl AS (SELECT * FROM (VALUES

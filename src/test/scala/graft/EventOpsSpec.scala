@@ -72,6 +72,61 @@ class EventOpsSpec extends AnyFunSuite {
       t2 >= t1 && k2 >= k1 })
   }
 
+  /** r15 exact-twin collapse (profileVecs): on a duplicate-heavy corpus
+    * the per-class truncation to the 21 smallest user_ids must be
+    * OUTPUT-INVARIANT — the top-20 pair result equals the one computed
+    * from the UNTRUNCATED profile relation (the scaladoc proof, checked
+    * empirically). Corpus: 31 exact replicas of sf0.001's events with
+    * only user_id offset (ts/value identical), so every profile class
+    * has 31 members — past the 21-member retention bound. */
+  test("twin collapse is output-invariant for the top-20 pair contract") {
+    import spark.implicits._
+    val dir = "/tmp/twin_events_spec"
+    val base = Tables.events(spark, "/root/testdata/sf0.001")
+    (0 until 31).map { r =>
+      base.select(($"event_id" + lit(r.toLong * 100000L)).as("event_id"),
+        $"ts", ($"user_id" + lit(r.toLong * 1000000L)).as("user_id"),
+        $"event_type", $"value")
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    // truncated classes never exceed the retention bound
+    val classSizes = EventOps.profileVecs(spark, dir)
+      .groupBy($"vec").count().select(max($"count")).head().getLong(0)
+    assert(classSizes <= 21L, s"class of $classSizes survived the collapse")
+
+    // untruncated brute top-20, built from the raw (pre-collapse)
+    // profile relation with the exact same arithmetic
+    val ev = Tables.events(spark, dir)
+    val raw = ev.groupBy($"user_id", hour($"ts").as("h"))
+      .agg(round(sum($"value"), 2).as("v"))
+      .groupBy($"user_id")
+      .agg(map_from_entries(collect_list(struct($"h", $"v"))).as("m"))
+      .select($"user_id",
+        expr("transform(sequence(0, 23), h -> coalesce(element_at(m, h), 0D))").as("vec"))
+      .persist()
+    val expected = raw.select($"user_id".as("user_a"), $"vec".as("va"))
+      .join(raw.select($"user_id".as("user_b"), $"vec".as("vb")),
+        $"user_a" < $"user_b")
+      .withColumn("dist", round(sqrt(expr(
+        "aggregate(zip_with(va, vb, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)")), 6))
+      .select($"user_a", $"user_b", $"dist")
+      .orderBy($"dist".asc, $"user_a".asc, $"user_b".asc)
+      .limit(20).collect().toSeq
+
+    val gotBrute = EventOps.tsSimilarityBrute(spark, dir).collect().toSeq
+    assert(gotBrute === expected,
+      "collapsed brute top-20 diverged from the untruncated ground truth")
+
+    // twins share every bucket, so the LSH path must recover the same
+    // top-20 here too (dist-0 twin pairs are bucket-mates by identity)
+    val gotLsh = EventOps.tsSimilarity(spark, dir).collect().toSeq
+    assert(gotLsh === expected,
+      "collapsed LSH top-20 diverged from the untruncated ground truth")
+    raw.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("transitions: conservation — every user contributes exactly n-1 hops") {
     val ev = graft.Tables.events(spark, TestSpark.sf)
     val expected = ev.count() - ev.select("user_id").distinct().count()
