@@ -42,27 +42,42 @@ object SemDedupStream {
       .withColumn("norm", sqrt(vectorDot(col("v"), col("v"))))
       .select(col("vec_id"), col("v"), col("norm"))
 
-  /** The corpus-at-rest index: per-vector max-cosine cell assignment
-    * `(vec_id, cid, v, norm)`, persisted. Centroids are the corpus
-    * vectors with `vec_id <` [[Similarity]]'s NCENT, recoverable from
-    * the index itself (see [[centroidsFrom]]). */
-  def corpusIndex(corpus: DataFrame): DataFrame = {
-    val e = prepVecs(corpus)
-    Similarity.cellAssignment(e, Similarity.centroidsOf(e)).persist()
+  /** A prepared corpus-at-rest index: the per-vector max-cosine cell
+    * `assign`ment `(vec_id, cid, v, norm)` plus the `centroids` it was
+    * built with. Centroids travel WITH the index (not re-derived from
+    * it) because past [[Similarity.SemTrainedMinRows]] they are TRAINED
+    * (the Lloyd hand-over, r15 — trained centroids are means, not corpus
+    * vectors, so the old vec_id-prefix re-derivation cannot recover
+    * them) and batch assignment must use bit-identical centroids or the
+    * batch-boundary-invariance contract breaks. */
+  final case class SemIndex(assign: DataFrame, centroids: DataFrame,
+                            vecs: DataFrame) {
+    /** Release the index's persisted relations (assignment + prepped
+      * corpus vectors). */
+    def unpersist(): Unit = { assign.unpersist(); vecs.unpersist() }
   }
 
-  /** The broadcast centroid relation of a [[corpusIndex]] — re-derived
-    * from the index so batch assignment uses the SAME centroids the
-    * corpus was indexed with. */
-  def centroidsFrom(corpusIdx: DataFrame): DataFrame =
-    Similarity.centroidsOf(corpusIdx.select(col("vec_id"), col("v"), col("norm")))
+  /** Build the corpus-at-rest index. The cell count rides the
+    * [[Similarity.semPlan]] ladder (16 → 2,048 with the corpus, trained
+    * past the hand-over rung) — the same rule as the registered batch
+    * `sim_semdedup`, so expected cell size (and therefore per-batch
+    * screen cost, which joins each new vector to ONE cell's members)
+    * stays bounded as the at-rest corpus grows instead of drifting
+    * toward n/16. Training caches follow the family convention: callers
+    * that rebuild indexes inside one long session clear them via
+    * `spark.catalog.clearCache` (see [[Similarity]] TrainingScope notes). */
+  def corpusIndex(corpus: DataFrame): SemIndex = {
+    val e = prepVecs(corpus).persist()
+    val cent = Similarity.semCentroids(e, e.count())
+    SemIndex(Similarity.cellAssignment(e, cent).persist(), cent, e)
+  }
 
   /** Screen one batch of new `(vec_id, embedding)` vectors against a
-    * prepared [[corpusIndex]]. Returns `(new_id, corpus_id, score)`.
+    * prepared [[SemIndex]]. Returns `(new_id, corpus_id, score)`.
     * Pure batch-side function, shared by the streaming and batch forms. */
-  def screenBatch(newVecs: DataFrame, corpusIdx: DataFrame): DataFrame = {
-    val assignNew = Similarity.cellAssignment(prepVecs(newVecs), centroidsFrom(corpusIdx))
-    assignNew.as("a").join(corpusIdx.as("b"), col("a.cid") === col("b.cid"))
+  def screenBatch(newVecs: DataFrame, idx: SemIndex): DataFrame = {
+    val assignNew = Similarity.cellAssignment(prepVecs(newVecs), idx.centroids)
+    assignNew.as("a").join(idx.assign.as("b"), col("a.cid") === col("b.cid"))
       .withColumn("score",
         round(vectorDot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6))
       .where(col("score") >= Similarity.SemThreshold)
@@ -72,7 +87,7 @@ object SemDedupStream {
   /** foreachBatch driver: starts the streaming query screening each
     * micro-batch of `newVecs` (a STREAMING `(vec_id, embedding)` frame)
     * against the prepared index. */
-  def start(newVecs: DataFrame, corpusIdx: DataFrame)
+  def start(newVecs: DataFrame, corpusIdx: SemIndex)
            (onBatch: (DataFrame, Long) => Unit): StreamingQuery =
     newVecs.writeStream
       .outputMode("update")

@@ -166,6 +166,15 @@ class StreamingOpsSpec extends AnyFunSuite {
     val corpusIdx = graft.streaming.SemDedupStream.corpusIndex(
       emb.where(col("vec_id") % 2 === 0))
     try {
+      // the index rides the semPlan ladder (r15): at this corpus size the
+      // rung is 16 first-n cells (ids here are sparse — evens only — so
+      // the vec_id < cells prefix yields the 8 even ids below 16, the
+      // same centroid set the historical fixed-NCENT rule picked)
+      val corpus = emb.where(col("vec_id") % 2 === 0)
+      val cells = graft.operators.Similarity.semPlan(corpus.count())._1
+      assert(cells === 16)
+      assert(corpusIdx.centroids.count() ===
+        corpus.where(col("vec_id") < cells).count())
       val odds = emb.where(col("vec_id") % 2 === 1)
       def pairsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
