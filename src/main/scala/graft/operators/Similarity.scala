@@ -478,6 +478,74 @@ object Similarity extends QueryModule {
     rankTopK(multiprobeCandidates(qb, corpus, bits = pb), e)
   }
 
+  // ---- Query-directed (ranked) multi-probe (round 15) — the probing
+  // SEQUENCE half of Lv et al., "Multi-probe LSH" (VLDB'07); the r11
+  // sim_ann_multiprobe above ships the perturbation-SET half (all
+  // Hamming-1 flips). All-flips probing costs tables × (1 + bits)
+  // buckets per query — 182 at the ladder's 14×12 top rung, the
+  // "multiprobe batch contract" the r14 verdict called out — and the
+  // cost GROWS with the signature ladder because bits ride the corpus.
+  // Ranked probing spends a FIXED budget of extra probes on the bit
+  // flips most likely to recover a near neighbor: the ones whose
+  // projection |v·p| lands closest to the hyperplane (sign-LSH collision
+  // geometry, Charikar'02 — a near pair's signatures differ exactly in
+  // the bits whose projection is near zero). Probes per query are
+  // pt · (1 + [[LshRankedProbeMult]]) at EVERY rung — decoupled from
+  // bits — and the probe set is by construction a SUBSET of the
+  // all-flips set (SimilaritySpec pins both properties; recall per rung
+  // is measured in SimilarityScaleBench). Margins rank on
+  // round(|dot|, 6) with (tbl, bit) tie-breaks — the round-before-rank
+  // determinism convention — and the DuckDB oracle rebuilds the same
+  // margins from the inlined integer plane matrix.
+  private[graft] val LshRankedProbeMult = 2
+
+  /** The ranked flip list for a `(query_id, qv, qnorm)` relation: the
+    * `budget` (tbl, single-bit flip mask) pairs with the smallest
+    * projection margins, per query. One [[graft.functions.PlaneDots]]
+    * expression computes all pt·pb margins in a constant-size generated
+    * loop (the JIT-threshold lesson). */
+  private[graft] def rankedFlips(q: DataFrame, pt: Int, pb: Int,
+                                 budget: Int): DataFrame = {
+    import graft.functions.PlaneDots.planeDots
+    val byQ = Window.partitionBy(col("query_id"))
+      .orderBy(col("m").asc, col("tbl").asc, col("j").asc)
+    q.withColumn("ds", planeDots(col("qv"), planes.take(pt * pb)))
+      .select(col("query_id"), posexplode(col("ds")))
+      .select(col("query_id"), expr(s"pos div $pb").cast("int").as("tbl"),
+        (col("pos") % pb).cast("int").as("j"),
+        round(abs(col("col")), 6).as("m"))
+      .withColumn("pr", row_number().over(byQ))
+      .where(col("pr") <= budget)
+      .select(col("query_id"), col("tbl"),
+        expr("shiftleft(CAST(1 AS BIGINT), j)").as("flip"))
+  }
+
+  def topkLshMultiprobeRanked(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, dir)
+    val n = e.count()
+    val (pt, pb) = lshParams(n)
+    val buckets = lshBuckets(e, tables = pt, bits = pb).persist()
+    val corpus = capPostings(buckets, lshPostingsCap(n, pb))
+    val q = queriesOf(e)
+    val qb = buckets.join(q, $"vec_id" === $"query_id")
+      .select($"query_id", $"tbl", $"bucket")
+    val flipped = qb.join(rankedFlips(q, pt, pb, LshRankedProbeMult * pt),
+        Seq("query_id", "tbl"))
+      .select($"query_id", $"tbl", $"bucket".bitwiseXOR($"flip").as("bucket"))
+    // slim probe → bucket join → distinct pairs → re-attach qv (the r13
+    // slim-pair shape shared with [[multiprobeCandidates]])
+    val cand = qb.unionByName(flipped)
+      .join(corpus.select($"vec_id".as("neighbor_id"), $"tbl", $"bucket"),
+        Seq("tbl", "bucket"))
+      .where($"neighbor_id" =!= $"query_id")
+      .select($"query_id", $"neighbor_id")
+      .distinct()
+      .join(q, "query_id")
+      .select($"query_id", $"qv", $"qnorm", $"neighbor_id")
+    rankTopK(cand, e)
+  }
+
   /** documents ⋈ embeddings (doc_id = vec_id): the metadata-to-vector
     * join every embedding pipeline runs, aggregated per label cluster.
     * Both tables hash-partition on the shared id — at 100 TB this is THE
@@ -1204,6 +1272,7 @@ object Similarity extends QueryModule {
     "sim_topk_ivf"        -> (topkIvf _),
     "sim_ann_lsh"         -> (topkLsh _),
     "sim_ann_multiprobe"  -> (topkLshMultiprobe _),
+    "sim_ann_mp_ranked"   -> (topkLshMultiprobeRanked _),
     "sim_label_profile"   -> (labelProfile _),
     "sim_semdedup"        -> (semDedup _),
     "sim_quantize_int8"   -> (quantizeInt8 _),
@@ -1756,6 +1825,63 @@ object Similarity extends QueryModule {
          |    SELECT CASE WHEN i = 0 THEN 0 ELSE 1 << (i - 1) END AS flip
          |    FROM (SELECT unnest(range(pb + 1)) AS i FROM prm)) AS f
          |  WHERE qb.vec_id % 50 = 0
+         |),
+         |$lshCapCte,
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+         |  FROM qprobes q JOIN cb n ON q.tbl = n.tbl AND q.bucket = n.bucket
+         |  WHERE n.vec_id <> q.vec_id
+         |)
+         |SELECT query_id, neighbor_id, rnk, score FROM (
+         |  SELECT c.query_id, c.neighbor_id,
+         |         round(list_dot_product(q.v, n.v) / (q.nrm * n.nrm), 6) AS score,
+         |         row_number() OVER (PARTITION BY c.query_id
+         |             ORDER BY round(list_dot_product(q.v, n.v) / (q.nrm * n.nrm), 6) DESC,
+         |                      c.neighbor_id ASC) AS rnk
+         |  FROM cand c
+         |  JOIN e q ON q.vec_id = c.query_id
+         |  JOIN e n ON n.vec_id = c.neighbor_id
+         |)
+         |WHERE rnk <= $K
+         |ORDER BY query_id, rnk""".stripMargin,
+    "sim_ann_mp_ranked" ->
+      s"""$vecCte,
+         |pl AS (SELECT * FROM (VALUES
+         |$planeSqlValues
+         |) AS t(h, p)),
+         |$lshPrmCte,
+         |bits AS (
+         |  SELECT e.vec_id, pl.h,
+         |         CASE WHEN list_dot_product(e.v, pl.p) > 0 THEN 1 ELSE 0 END AS bit,
+         |         prm.pb
+         |  FROM e CROSS JOIN pl CROSS JOIN prm
+         |  WHERE pl.h < prm.pt * prm.pb
+         |),
+         |buckets AS (
+         |  SELECT vec_id, h // pb AS tbl, CAST(sum(bit * (1 << (h % pb))) AS BIGINT) AS bucket
+         |  FROM bits GROUP BY 1, 2
+         |),
+         |-- ranked flips (Lv et al. probing sequence): per query, the
+         |-- 2*pt single-bit flips with the smallest projection margins
+         |margins AS (
+         |  SELECT e.vec_id, pl.h // prm.pb AS tbl, pl.h % prm.pb AS j,
+         |         round(abs(list_dot_product(e.v, pl.p)), 6) AS m, prm.pt
+         |  FROM e CROSS JOIN pl CROSS JOIN prm
+         |  WHERE pl.h < prm.pt * prm.pb AND e.vec_id % 50 = 0
+         |),
+         |rflip AS (
+         |  SELECT vec_id, tbl, CAST(1 << j AS BIGINT) AS flip FROM (
+         |    SELECT vec_id, tbl, j, pt,
+         |           row_number() OVER (PARTITION BY vec_id
+         |               ORDER BY m ASC, tbl ASC, j ASC) AS pr
+         |    FROM margins)
+         |  WHERE pr <= $LshRankedProbeMult * pt
+         |),
+         |qprobes AS (
+         |  SELECT vec_id, tbl, bucket FROM buckets WHERE vec_id % 50 = 0
+         |  UNION ALL
+         |  SELECT qb.vec_id, qb.tbl, xor(qb.bucket, f.flip) AS bucket
+         |  FROM buckets qb JOIN rflip f ON f.vec_id = qb.vec_id AND f.tbl = qb.tbl
          |),
          |$lshCapCte,
          |cand AS (

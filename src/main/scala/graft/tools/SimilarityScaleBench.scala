@@ -186,7 +186,8 @@ object SimilarityScaleBench {
     // rung (e.g. "66" re-measures only the top rung after a fix without
     // re-paying the four lower corpora).
     val kList = sys.env.get("SPARK_GRAFT_SIM_K")
-      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 2, 5, 10, 20, 66))
+      .map(_.split(",").filter(_.nonEmpty).map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(1, 2, 5, 10, 20, 66))
 
     def buildEmbCorpus(k: Int): String = {
       val dir = s"/tmp/sim_scale/emb_x$k"
@@ -230,6 +231,24 @@ object SimilarityScaleBench {
         .intersect(bf).size.toDouble / bf.size
       spark.catalog.clearCache()
       println(s"""{"bench":"ann_lsh","k":$k,"vectors":$nVec,"tables":$pt,"bits":$pb,"queries":$nQueries,"candidates":$candidates,"brute_scored":$scanned,"selectivity":${r3(candidates.toDouble / scanned)},"recall_lsh":${r3(lshRec)},"recall_multiprobe":${r3(mpRec)},"sec":${r3(sec)}}""")
+
+      // Ranked (query-directed) multi-probe at THIS corpus size (r15):
+      // fixed probe budget pt·(1+2) per query vs all-flips pt·(1+bits).
+      // Timed head-to-head with the all-flips form — the batch-contract
+      // cost the ranked sequence exists to cut — plus recall vs the same
+      // brute twin.
+      {
+        val t1 = System.nanoTime()
+        val rkNbrs = nbrSet(Similarity.topkLshMultiprobeRanked(spark, dir))
+        val rsec = (System.nanoTime() - t1) / 1e9
+        spark.catalog.clearCache()
+        val t2 = System.nanoTime()
+        Similarity.topkLshMultiprobe(spark, dir).count()
+        val msec = (System.nanoTime() - t2) / 1e9
+        spark.catalog.clearCache()
+        val rkRec = rkNbrs.intersect(bf).size.toDouble / bf.size
+        println(s"""{"bench":"ann_ranked_scale","k":$k,"vectors":$nVec,"tables":$pt,"bits":$pb,"probes_per_query":${pt * (1 + Similarity.LshRankedProbeMult)},"allflips_probes":${pt * (1 + pb)},"recall":${r3(rkRec)},"recall_allflips":${r3(mpRec)},"sec":${r3(rsec)},"sec_allflips":${r3(msec)}}""")
+      }
 
       // IVF×PQ at THIS corpus size (r14): the cell-count rung the ladder
       // picks, the measured per-query code-scan fraction (must FALL

@@ -29,6 +29,56 @@ class SimilaritySpec extends AnyFunSuite {
     exact.foreach { case (q, nbrs) => assert(nbrs.size == 5, s"query $q") }
   }
 
+  /** r15 ranked multi-probe: the probing-sequence contract. The probe
+    * set must be (a) exactly pt·(1+mult) buckets per query and (b) a
+    * SUBSET of the all-flips multiprobe probe set — ranked probing only
+    * reorders and truncates the classic perturbation set, never invents
+    * a probe outside Hamming-1. Checked via the internals at the gate SF
+    * (base rung 4×6: 12 ranked vs 28 all-flips probes per query). */
+  test("ranked multi-probe probes are a fixed-budget subset of all flips") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val e = Similarity.vecs(spark, TestSpark.sf)
+    val n = e.count()
+    val (pt, pb) = Similarity.lshParams(n)
+    val buckets = Similarity.lshBuckets(e, tables = pt, bits = pb).persist()
+    val q = e.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"))
+    val qb = buckets.join(q, $"vec_id" === $"query_id")
+      .select($"query_id", $"tbl", $"bucket")
+    val flips = Similarity.rankedFlips(q, pt, pb,
+      Similarity.LshRankedProbeMult * pt)
+    val ranked = qb.unionByName(
+      qb.join(flips, Seq("query_id", "tbl"))
+        .select($"query_id", $"tbl", $"bucket".bitwiseXOR($"flip").as("bucket")))
+    // (a) fixed budget per query
+    val perQuery = ranked.groupBy($"query_id").count()
+      .select(countDistinct($"count"), first($"count")).head()
+    assert(perQuery.getLong(0) === 1L)
+    assert(perQuery.getLong(1) === (pt * (1 + Similarity.LshRankedProbeMult)).toLong)
+    // (b) subset of the classic all-flips probe set
+    val allFlips = qb
+      .withColumn("flip",
+        explode(array((lit(0L) +: (0 until pb).map(j => lit(1L << j))): _*)))
+      .select($"query_id", $"tbl", $"bucket".bitwiseXOR($"flip").as("bucket"))
+    assert(ranked.except(allFlips).count() === 0L,
+      "ranked probe outside the Hamming-1 perturbation set")
+    buckets.unpersist(); spark.catalog.clearCache()
+  }
+
+  test("ranked multi-probe recall@5 beats single-probe at a third of the flips") {
+    val mp = recallAt5(topk(Similarity.topkLshMultiprobe(spark, TestSpark.sf)))
+    val rk = recallAt5(topk(Similarity.topkLshMultiprobeRanked(spark, TestSpark.sf)))
+    val sp = recallAt5(topk(Similarity.topkLsh(spark, TestSpark.sf)))
+    info(s"recall@5 single=$sp ranked=$rk all-flips=$mp")
+    // ranked probes 12 buckets vs 28 all-flips: must keep a clear margin
+    // over single-probe (4 buckets) — the Lv et al. claim that low-margin
+    // flips carry most of the recall mass
+    assert(rk > sp, s"ranked $rk <= single-probe $sp")
+    spark.catalog.clearCache()
+  }
+
   test("IVF recall@5 beats random-candidate baseline") {
     val r = recallAt5(topk(Similarity.topkIvf(spark, TestSpark.sf)))
     // nprobe=4 of 16 cells scans ~25% of the corpus; cell locality must
