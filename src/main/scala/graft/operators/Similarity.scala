@@ -520,7 +520,15 @@ object Similarity extends QueryModule {
         expr("shiftleft(CAST(1 AS BIGINT), j)").as("flip"))
   }
 
-  def topkLshMultiprobeRanked(s: SparkSession, dir: String): DataFrame = {
+  def topkLshMultiprobeRanked(s: SparkSession, dir: String): DataFrame =
+    topkRanked(s, dir, LshRankedProbeMult)
+
+  /** [[topkLshMultiprobeRanked]] with a probe-budget OVERRIDE (extra
+    * probes = `mult · tables`) for the calibration sweep
+    * ([[graft.tools.SimilarityScaleBench]]); the registered query always
+    * passes [[LshRankedProbeMult]]. */
+  private[graft] def topkRanked(s: SparkSession, dir: String,
+                                mult: Int): DataFrame = {
     import s.implicits._
     val e = vecs(s, dir)
     val n = e.count()
@@ -530,7 +538,7 @@ object Similarity extends QueryModule {
     val q = queriesOf(e)
     val qb = buckets.join(q, $"vec_id" === $"query_id")
       .select($"query_id", $"tbl", $"bucket")
-    val flipped = qb.join(rankedFlips(q, pt, pb, LshRankedProbeMult * pt),
+    val flipped = qb.join(rankedFlips(q, pt, pb, mult * pt),
         Seq("query_id", "tbl"))
       .select($"query_id", $"tbl", $"bucket".bitwiseXOR($"flip").as("bucket"))
     // slim probe → bucket join → distinct pairs → re-attach qv (the r13

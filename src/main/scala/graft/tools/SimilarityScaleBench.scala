@@ -250,6 +250,23 @@ object SimilarityScaleBench {
         println(s"""{"bench":"ann_ranked_scale","k":$k,"vectors":$nVec,"tables":$pt,"bits":$pb,"probes_per_query":${pt * (1 + Similarity.LshRankedProbeMult)},"allflips_probes":${pt * (1 + pb)},"recall":${r3(rkRec)},"recall_allflips":${r3(mpRec)},"sec":${r3(rsec)},"sec_allflips":${r3(msec)}}""")
       }
 
+      // Ranked probe-budget calibration sweep (r15): recall/wall at
+      // extra-probe budgets mult·pt for each listed mult — the measured
+      // justification for the shipped LshRankedProbeMult, the same
+      // sweep discipline as the hot-bucket CapSweep. Env-gated
+      // (SPARK_GRAFT_SIM_RANKED_SWEEP, e.g. "1,2,3,4"); combine with
+      // SPARK_GRAFT_SIM_K to pick the rung.
+      sys.env.get("SPARK_GRAFT_SIM_RANKED_SWEEP")
+        .map(_.split(",").filter(_.nonEmpty).map(_.trim.toInt).toSeq)
+        .getOrElse(Seq.empty).foreach { mult =>
+        val t1 = System.nanoTime()
+        val nbrs = nbrSet(Similarity.topkRanked(spark, dir, mult))
+        val ssec = (System.nanoTime() - t1) / 1e9
+        spark.catalog.clearCache()
+        val rec = nbrs.intersect(bf).size.toDouble / bf.size
+        println(s"""{"bench":"ann_ranked_sweep","k":$k,"vectors":$nVec,"tables":$pt,"bits":$pb,"mult":$mult,"probes_per_query":${pt * (1 + mult)},"recall":${r3(rec)},"sec":${r3(ssec)}}""")
+      }
+
       // IVF×PQ at THIS corpus size (r14): the cell-count rung the ladder
       // picks, the measured per-query code-scan fraction (must FALL
       // across rungs where the fixed grid sat flat at 0.375), and
