@@ -372,7 +372,14 @@ object EventOps extends QueryModule {
     * twins) vs 79.5 s on the decorrelated equivalent. The collapse is
     * one window over the slim (user_id, 24-double) profile relation —
     * ~200 B/row, partitioned BY VECTOR so classes sort independently —
-    * and deletes the blowup before bucketing ever sees it. On a
+    * and deletes the blowup before bucketing ever sees it. Known skew
+    * bound: a single pathological class (millions of identical
+    * profiles) serializes onto one window task; rows are slim so this
+    * is GBs at the extreme, and the remedy if it ever bites is the
+    * standard two-phase trim — pre-truncate per (vec, knuth(user_id)
+    * mod S) salt to 21, then the global window sees ≤ 21·S rows per
+    * class (result identical: the global smallest 21 survive any salt
+    * split). On a
     * twin-free corpus every class is a singleton and the relation passes
     * through unchanged (all driver SFs verified singleton-only, so gated
     * candidate sets and hashes are bit-identical to the pre-collapse

@@ -212,6 +212,44 @@ object AnnServeStream {
       idx.vecs, k)
   }
 
+  /** [[serveBatch]] with the FIXED-BUDGET ranked probing sequence
+    * (r15, [[Similarity.topkLshMultiprobeRanked]]'s kernel): instead of
+    * all `tables · (1 + bits)` Hamming-1 probes — a per-query cost that
+    * RISES with the signature ladder's bits (182 buckets at the 14×12
+    * rung, where the measured serve qps dipped 364 → 154) — each query
+    * probes its own buckets plus the `mult · tables` single-bit flips
+    * with the smallest projection margins. Probe count is
+    * `tables · (1 + mult)` at every rung, so per-query serve cost stops
+    * riding the corpus ladder; the recall trade per rung is measured in
+    * SimilarityScaleBench (`ann_ranked_sweep`). Everything is
+    * query-side — the index, its capped postings, and the stored rung
+    * are shared with the all-flips form unchanged. Same serving
+    * contract: no self-exclusion, and a corpus-member query still
+    * returns itself at rank 1 (its own buckets are always probed). */
+  def serveBatchRanked(queries: DataFrame, idx: LshIndex, k: Int = 5,
+                       mult: Int = Similarity.LshRankedProbeMult): DataFrame = {
+    val qb0 = Similarity.lshBuckets(SemDedupStream.prepVecs(queries),
+        keep = Seq("v", "norm"), tables = idx.tables, bits = idx.bits)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"),
+              col("tbl"), col("bucket"))
+    val qmeta = qb0.select(col("query_id"), col("qv"), col("qnorm"))
+      .dropDuplicates("query_id")
+    val base = qb0.select(col("query_id"), col("tbl"), col("bucket"))
+    val flipped = base
+      .join(Similarity.rankedFlips(qmeta, idx.tables, idx.bits, mult * idx.tables),
+        Seq("query_id", "tbl"))
+      .select(col("query_id"), col("tbl"),
+        col("bucket").bitwiseXOR(col("flip")).as("bucket"))
+    val cand = base.unionByName(flipped)
+      .join(idx.buckets.select(col("vec_id").as("neighbor_id"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+      .join(qmeta, "query_id")
+      .select(col("query_id"), col("qv"), col("qnorm"), col("neighbor_id"))
+    Similarity.rankTopK(cand, idx.vecs, k)
+  }
+
   /** foreachBatch driver: starts the streaming query answering each
     * micro-batch of `queries` (a STREAMING `(vec_id, embedding)` frame)
     * against the prepared index. The single streaming entry point — the

@@ -113,9 +113,19 @@ object MakeScale {
     write("embeddings", rep(Tables.embeddings(spark, src)) { (d, r) =>
       val dim = size(col("embedding"))
       val rot = lit(r * 7) % dim
-      val emb = when(rot === 0, col("embedding")).otherwise(
+      val rotated = when(rot === 0, col("embedding")).otherwise(
         concat(slice(col("embedding"), rot + 1, dim - rot),
           slice(col("embedding"), lit(1), rot)))
+      // (r*7) mod dim repeats once r exceeds dim (7 is invertible mod
+      // 64, so replicas r and r+64 got IDENTICAL rotations — at k=100
+      // that made 36 replica pairs exact cos=1 twins, violating this
+      // tool's own no-planted-twins contract; caught by the r15 sf10
+      // probe). Compose NEGATION on every second 64-replica cycle (the
+      // SimilarityScaleBench construction): also orthogonal — distances
+      // and |cos| within a replica are preserved, cross-replica cosines
+      // flip sign — and distinct for k ≤ 128.
+      val emb = when(lit((r / 64) % 2 == 1),
+        transform(rotated, x => -x)).otherwise(rotated)
       d.withColumn("vec_id", offset("vec_id", r)).withColumn("embedding", emb)
     })
 

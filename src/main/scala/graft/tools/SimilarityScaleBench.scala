@@ -334,9 +334,20 @@ object SimilarityScaleBench {
         serveOnce() // warm this rung's serve-path codegen
         val ssec = Seq(serveOnce(), serveOnce(), serveOnce()).min
         val nq = queries.count()
+        println(s"""{"bench":"ann_serve_batch_scale","k":$k,"vectors":$nVec,"tables":$pt,"bits":$pb,"queries":$nq,"sec":${r3(ssec)},"qps":${r3(nq / ssec)}}""")
+        // r15 ranked serving kernel on the SAME index: fixed probe
+        // budget — per-query serve cost must stop riding the rung's bits
+        def serveRankedOnce(): Double = {
+          val t0 = System.nanoTime()
+          graft.streaming.AnnServeStream.serveBatchRanked(queries, idx)
+            .write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        serveRankedOnce()
+        val rsec = Seq(serveRankedOnce(), serveRankedOnce(), serveRankedOnce()).min
         idx.vecs.unpersist(); idx.buckets.unpersist()
         spark.catalog.clearCache()
-        println(s"""{"bench":"ann_serve_batch_scale","k":$k,"vectors":$nVec,"tables":$pt,"bits":$pb,"queries":$nq,"sec":${r3(ssec)},"qps":${r3(nq / ssec)}}""")
+        println(s"""{"bench":"ann_serve_ranked_scale","k":$k,"vectors":$nVec,"tables":$pt,"bits":$pb,"queries":$nq,"sec":${r3(rsec)},"qps":${r3(nq / rsec)}}""")
       }
     }
 

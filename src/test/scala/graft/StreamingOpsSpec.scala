@@ -248,6 +248,26 @@ class StreamingOpsSpec extends AnyFunSuite {
       // answers are per-query functions of the fixed corpus: micro-batch
       // boundaries cannot change the set
       assert(got.toSet == oneShot)
+
+      // r15 ranked serving kernel: same index, fixed probe budget.
+      // Per-query function of (query, index), so chunked == one-shot;
+      // a corpus-member query still returns itself at rank 1 (its own
+      // buckets are always probed).
+      val rankedOneShot = answersOf(
+        graft.streaming.AnnServeStream.serveBatchRanked(odds, idx))
+      assert(rankedOneShot.nonEmpty)
+      rankedOneShot.foreach { case (_, n, _, _) => assert(n % 2 == 0) }
+      val rankedChunked = odds.as[(Long, Array[Float])].collect().toSeq
+        .grouped(80).flatMap { chunk =>
+          answersOf(graft.streaming.AnnServeStream.serveBatchRanked(
+            chunk.toDF("vec_id", "embedding"), idx))
+        }.toSet
+      assert(rankedChunked == rankedOneShot,
+        "ranked serve answers changed under batching")
+      val self = answersOf(graft.streaming.AnnServeStream.serveBatchRanked(
+        emb.where(col("vec_id") === 0), idx))
+      assert(self.exists { case (q, n, r, s) => q == 0L && n == 0L && r == 1 && s == 1.0 },
+        s"corpus-member query did not return itself at rank 1: $self")
     } finally { idx.vecs.unpersist(); idx.buckets.unpersist() }
   }
 
