@@ -77,6 +77,17 @@ class PlanSpec extends AnyFunSuite {
       s"expected two broadcast hints on the profile verify joins:\n$logical")
   }
 
+  test("ranked multiprobe: native margins expression, bucket equi-join, no all-pairs") {
+    val p = executedPlan("sim_ann_mp_ranked")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // margins come from the single constant-size plane_dots expression
+    // (the JIT-threshold-safe shape), not per-plane dotConst columns
+    assert(p.contains("plane_dots"), p)
+    // signatures stay the one-expression lsh_bucket_ids form
+    assert(p.contains("lsh_bucket_ids"), p)
+  }
+
   test("events scan prunes columns for windowed count") {
     val p = formatted("ev_10min_by_type")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
