@@ -48,6 +48,35 @@ object Similarity extends QueryModule {
     e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
 
+  /** CORPUS-SIDE exact-twin collapse for the top-[[K]] ANN family
+    * (round 15, the [[EventOps.profileVecs]] pattern): keep only the
+    * [[AnnTwinKeep]] = K+1 smallest vec_ids per identical-vector class
+    * on the NEIGHBOR side of each query. Provably top-K-invariant —
+    * for any query q and dropped twin t (t has ≥ 6 smaller-id twins
+    * with the bit-identical vector, hence the bit-identical rounded
+    * score against q), at most one retained twin is q itself, so ≥ 5
+    * retained non-q neighbors rank strictly ahead of t under
+    * (score desc, neighbor_id asc) and t can never reach the top 5.
+    * The QUERY side stays untruncated (the every-50th-id query-set
+    * contract is untouched). Exact for the brute/IVF paths (twins
+    * share cells by assignment determinism); under the LSH postings
+    * cap the kept per-bucket sample changes (mirrored in the oracle).
+    * Exact twins are the input no LSH ladder can prune — they share
+    * every bucket at every rung (measured: a 36%-duplicated 200k
+    * corpus cost all-flips multiprobe 3.5×, SF10_PROBE_r15.json) —
+    * so the collapse runs BEFORE bucketing, one window over slim
+    * (vec_id, vector) rows; a no-op on twin-free corpora (all driver
+    * SFs; gated hashes unchanged). Serving ([[graft.streaming
+    * .AnnServeStream]]) keeps the full corpus: its `k` is caller-chosen
+    * at query time, so a build-time K+1 truncation would be wrong. */
+  private[graft] val AnnTwinKeep = K + 1
+  private[graft] def collapseTwins(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("v")).orderBy(col("vec_id").asc)
+    e.withColumn("twin_rank", row_number().over(w))
+      .where(col("twin_rank") <= AnnTwinKeep)
+      .drop("twin_rank")
+  }
+
   /** Exact top-k: every 50th vector queries the full corpus.
     *
     * Ranking runs on the ROUNDED score (then neighbor_id): the oracle's
@@ -66,7 +95,8 @@ object Similarity extends QueryModule {
     val byQuery = Window.partitionBy($"query_id")
       .orderBy($"score".desc, $"neighbor_id".asc)
     broadcast(queriesOf(e))
-      .join(e.select($"vec_id".as("neighbor_id"), $"v".as("nv"), $"norm".as("nnorm")),
+      .join(collapseTwins(e)
+              .select($"vec_id".as("neighbor_id"), $"v".as("nv"), $"norm".as("nnorm")),
             $"neighbor_id" =!= $"query_id")
       .withColumn("dot", vectorDot($"qv", $"nv"))
       .withColumn("score", round($"dot" / ($"qnorm" * $"nnorm"), 6))
@@ -199,7 +229,10 @@ object Similarity extends QueryModule {
     // vecs relation every consumer reuses — the topkLsh convention)
     val (cells, nprobe) = ivfParams(e.count())
     val cent = centroidsOf(e, cells)
-    val assign = cellAssignment(e, cent)
+    // corpus-side twin collapse (see [[collapseTwins]]): assignment is a
+    // per-vector function, so truncating BEFORE it changes no kept
+    // vector's cell; centroids/rung stay derived from the full corpus
+    val assign = cellAssignment(collapseTwins(e), cent)
 
     val probeW = Window.partitionBy($"query_id").orderBy($"qcos".desc, $"cid".asc)
     val probes = queriesOf(e).join(cent)
@@ -393,6 +426,15 @@ object Similarity extends QueryModule {
       .select(col("query_id"), col("qv"), col("qnorm"), col("neighbor_id"))
   }
 
+  /** Corpus-side bucket postings for the registered LSH queries: twin
+    * classes collapsed to [[AnnTwinKeep]] ids (slim id-join against the
+    * shared signature relation), then the hot-bucket cap. */
+  private def lshCorpus(e: DataFrame, buckets: DataFrame, n: Long,
+                        pb: Int): DataFrame =
+    capPostings(
+      buckets.join(collapseTwins(e).select(col("vec_id")), "vec_id"),
+      lshPostingsCap(n, pb))
+
   def topkLsh(s: SparkSession, dir: String): DataFrame = {
     // persisted: consumed by the query side and the corpus side of the join
     val e = vecs(s, dir)
@@ -401,8 +443,7 @@ object Similarity extends QueryModule {
     val n = e.count()
     val (pt, pb) = lshParams(n)
     val buckets = lshBuckets(e, tables = pt, bits = pb).persist()
-    val corpus = capPostings(buckets, lshPostingsCap(n, pb))
-    rankTopK(lshCandidates(e, buckets, corpus), e)
+    rankTopK(lshCandidates(e, buckets, lshCorpus(e, buckets, n, pb)), e)
   }
 
   /** Multi-probe LSH ANN (Lv et al., "Multi-probe LSH", VLDB'07): each
@@ -474,8 +515,7 @@ object Similarity extends QueryModule {
     val buckets = lshBuckets(e, tables = pt, bits = pb).persist()
     val qb = buckets.join(queriesOf(e), $"vec_id" === $"query_id")
       .select($"query_id", $"qv", $"qnorm", $"tbl", $"bucket")
-    val corpus = capPostings(buckets, lshPostingsCap(n, pb))
-    rankTopK(multiprobeCandidates(qb, corpus, bits = pb), e)
+    rankTopK(multiprobeCandidates(qb, lshCorpus(e, buckets, n, pb), bits = pb), e)
   }
 
   // ---- Query-directed (ranked) multi-probe (round 15) — the probing
@@ -534,7 +574,7 @@ object Similarity extends QueryModule {
     val n = e.count()
     val (pt, pb) = lshParams(n)
     val buckets = lshBuckets(e, tables = pt, bits = pb).persist()
-    val corpus = capPostings(buckets, lshPostingsCap(n, pb))
+    val corpus = lshCorpus(e, buckets, n, pb)
     val q = queriesOf(e)
     val qb = buckets.join(q, $"vec_id" === $"query_id")
       .select($"query_id", $"tbl", $"bucket")
@@ -1323,17 +1363,30 @@ object Similarity extends QueryModule {
        |        FROM prm0)""".stripMargin
   }
 
-  /** Corpus-side capped postings as SQL — the [[capPostings]] mirror:
-    * per (tbl, bucket), keep the `cap` lowest rows by the identical
+  /** The corpus-side twin collapse as SQL — the [[collapseTwins]]
+    * mirror: the [[AnnTwinKeep]] smallest vec_ids per identical-vector
+    * class (a no-op wherever vectors are unique, i.e. every driver SF). */
+  private def annKeepCte: String =
+    s"""akeep AS (
+       |  SELECT vec_id FROM (
+       |    SELECT vec_id, row_number() OVER (PARTITION BY v
+       |        ORDER BY vec_id ASC) AS twin_rank FROM e)
+       |  WHERE twin_rank <= $AnnTwinKeep
+       |)""".stripMargin
+
+  /** Corpus-side capped postings as SQL — the [[capPostings]] mirror
+    * over the twin-collapsed postings ([[annKeepCte]], r15): per
+    * (tbl, bucket), keep the `cap` lowest rows by the identical
     * knuth-hash rank (NULL cap keeps all). */
   private def lshCapCte: String =
-    """cb AS (
+    s"""$annKeepCte,
+      |cb AS (
       |  SELECT vec_id, tbl, bucket FROM (
       |    SELECT b.vec_id, b.tbl, b.bucket, prm.cap,
       |           row_number() OVER (PARTITION BY b.tbl, b.bucket
       |               ORDER BY ((b.vec_id % 1000003) * 2654435761) % 1000003 ASC,
       |                        b.vec_id ASC) AS prn
-      |    FROM buckets b CROSS JOIN prm)
+      |    FROM buckets b JOIN akeep USING (vec_id) CROSS JOIN prm)
       |  WHERE cap IS NULL OR prn <= cap
       |)""".stripMargin
 
@@ -1706,7 +1759,8 @@ object Similarity extends QueryModule {
          |GROUP BY a.cid, round(ic.cnrm, 6)
          |ORDER BY a.cid""".stripMargin,
     "sim_topk_bruteforce" ->
-      s"""$vecCte
+      s"""$vecCte,
+         |$annKeepCte
          |SELECT query_id, neighbor_id, rnk, score FROM (
          |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
          |         round(list_dot_product(q.v, n.v) / (q.nrm * n.nrm), 6) AS score,
@@ -1714,6 +1768,7 @@ object Similarity extends QueryModule {
          |             ORDER BY round(list_dot_product(q.v, n.v) / (q.nrm * n.nrm), 6) DESC,
          |                      n.vec_id ASC) AS rnk
          |  FROM e q JOIN e n ON q.vec_id % 50 = 0 AND n.vec_id <> q.vec_id
+         |  JOIN akeep ON akeep.vec_id = n.vec_id
          |)
          |WHERE rnk <= $K
          |ORDER BY query_id, rnk""".stripMargin,
@@ -1753,9 +1808,11 @@ object Similarity extends QueryModule {
          |-- vectors attach: with the <> predicate inside the e-join the
          |-- planner can (and at 200k vectors, did) pick an order that
          |-- materializes list-carrying intermediates and spills ~80 GB
+         |$annKeepCte,
          |cpair AS (
          |  SELECT p.query_id, a.vec_id AS neighbor_id
          |  FROM probes p JOIN assign a ON p.cid = a.cid
+         |  JOIN akeep ON akeep.vec_id = a.vec_id
          |  WHERE a.vec_id <> p.query_id
          |),
          |cscore AS (

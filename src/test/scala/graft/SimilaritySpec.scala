@@ -79,6 +79,50 @@ class SimilaritySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  /** r15 corpus-side twin collapse: on a corpus where every vector has
+    * 7 exact twins (8 verbatim replicas of sf0.001's embeddings, ids
+    * offset), the top-5 result must equal the UNTRUNCATED brute ground
+    * truth computed in-spec — the scaladoc domination proof, checked
+    * empirically — and no class may keep more than K+1 = 6 members. */
+  test("ANN twin collapse is output-invariant for the top-5 contract") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val dir = "/tmp/twin_emb_spec"
+    val base = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    (0 until 8).map { r =>
+      base.select(($"vec_id" + lit(r.toLong * 100000L)).as("vec_id"),
+        $"embedding", $"label")
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val e = Similarity.vecs(spark, dir)
+    val maxClass = Similarity.collapseTwins(e)
+      .groupBy($"v").count().select(max($"count")).head().getLong(0)
+    assert(maxClass <= Similarity.AnnTwinKeep.toLong,
+      s"class of $maxClass survived the collapse")
+
+    // untruncated brute ground truth, same arithmetic
+    val q = e.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"))
+    val byQuery = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"score".desc, $"neighbor_id".asc)
+    val expected = q.join(
+        e.select($"vec_id".as("neighbor_id"), $"v".as("nv"), $"norm".as("nnorm")),
+        $"neighbor_id" =!= $"query_id")
+      .withColumn("score",
+        round(graft.functions.VectorDot.vectorDot($"qv", $"nv") / ($"qnorm" * $"nnorm"), 6))
+      .withColumn("rnk", row_number().over(byQuery))
+      .where($"rnk" <= 5)
+      .select($"query_id", $"neighbor_id", $"rnk", $"score")
+      .orderBy($"query_id", $"rnk").collect().toSeq
+
+    val got = Similarity.topkBruteForce(spark, dir).collect().toSeq
+    assert(got === expected,
+      "collapsed brute top-5 diverged from the untruncated ground truth")
+    spark.catalog.clearCache()
+  }
+
   test("IVF recall@5 beats random-candidate baseline") {
     val r = recallAt5(topk(Similarity.topkIvf(spark, TestSpark.sf)))
     // nprobe=4 of 16 cells scans ~25% of the corpus; cell locality must
