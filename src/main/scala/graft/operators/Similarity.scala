@@ -178,8 +178,12 @@ object Similarity extends QueryModule {
     * [[cellAssignment]] (zero-norm vectors pin to the lowest cid). */
   private[graft] def semAssign(e: DataFrame, cent: DataFrame): DataFrame =
     e.join(cent)
+      // ANSI mode turns 0/0 into DIVIDE_BY_ZERO, so the degenerate case
+      // is branched around explicitly (when short-circuits in codegen)
+      // and the documented NaN→1.0 pinning stays reachable
       .withColumn("ccos",
-        round(vectorDot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 6))
+        when(col("norm") * col("cnorm") === 0, lit(Double.NaN)).otherwise(
+          round(vectorDot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 6)))
       .withColumn("ccos", nanvl(col("ccos"), lit(1.0)))
       .groupBy(col("vec_id"))
       .agg(min(struct((lit(1.0) - col("ccos")).as("d"), col("cid").as("c"))).as("m"))
@@ -206,10 +210,20 @@ object Similarity extends QueryModule {
     * deterministically to the lowest cid (the behavior of the pre-r10
     * row_number form, where NaN sorted greatest under `ccos desc`)
     * instead of letting NaN lose to every finite distance in the
-    * struct-min (ADVICE r10). */
+    * struct-min (ADVICE r10). The NaN is manufactured by an explicit
+    * zero-divisor branch (r16): Spark 4's default ANSI mode raises
+    * DIVIDE_BY_ZERO on 0/0, which would have made this pinning contract
+    * unreachable instead of deterministic. Zero-norm CENTROIDS — which
+    * would score d = 0 against every vector and capture whole
+    * assignment rounds — cannot reach here: [[ivfPqCentroids]] filters
+    * degenerate seeds and keeps the previous centroid when a Lloyd mean
+    * cancels to zero (ADVICE r15), mirrored in the oracle chains. */
   private[graft] def cellAssignment(e: DataFrame, cent: DataFrame): DataFrame = {
     e.join(cent)
-      .withColumn("ccos", round(vectorDot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 6))
+      // same ANSI divide-by-zero branch as [[semAssign]]
+      .withColumn("ccos",
+        when(col("norm") * col("cnorm") === 0, lit(Double.NaN)).otherwise(
+          round(vectorDot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 6)))
       .withColumn("ccos", nanvl(col("ccos"), lit(1.0)))
       .groupBy(col("vec_id"))
       .agg(min(struct((lit(1.0) - col("ccos")).as("d"), col("cid").as("c"),
@@ -1098,7 +1112,19 @@ object Similarity extends QueryModule {
                                     cells: Int = IvfPqCells): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
-    var cb: DataFrame = e.filter($"vec_id" < cells)
+    // Zero-norm CENTROIDS are impossible by construction (ADVICE r15):
+    // training assignment rides [[semAssign]], whose nanvl(ccos, 1.0)
+    // exists for zero-norm VECTORS (pin to lowest cid) — but a
+    // zero-norm centroid would score NaN→1.0 (d = 0) against EVERY
+    // vector and capture an entire iteration's assignment. Guard at
+    // both places one could arise: degenerate seeds are filtered
+    // (norm > 0), and a Lloyd mean that cancels to the zero vector
+    // keeps the previous centroid (the empty-cell rule). Both guards
+    // are mirrored predicate-for-predicate in [[semKmCte]]/[[ivfKmCte]]
+    // so the NaN branch is unreachable in either engine, rather than
+    // relying on Spark's struct-min and DuckDB's NaN-sorts-greatest
+    // agreeing on an edge they in fact order differently.
+    var cb: DataFrame = e.filter($"vec_id" < cells && $"norm" > 0)
       .select($"vec_id".as("cid"), $"v".as("cv"), $"norm".as("cnorm"))
     for (_ <- 1 to PqLloydIters) {
       // training runs on the bounded [[trainSample]] via the slim
@@ -1114,9 +1140,13 @@ object Similarity extends QueryModule {
             sum(floor(element_at($"v", j + 1) * PqScale).cast("long")).as(s"s$j")): _*)
       cb = cb.select($"cid", $"cv".as("cv0"))
         .join(broadcast(sums), Seq("cid"), "left")
-        .withColumn("cv", when($"n".isNull, $"cv0").otherwise(
+        .withColumn("cvm", when($"n".isNull, $"cv0").otherwise(
           array((0 until DIM).map(j =>
             (col(s"s$j").cast("double") / PqScale) / $"n".cast("double")): _*)))
+        // a mean that cancels to exactly zero keeps the previous
+        // (nonzero by induction) centroid — see the seed-guard note
+        .withColumn("cv",
+          when(vectorDot($"cvm", $"cvm") === 0, $"cv0").otherwise($"cvm"))
         .withColumn("cnorm", sqrt(vectorDot($"cv", $"cv")))
         .select($"cid", $"cv", $"cnorm")
       cb = persistTraining(cb)
@@ -1472,7 +1502,10 @@ object Similarity extends QueryModule {
     * first-`cells` seeds, [[PqLloydIters]] rounds of rounded-cosine
     * assignment over the [[TrainCap]]-bounded sample (lowest-cid ties)
     * and exact scaled-integer means, empty cells keeping their previous
-    * centroid. */
+    * centroid. Zero-norm-centroid guards mirror the engine (ADVICE
+    * r15): degenerate seeds are filtered (`nrm > 0`) and a mean that
+    * cancels to zero keeps the previous centroid, so the NaN-cosine
+    * branch both engines order differently is unreachable. */
   private def semKmCte: String = {
     val iters = (1 to PqLloydIters).map { i =>
       val prev = if (i == 1) "sb0" else s"sb${i - 1}"
@@ -1494,7 +1527,10 @@ object Similarity extends QueryModule {
          |  GROUP BY a.cid, g.j
          |),
          |sb$i AS (
-         |  SELECT b0.cid, COALESCE(c2.cv, b0.cv) AS cv
+         |  SELECT b0.cid,
+         |         CASE WHEN c2.cv IS NULL
+         |                OR list_dot_product(c2.cv, c2.cv) = 0
+         |              THEN b0.cv ELSE c2.cv END AS cv
          |  FROM $prev b0
          |  LEFT JOIN (SELECT cid,
          |                    list((CAST(sj AS DOUBLE) / $PqScaleSql) / n ORDER BY j) AS cv
@@ -1503,7 +1539,7 @@ object Similarity extends QueryModule {
     }.mkString(",\n")
     s"""strain AS (SELECT * FROM e WHERE vec_id < $TrainCap),
        |sb0 AS (SELECT vec_id AS cid, v AS cv FROM e
-       |        WHERE vec_id < $SemTrainedCells),
+       |        WHERE vec_id < $SemTrainedCells AND nrm > 0),
        |$iters,
        |scent AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnrm
        |          FROM sb$PqLloydIters)""".stripMargin
@@ -1555,7 +1591,10 @@ object Similarity extends QueryModule {
          |  GROUP BY a.cid, g.j
          |),
          |ib$i AS (
-         |  SELECT b0.cid, COALESCE(c2.cv, b0.cv) AS cv
+         |  SELECT b0.cid,
+         |         CASE WHEN c2.cv IS NULL
+         |                OR list_dot_product(c2.cv, c2.cv) = 0
+         |              THEN b0.cv ELSE c2.cv END AS cv
          |  FROM $prev b0
          |  LEFT JOIN (SELECT cid,
          |                    list((CAST(sj AS DOUBLE) / $PqScaleSql) / n ORDER BY j) AS cv
@@ -1565,7 +1604,7 @@ object Similarity extends QueryModule {
     s"""$ivfPrmCte,
        |et AS (SELECT * FROM e WHERE vec_id < $TrainCap),
        |ib0 AS (SELECT vec_id AS cid, v AS cv FROM e
-       |        WHERE vec_id < (SELECT cells FROM iprm)),
+       |        WHERE vec_id < (SELECT cells FROM iprm) AND nrm > 0),
        |$iters,
        |icent AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnrm
        |          FROM ib$PqLloydIters)""".stripMargin

@@ -51,10 +51,18 @@ object SemDedupStream {
     * them) and batch assignment must use bit-identical centroids or the
     * batch-boundary-invariance contract breaks. */
   final case class SemIndex(assign: DataFrame, centroids: DataFrame,
-                            vecs: DataFrame) {
+                            vecs: DataFrame,
+                            training: Similarity.TrainingScope) {
     /** Release the index's persisted relations (assignment + prepped
-      * corpus vectors). */
-    def unpersist(): Unit = { assign.unpersist(); vecs.unpersist() }
+      * corpus vectors) AND the Lloyd-training caches behind trained
+      * centroids — they were persisted under this build's own scope
+      * (the [[PqServeStream.PqIndex]] convention, ADVICE r15: the old
+      * unpersist left them for the session-wide clearCache, so
+      * long-lived sessions rebuilding indexes accumulated cached
+      * relations). */
+    def unpersist(): Unit = {
+      assign.unpersist(); vecs.unpersist(); training.release()
+    }
   }
 
   /** Build the corpus-at-rest index. The cell count rides the
@@ -63,13 +71,17 @@ object SemDedupStream {
     * `sim_semdedup`, so expected cell size (and therefore per-batch
     * screen cost, which joins each new vector to ONE cell's members)
     * stays bounded as the at-rest corpus grows instead of drifting
-    * toward n/16. Training caches follow the family convention: callers
-    * that rebuild indexes inside one long session clear them via
-    * `spark.catalog.clearCache` (see [[Similarity]] TrainingScope notes). */
+    * toward n/16. Training caches are collected into the build's own
+    * [[Similarity.TrainingScope]] and released by `SemIndex.unpersist()`
+    * (ADVICE r15) — no session-wide clearCache needed between rebuilds. */
   def corpusIndex(corpus: DataFrame): SemIndex = {
     val e = prepVecs(corpus).persist()
-    val cent = Similarity.semCentroids(e, e.count())
-    SemIndex(Similarity.cellAssignment(e, cent).persist(), cent, e)
+    // trained-rung centroid builds persist Lloyd-step relations; collect
+    // them into this build's own scope so unpersist() releases exactly
+    // this index's cached state (the PqServeStream.corpusIndex pattern)
+    val (cent, scope) =
+      Similarity.withTrainingScope(Similarity.semCentroids(e, e.count()))
+    SemIndex(Similarity.cellAssignment(e, cent).persist(), cent, e, scope)
   }
 
   /** Screen one batch of new `(vec_id, embedding)` vectors against a

@@ -120,11 +120,14 @@ object MakeScale {
       // 64, so replicas r and r+64 got IDENTICAL rotations — at k=100
       // that made 36 replica pairs exact cos=1 twins, violating this
       // tool's own no-planted-twins contract; caught by the r15 sf10
-      // probe). Compose NEGATION on every second 64-replica cycle (the
+      // probe). Compose NEGATION on every second dim-replica cycle (the
       // SimilarityScaleBench construction): also orthogonal — distances
       // and |cos| within a replica are preserved, cross-replica cosines
-      // flip sign — and distinct for k ≤ 128.
-      val emb = when(lit((r / 64) % 2 == 1),
+      // flip sign — and distinct for k ≤ 2·dim. The cycle length is the
+      // PER-ROW `dim` column, not a hardcoded 64 (ADVICE r15: a
+      // non-64-dim corpus would otherwise re-pair replicas sharing both
+      // rotation period dim and negation parity into exact twins).
+      val emb = when(pmod(floor(lit(r) / dim).cast("int"), lit(2)) === 1,
         transform(rotated, x => -x)).otherwise(rotated)
       d.withColumn("vec_id", offset("vec_id", r)).withColumn("embedding", emb)
     })

@@ -238,13 +238,19 @@ object SimilarityScaleBench {
       // cost the ranked sequence exists to cut — plus recall vs the same
       // brute twin.
       {
+        // both arms are timed with the SAME terminal action (count());
+        // the recall set is collected OUTSIDE the timed region (ADVICE
+        // r15: the old ranked arm paid collect+Set construction while
+        // all-flips paid count() only — biased against ranked)
         val t1 = System.nanoTime()
-        val rkNbrs = nbrSet(Similarity.topkLshMultiprobeRanked(spark, dir))
+        Similarity.topkLshMultiprobeRanked(spark, dir).count()
         val rsec = (System.nanoTime() - t1) / 1e9
         spark.catalog.clearCache()
         val t2 = System.nanoTime()
         Similarity.topkLshMultiprobe(spark, dir).count()
         val msec = (System.nanoTime() - t2) / 1e9
+        spark.catalog.clearCache()
+        val rkNbrs = nbrSet(Similarity.topkLshMultiprobeRanked(spark, dir))
         spark.catalog.clearCache()
         val rkRec = rkNbrs.intersect(bf).size.toDouble / bf.size
         println(s"""{"bench":"ann_ranked_scale","k":$k,"vectors":$nVec,"tables":$pt,"bits":$pb,"probes_per_query":${pt * (1 + Similarity.LshRankedProbeMult)},"allflips_probes":${pt * (1 + pb)},"recall":${r3(rkRec)},"recall_allflips":${r3(mpRec)},"sec":${r3(rsec)},"sec_allflips":${r3(msec)}}""")

@@ -270,4 +270,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(operators.Similarity.semPlan(131072L) === ((2048, true)))
     assert(operators.Similarity.semPlan(10000000L) === ((2048, true)))
   }
+
+  /** ADVICE r15: training assignment rides [[Similarity.semAssign]],
+    * whose nanvl(ccos, 1.0) exists for zero-norm VECTORS — a zero-norm
+    * CENTROID would score NaN→1.0 (d = 0) against every vector and
+    * capture a whole Lloyd iteration. The guard makes such centroids
+    * impossible: degenerate seeds filtered, zero-cancelling means keep
+    * the previous centroid. This pins both halves of the contract. */
+  test("zero-norm centroids cannot arise in Lloyd training (ADVICE r15)") {
+    import org.apache.spark.sql.functions.{col, sqrt}
+    import graft.functions.VectorDot.vectorDot
+    val s = spark; import s.implicits._
+    val dim = 64
+    def unit(i: Int): Array[Double] =
+      Array.tabulate(dim)(j => if (j == i) 1.0 else 0.0)
+    def near(i: Int, eps: Double): Array[Double] = {
+      val a = unit(i); a((i + 1) % dim) = eps; a
+    }
+    val rows = Seq(
+      (0L, Array.fill(dim)(0.0)), // zero-norm SEED candidate (vec_id < cells)
+      (1L, unit(0)), (2L, unit(1)), (3L, unit(2))
+    ) ++ (4 to 9).map(k => (k.toLong, near(k % 3, 0.05 * (k - 3))))
+    val e = rows.toDF("vec_id", "v")
+      .withColumn("norm", sqrt(vectorDot(col("v"), col("v"))))
+    try {
+      val cb = operators.Similarity.ivfPqCentroids(e, cells = 4).collect()
+      // the degenerate seed is filtered, every surviving centroid nonzero
+      assert(!cb.exists(_.getAs[Long]("cid") == 0L))
+      cb.foreach(r => assert(r.getAs[Double]("cnorm") > 0))
+      val assign = operators.Similarity
+        .semAssign(e, operators.Similarity.ivfPqCentroids(e, cells = 4))
+        .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid")).toMap
+      // zero-norm VECTOR half of the contract: pinned to the lowest cid
+      assert(assign(0L) === cb.map(_.getAs[Long]("cid")).min)
+      // no capture: nonzero vectors spread over distinct cells
+      assert((assign - 0L).values.toSet.size >= 2)
+    } finally operators.Similarity.releaseTrainingCaches()
+  }
 }

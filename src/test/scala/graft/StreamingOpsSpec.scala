@@ -388,4 +388,32 @@ class StreamingOpsSpec extends AnyFunSuite {
       assert(got.nonEmpty)
     } finally q.stop()
   }
+
+  /** ADVICE r15: SemIndex.unpersist() released assign + vecs but not
+    * the Lloyd-training frames persisted behind TRAINED centroids, so
+    * long-lived sessions rebuilding indexes accumulated cached
+    * relations. The index now carries its build's TrainingScope (the
+    * PqIndex convention) and unpersist() drains it. Built here with the
+    * trained-path centroid builder forced (the gate corpus sits below
+    * the hand-over rung, where first-n seeds persist nothing), exactly
+    * the corpusIndex wiring. Compared as RDD ID SETS, not counts (the
+    * DedupSpec leak-spec lesson: ContextCleaner races a count). */
+  test("SemIndex.unpersist releases the build's training caches (ADVICE r15)") {
+    import graft.operators.Similarity
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val emb = Tables.embeddings(spark, TestSpark.sf).select("vec_id", "embedding")
+    val e = graft.streaming.SemDedupStream.prepVecs(emb).persist()
+    val (cent, scope) =
+      Similarity.withTrainingScope(Similarity.ivfPqCentroids(e, cells = 4))
+    val idx = graft.streaming.SemDedupStream.SemIndex(
+      Similarity.cellAssignment(e, cent).persist(), cent, e, scope)
+    idx.assign.count() // materialize the index and its training caches
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty,
+      "vacuous: the trained build persisted nothing")
+    idx.unpersist()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"SemIndex.unpersist leaked cached relation(s): RDD ids $leaked")
+  }
 }
