@@ -129,8 +129,14 @@ object Similarity extends QueryModule {
       case (acc, (thr, c, p)) => if (n >= thr) (c, p) else acc
     }
 
+  /** First-n seed "centroids". Degenerate zero-norm seeds are filtered
+    * (r16, completing the ADVICE r15 guard family-wide): a zero-norm
+    * centroid scores NaN→1.0 (d = 0) in [[cellAssignment]] and would
+    * capture every vector — and the engines DISAGREE on that edge (the
+    * oracle's x/0 is NULL, which sorts last under DESC and loses).
+    * Filtering seeds at both sides keeps the edge unreachable. */
   private[graft] def centroidsOf(e: DataFrame, ncent: Int = NCENT): DataFrame =
-    broadcast(e.filter(col("vec_id") < ncent)
+    broadcast(e.filter(col("vec_id") < ncent && col("norm") > 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cnorm")))
 
   /** SemDeDup cell-count ladder: with a FIXED cell count the within-cell
@@ -1815,7 +1821,7 @@ object Similarity extends QueryModule {
       s"""$vecCte,
          |$ivfPlainPrmCte,
          |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e
-         |      WHERE vec_id < (SELECT cells FROM vprm)),
+         |      WHERE vec_id < (SELECT cells FROM vprm) AND nrm > 0),
          |-- scores pre-projected to slim (id, cid, sc) rows BEFORE each
          |-- window: at rung-active corpus sizes the n×cells relation is
          |-- 10⁷⁺ rows, and a window sort that carries the 64-double
@@ -2016,7 +2022,7 @@ object Similarity extends QueryModule {
          |-- centroid hand-over (the Scala semPlan rule): first-n seeds
          |-- below the trained threshold, the Lloyd chain at/above it
          |cfirst AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm
-         |           FROM e, p WHERE vec_id < p.nc),
+         |           FROM e, p WHERE vec_id < p.nc AND nrm > 0),
          |c AS (SELECT * FROM cfirst WHERE (SELECT n FROM p) < $SemTrainedMinRows
          |      UNION ALL
          |      SELECT * FROM scent WHERE (SELECT n FROM p) >= $SemTrainedMinRows),

@@ -305,6 +305,12 @@ class SimilaritySpec extends AnyFunSuite {
       assert(assign(0L) === cb.map(_.getAs[Long]("cid")).min)
       // no capture: nonzero vectors spread over distinct cells
       assert((assign - 0L).values.toSet.size >= 2)
+      // untrained first-n path rides the same guard (r16): the engines
+      // DISAGREE on a zero-norm centroid (engine d=0 wins, oracle's
+      // x/0→NULL sorts last and loses), so seeds filter it on both sides
+      val cf = operators.Similarity.centroidsOf(e, ncent = 4).collect()
+      assert(!cf.exists(_.getAs[Long]("cid") == 0L))
+      cf.foreach(r => assert(r.getAs[Double]("cnorm") > 0))
     } finally operators.Similarity.releaseTrainingCaches()
   }
 }
