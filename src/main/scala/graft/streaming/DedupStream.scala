@@ -3,7 +3,7 @@ package graft.streaming
 import graft.operators.Dedup
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener}
 
 /** Streaming incremental dedup: every micro-batch of newly ingested
   * documents is screened against the corpus at rest, emitting the exact
@@ -124,16 +124,33 @@ object DedupStream {
     * micro-batch of `newDocs` (a STREAMING `(doc_id, text)` frame)
     * against the prepared index and hands the resulting pair frame to
     * `onBatch`. The corpus df relation is derived and persisted once,
-    * not once per trigger. */
+    * not once per trigger — and released when THIS query terminates
+    * (r16, the ADVICE r15 SemIndex lesson applied to its dedup twin:
+    * the stream-lifetime persist previously outlived the stream, so
+    * sessions restarting screeners accumulated cached relations).
+    * `corpusIdx` itself stays persisted — the caller built and owns it. */
   def start(newDocs: DataFrame, corpusIdx: DataFrame,
             maxDf: Option[Long] = None)
            (onBatch: (DataFrame, Long) => Unit): StreamingQuery = {
-    val cdf = Some(corpusShingleDf(corpusIdx).persist())
-    newDocs.writeStream
+    val cdfDf = corpusShingleDf(corpusIdx).persist()
+    val cdf = Some(cdfDf)
+    val q = newDocs.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         onBatch(screenBatch(batch, corpusIdx, maxDf, cdf), epochId)
       }
       .start()
+    val streams = newDocs.sparkSession.streams
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == q.id) { cdfDf.unpersist(); streams.removeListener(this) }
+    }
+    streams.addListener(listener)
+    q
   }
 }

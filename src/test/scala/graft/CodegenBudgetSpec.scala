@@ -83,6 +83,23 @@ class CodegenBudgetSpec extends AnyFunSuite {
     }
   }
 
+  test("ranked-probe margin stage (PlaneDots) stays JIT-compilable at every rung") {
+    val s = spark; import s.implicits._
+    // r15's PlaneDots computes pt·pb projection margins per query — the
+    // same shape (per-plane dot products in one projection) that caused
+    // the r12 cliff; pin it at every rung including the 14×12 top one
+    val q = Seq((0L, Array.fill(64)(0.5), 4.0)).toDF("query_id", "qv", "qnorm")
+    val rungs = (Similarity.LshSteps.map { case (_, pt, pb) => (pt, pb) })
+      .prepended((4, 6)) // base rung
+    rungs.foreach { case (pt, pb) =>
+      val sz = maxWholeStageMethodBytes(
+        Similarity.rankedFlips(q, pt, pb, Similarity.LshRankedProbeMult * pt))
+      assert(sz < HotSpotJitLimit,
+        s"ranked-margin rung ($pt,$pb): max whole-stage method $sz bytes " +
+          s"≥ HotSpot JIT limit $HotSpotJitLimit — this rung would run interpreted")
+    }
+  }
+
   test("E2LSH key stage stays JIT-compilable at every profile rung") {
     val s = spark; import s.implicits._
     val profiles = Seq((1L, Array.fill(24)(1.0)), (2L, Array.fill(24)(2.0)))

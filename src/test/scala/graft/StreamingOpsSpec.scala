@@ -416,4 +416,39 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(leaked.isEmpty,
       s"SemIndex.unpersist leaked cached relation(s): RDD ids $leaked")
   }
+
+  /** r16, the SemIndex lesson applied to the dedup twin: DedupStream
+    * .start persists the corpus-df relation for the stream's lifetime
+    * but never released it, so sessions restarting screeners accumulated
+    * cached relations. It now unpersists via a termination listener
+    * (async — polled here). The caller-owned corpusIdx must survive. */
+  test("DedupStream releases its stream-lifetime df cache on termination (r16)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    spark.catalog.clearCache()
+    val docs = Tables.documents(spark, TestSpark.sf).select("doc_id", "text")
+    val corpusIdx = graft.streaming.DedupStream.corpusIndex(
+      docs.where(col("doc_id") % 2 === 0))
+    corpusIdx.count()
+    val withIdx = spark.sparkContext.getPersistentRDDs.keySet
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.DedupStream.start(
+      in.toDF().toDF("doc_id", "text"), corpusIdx) { (pairs, _) =>
+      pairs.count(); ()
+    }
+    try {
+      in.addData((1L, "alpha beta gamma delta epsilon"))
+      q.processAllAvailable()
+      assert((spark.sparkContext.getPersistentRDDs.keySet -- withIdx).nonEmpty,
+        "vacuous: the stream-lifetime df cache never materialized")
+    } finally q.stop()
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- withIdx
+    val deadline = System.currentTimeMillis() + 30000
+    while (leaked.nonEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(leaked.isEmpty, s"df cache leaked after stop: RDD ids $leaked")
+    // the caller-owned index is untouched by the stream's cleanup
+    assert(corpusIdx.storageLevel.useMemory, "corpusIdx was unpersisted")
+    corpusIdx.unpersist()
+  }
 }
