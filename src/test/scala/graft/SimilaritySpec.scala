@@ -123,6 +123,46 @@ class SimilaritySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  /** r16: the 8-replica spec above uses UNIFORM class sizes; the
+    * domination proof must also hold when class sizes straddle the
+    * [[Similarity.AnnTwinKeep]] bound unevenly (some classes collapse,
+    * some don't, queries may themselves be twins). Randomized rounds:
+    * per seed, each base vector gets a hash-derived multiplicity in
+    * 1..8, and the collapsed brute must reproduce the untruncated
+    * ground truth exactly. */
+  test("twin collapse invariance holds under random class multiplicities") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val base = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    Seq(11, 23, 47).foreach { seed =>
+      val dir = s"/tmp/twin_emb_prop_$seed"
+      base.withColumn("m", pmod(hash($"vec_id", lit(seed)), lit(8)) + 1)
+        .withColumn("r", explode(sequence(lit(0), $"m" - 1)))
+        .select(($"vec_id" + $"r".cast("long") * 100000L).as("vec_id"),
+          $"embedding", $"label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val e = Similarity.vecs(spark, dir)
+      val q = e.filter($"vec_id" % 50 === 0)
+        .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"))
+      val byQuery = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"score".desc, $"neighbor_id".asc)
+      val expected = q.join(
+          e.select($"vec_id".as("neighbor_id"), $"v".as("nv"), $"norm".as("nnorm")),
+          $"neighbor_id" =!= $"query_id")
+        .withColumn("score",
+          round(graft.functions.VectorDot.vectorDot($"qv", $"nv") / ($"qnorm" * $"nnorm"), 6))
+        .withColumn("rnk", row_number().over(byQuery))
+        .where($"rnk" <= 5)
+        .select($"query_id", $"neighbor_id", $"rnk", $"score")
+        .orderBy($"query_id", $"rnk").collect().toSeq
+      val got = Similarity.topkBruteForce(spark, dir).collect().toSeq
+      assert(got === expected,
+        s"seed $seed: collapsed brute top-5 diverged from untruncated truth")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("IVF recall@5 beats random-candidate baseline") {
     val r = recallAt5(topk(Similarity.topkIvf(spark, TestSpark.sf)))
     // nprobe=4 of 16 cells scans ~25% of the corpus; cell locality must
