@@ -36,6 +36,11 @@ def main(sf_dir, out_dir):
     # local rung-activation checks give it a spill dir + the host's RAM.
     con.sql("SET temp_directory='/tmp/duckdb_spill'")
     con.sql("SET memory_limit='96GB'")
+    # Bound the spill (r16): the 132k trained-Lloyd chain spilled past
+    # the host's 79 GB free disk and took / to 100% — a capped spill
+    # fails THAT query with a clean error instead of wedging the host.
+    # Override via ORACLE_SPILL_CAP for a bigger-disk host.
+    con.sql(f"SET max_temp_directory_size='{os.environ.get('ORACLE_SPILL_CAP', '40GB')}'")
     # Fewer threads = fewer per-thread operator buffers for the
     # window/list-agg-heavy ladder oracles (correctness unaffected).
     con.sql(f"SET threads TO {os.environ.get('ORACLE_THREADS', '8')}")
