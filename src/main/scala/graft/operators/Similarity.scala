@@ -1454,14 +1454,12 @@ object Similarity extends QueryModule {
     val iters = (1 to PqLloydIters).map { i =>
       val prev = if (i == 1) "kb0" else s"kb${i - 1}"
       s"""ka$i AS (
-         |  SELECT vec_id, b, cid FROM (
-         |    SELECT xb.vec_id, xb.b, kb.cid,
-         |           row_number() OVER (PARTITION BY xb.vec_id, xb.b
-         |               ORDER BY round(list_dot_product(kb.cb, kb.cb)
-         |                        - 2.0 * list_dot_product(xb.xb, kb.cb), 6) ASC,
-         |                        kb.cid ASC) AS rn
-         |    FROM xb JOIN $prev kb ON kb.b = xb.b)
-         |  WHERE rn = 1
+         |  SELECT vec_id, b, struct_extract(m, 'c') AS cid FROM (
+         |    SELECT xb.vec_id, xb.b,
+         |           min(struct_pack(d := round(list_dot_product(kb.cb, kb.cb)
+         |                 - 2.0 * list_dot_product(xb.xb, kb.cb), 6),
+         |               c := kb.cid)) AS m
+         |    FROM xb JOIN $prev kb ON kb.b = xb.b GROUP BY xb.vec_id, xb.b)
          |),
          |km$i AS (
          |  SELECT a.b, a.cid, g.j, count(*) AS n,
@@ -1516,14 +1514,15 @@ object Similarity extends QueryModule {
     val iters = (1 to PqLloydIters).map { i =>
       val prev = if (i == 1) "sb0" else s"sb${i - 1}"
       s"""sa$i AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT e.vec_id, c.cid,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |               ORDER BY round(list_dot_product(e.v, c.cv)
-         |                        / (e.nrm * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
-         |                        c.cid ASC) AS rn
-         |    FROM strain e CROSS JOIN $prev c)
-         |  WHERE rn = 1
+         |  SELECT vec_id, struct_extract(m, 'c') AS cid FROM (
+         |    SELECT e.vec_id,
+         |           min(struct_pack(d := 1.0 - (
+         |               CASE WHEN e.nrm * sqrt(list_dot_product(c.cv, c.cv)) = 0 THEN 1.0
+         |                    ELSE round(list_dot_product(e.v, c.cv)
+         |                         / (e.nrm * sqrt(list_dot_product(c.cv, c.cv))), 6)
+         |               END),
+         |               c := c.cid)) AS m
+         |    FROM strain e CROSS JOIN $prev c GROUP BY e.vec_id)
          |),
          |sm$i AS (
          |  SELECT a.cid, g.j, count(*) AS n,
@@ -1580,14 +1579,15 @@ object Similarity extends QueryModule {
     val iters = (1 to PqLloydIters).map { i =>
       val prev = if (i == 1) "ib0" else s"ib${i - 1}"
       s"""ia$i AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT e.vec_id, c.cid,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |               ORDER BY round(list_dot_product(e.v, c.cv)
-         |                        / (e.nrm * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
-         |                        c.cid ASC) AS rn
-         |    FROM et e CROSS JOIN $prev c)
-         |  WHERE rn = 1
+         |  SELECT vec_id, struct_extract(m, 'c') AS cid FROM (
+         |    SELECT e.vec_id,
+         |           min(struct_pack(d := 1.0 - (
+         |               CASE WHEN e.nrm * sqrt(list_dot_product(c.cv, c.cv)) = 0 THEN 1.0
+         |                    ELSE round(list_dot_product(e.v, c.cv)
+         |                         / (e.nrm * sqrt(list_dot_product(c.cv, c.cv))), 6)
+         |               END),
+         |               c := c.cid)) AS m
+         |    FROM et e CROSS JOIN $prev c GROUP BY e.vec_id)
          |),
          |im$i AS (
          |  SELECT a.cid, g.j, count(*) AS n,
@@ -1648,13 +1648,13 @@ object Similarity extends QueryModule {
        |$pqCodesCte,
        |$ivfKmCte,
        |assign AS (
-       |  SELECT vec_id, cid FROM (
-       |    SELECT e.vec_id, c.cid,
-       |           row_number() OVER (PARTITION BY e.vec_id
-       |               ORDER BY round(list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm), 6) DESC,
-       |                        c.cid ASC) AS rn
-       |    FROM e CROSS JOIN icent c)
-       |  WHERE rn = 1
+       |  SELECT vec_id, struct_extract(m, 'c') AS cid FROM (
+       |    SELECT e.vec_id,
+       |           min(struct_pack(
+       |               d := 1.0 - (CASE WHEN e.nrm * c.cnrm = 0 THEN 1.0
+       |                    ELSE round(list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm), 6) END),
+       |               c := c.cid)) AS m
+       |    FROM e CROSS JOIN icent c GROUP BY e.vec_id)
        |),
        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm,
        |             list_dot_product(v, v) AS qq
@@ -1791,13 +1791,13 @@ object Similarity extends QueryModule {
       s"""$vecCte,
          |$ivfKmCte,
          |assign AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT e.vec_id, c.cid,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |               ORDER BY round(list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm), 6) DESC,
-         |                        c.cid ASC) AS rn
-         |    FROM e CROSS JOIN icent c)
-         |  WHERE rn = 1
+         |  SELECT vec_id, struct_extract(m, 'c') AS cid FROM (
+         |    SELECT e.vec_id,
+         |           min(struct_pack(
+         |               d := 1.0 - (CASE WHEN e.nrm * c.cnrm = 0 THEN 1.0
+         |                    ELSE round(list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm), 6) END),
+         |               c := c.cid)) AS m
+         |    FROM e CROSS JOIN icent c GROUP BY e.vec_id)
          |)
          |SELECT a.cid, count(*) AS n_vectors, round(ic.cnrm, 6) AS cnorm
          |FROM assign a JOIN icent ic ON ic.cid = a.cid
@@ -1822,22 +1822,22 @@ object Similarity extends QueryModule {
          |$ivfPlainPrmCte,
          |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e
          |      WHERE vec_id < (SELECT cells FROM vprm) AND nrm > 0),
-         |-- scores pre-projected to slim (id, cid, sc) rows BEFORE each
-         |-- window: at rung-active corpus sizes the n×cells relation is
-         |-- 10⁷⁺ rows, and a window sort that carries the 64-double
-         |-- vector lists through it spills past any memory budget; the
-         |-- rounded score is the same value either way (r14).
+         |-- scores stay slim (id, cid, sc) and the per-vector argmin is a
+         |-- struct-min AGGREGATE, not a row_number window (r16): at
+         |-- rung-active sizes the n×cells relation is 10⁸⁺ rows, and a
+         |-- window must SORT-MATERIALIZE all of them where the aggregate
+         |-- streams into n groups — the engine's own map-side min(struct)
+         |-- shape, selection identical (d asc, cid asc ties).
          |ascore AS (
          |  SELECT e.vec_id, c.cid,
-         |         round(list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm), 6) AS sc
+         |         CASE WHEN e.nrm * c.cnrm = 0 THEN 1.0
+         |              ELSE round(list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm), 6)
+         |         END AS sc
          |  FROM e CROSS JOIN c),
          |assign AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid,
-         |           row_number() OVER (PARTITION BY vec_id
-         |               ORDER BY sc DESC, cid ASC) AS rn
-         |    FROM ascore)
-         |  WHERE rn = 1
+         |  SELECT vec_id, struct_extract(m, 'c') AS cid FROM (
+         |    SELECT vec_id, min(struct_pack(d := 1.0 - sc, c := cid)) AS m
+         |    FROM ascore GROUP BY vec_id)
          |),
          |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM e WHERE vec_id % 50 = 0),
          |probes AS (
@@ -2026,20 +2026,18 @@ object Similarity extends QueryModule {
          |c AS (SELECT * FROM cfirst WHERE (SELECT n FROM p) < $SemTrainedMinRows
          |      UNION ALL
          |      SELECT * FROM scent WHERE (SELECT n FROM p) >= $SemTrainedMinRows),
-         |-- scores pre-projected to slim rows before the window (the
-         |-- sim_topk_ivf lesson: a list-carrying window sort over the
-         |-- n×cells relation spills past any budget at rung sizes)
+         |-- slim scores + struct-min aggregate argmin (the sim_topk_ivf
+         |-- shape, r16): no sort-materialization of the n×cells relation
          |ascore AS (
          |  SELECT e.vec_id, c.cid,
-         |         round(list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm), 6) AS sc
+         |         CASE WHEN e.nrm * c.cnrm = 0 THEN 1.0
+         |              ELSE round(list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm), 6)
+         |         END AS sc
          |  FROM e CROSS JOIN c),
          |assign AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid,
-         |           row_number() OVER (PARTITION BY vec_id
-         |               ORDER BY sc DESC, cid ASC) AS rn
-         |    FROM ascore)
-         |  WHERE rn = 1
+         |  SELECT vec_id, struct_extract(m, 'c') AS cid FROM (
+         |    SELECT vec_id, min(struct_pack(d := 1.0 - sc, c := cid)) AS m
+         |    FROM ascore GROUP BY vec_id)
          |),
          |cpair AS (
          |  SELECT a.cid AS cell, a.vec_id AS keep_id, b.vec_id AS drop_id
