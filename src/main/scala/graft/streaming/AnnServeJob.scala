@@ -250,17 +250,38 @@ object AnnServeStream {
     Similarity.rankTopK(cand, idx.vecs, k)
   }
 
+  /** The serve-kernel dial (r16, closing the named residue): the two
+    * kernels trade recall for cost, and the choice belongs to the
+    * CALLER, not a silent rung-adaptive swap. [[AllFlips]] is the
+    * recall-maximal default (recall@5 0.432 at the 14×12 rung) whose
+    * per-query probe count rides the ladder's bits (182 at that rung —
+    * measured qps 355 → 114 across the 9×10 → 14×12 jump);
+    * [[Ranked]] probes a fixed `tables·(1+mult)` budget of
+    * smallest-margin flips (42 at the same rung, recall 0.247, qps
+    * ~270 FLAT across the jump) — the shape a cost-bounded fleet runs
+    * at top rungs. The budget dial (`mult`) is calibrated by the
+    * `ann_ranked_sweep` rows in the scale artifact. */
+  sealed trait ServeKernel
+  case object AllFlips extends ServeKernel
+  final case class Ranked(mult: Int = Similarity.LshRankedProbeMult)
+      extends ServeKernel
+
   /** foreachBatch driver: starts the streaming query answering each
     * micro-batch of `queries` (a STREAMING `(vec_id, embedding)` frame)
     * against the prepared index. The single streaming entry point — the
     * checkpointed [[AnnServeJob]] routes through here. */
   def start(queries: DataFrame, idx: LshIndex,
-            k: Int = 5, checkpoint: Option[String] = None)
+            k: Int = 5, checkpoint: Option[String] = None,
+            kernel: ServeKernel = AllFlips)
            (onBatch: (DataFrame, Long) => Unit): StreamingQuery = {
     var w = queries.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        onBatch(serveBatch(batch, idx, k), epochId)
+        val answers = kernel match {
+          case AllFlips     => serveBatch(batch, idx, k)
+          case Ranked(mult) => serveBatchRanked(batch, idx, k, mult)
+        }
+        onBatch(answers, epochId)
       }
     checkpoint.foreach(c => w = w.option("checkpointLocation", c))
     w.start()
@@ -286,7 +307,9 @@ object AnnServeJob {
 
   def run(spark: SparkSession, corpusDir: String, inputDir: String,
           outputDir: String, checkpointDir: String, k: Int = 5,
-          maxFilesPerTrigger: Int = 1): StreamingQuery = {
+          maxFilesPerTrigger: Int = 1,
+          kernel: AnnServeStream.ServeKernel = AnnServeStream.AllFlips)
+         : StreamingQuery = {
     // At-rest index, keyed by the corpus footprint: a restart re-reads the
     // stored signatures instead of re-hashing the corpus; a regenerated
     // corpus misses the key and rebuilds (stale index unreachable).
@@ -296,7 +319,7 @@ object AnnServeJob {
       .parquet(inputDir)
       .select("vec_id", "embedding")
     val query = AnnServeStream.start(stream, idx, k,
-      checkpoint = Some(checkpointDir)) { (answers, epochId) =>
+      checkpoint = Some(checkpointDir), kernel = kernel) { (answers, epochId) =>
       answers.write.mode("overwrite").parquet(s"$outputDir/epoch=$epochId")
     }
     // Release the per-run cached index when THIS query terminates (same
@@ -326,6 +349,15 @@ object AnnServeJob {
       opts.getOrElse("input", "queries"),
       opts.getOrElse("output", "output"),
       opts.getOrElse("checkpoint", "checkpoint"),
-      opts.get("k").map(_.toInt).getOrElse(5)).awaitTermination()
+      opts.get("k").map(_.toInt).getOrElse(5),
+      // --kernel allflips (default, recall-maximal) | ranked[:mult]
+      // (fixed probe budget — per-query cost decoupled from the rung)
+      kernel = opts.get("kernel").map(_.split(":")) match {
+        case Some(Array("ranked"))       => AnnServeStream.Ranked()
+        case Some(Array("ranked", mult)) => AnnServeStream.Ranked(mult.toInt)
+        case Some(Array("allflips")) | None => AnnServeStream.AllFlips
+        case Some(other) => throw new IllegalArgumentException(
+          s"--kernel ${other.mkString(":")} (expected allflips | ranked[:mult])")
+      }).awaitTermination()
   }
 }

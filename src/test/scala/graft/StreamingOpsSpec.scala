@@ -268,6 +268,27 @@ class StreamingOpsSpec extends AnyFunSuite {
         emb.where(col("vec_id") === 0), idx))
       assert(self.exists { case (q, n, r, s) => q == 0L && n == 0L && r == 1 && s == 1.0 },
         s"corpus-member query did not return itself at rank 1: $self")
+
+      // r16 kernel dial: the STREAMING entry point with kernel = Ranked
+      // must route every micro-batch through the ranked kernel — the
+      // stream reproduces the ranked one-shot set, not the all-flips one
+      val gotR = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Double)]
+      val inR = MemoryStream[(Long, Array[Float])]
+      val qR = graft.streaming.AnnServeStream.start(
+        inR.toDF().toDF("vec_id", "embedding"), idx,
+        kernel = graft.streaming.AnnServeStream.Ranked()) { (answers, _) =>
+        gotR ++= answers.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      }
+      try {
+        val rows = odds.as[(Long, Array[Float])].collect().toSeq
+        rows.grouped(math.max(1, rows.size / 2 + 1)).foreach { chunk =>
+          inR.addData(chunk: _*)
+          qR.processAllAvailable()
+        }
+      } finally qR.stop()
+      assert(gotR.toSet == rankedOneShot,
+        "streaming ranked kernel diverged from the one-shot ranked serve")
     } finally { idx.vecs.unpersist(); idx.buckets.unpersist() }
   }
 
