@@ -3,7 +3,7 @@ package graft.streaming
 import graft.operators.Similarity
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener}
+import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
 
 /** Streaming ANN serving: a stream of query vectors is answered with
@@ -305,11 +305,49 @@ object AnnServeJob {
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType))))
 
+  /** Canonical CLI/marker spelling of a serve kernel (the `--kernel`
+    * grammar, round-trippable by `main`'s parser). */
+  private[graft] def kernelTag(k: AnnServeStream.ServeKernel): String =
+    k match {
+      case AnnServeStream.AllFlips     => "allflips"
+      case AnnServeStream.Ranked(mult) => s"ranked:$mult"
+    }
+
+  /** Pins the serve kernel to the checkpoint (ADVICE r16): the kernel
+    * changes WHICH answers each epoch holds, so restarting a checkpointed
+    * run under a different `--kernel` would silently mix epochs computed
+    * under two kernels in one output dir — quietly voiding the
+    * exactly-once "answers == one-shot serve" contract RecoverySpec pins.
+    * First start writes a `graft-serve-kernel` marker beside the offsets
+    * log; every restart re-reads it and fails fast on mismatch (the
+    * remedy is a fresh checkpoint+output dir, named in the error). */
+  private[graft] def pinKernel(spark: SparkSession, checkpointDir: String,
+                                   kernel: AnnServeStream.ServeKernel): Unit = {
+    val tag = kernelTag(kernel)
+    val p = new org.apache.hadoop.fs.Path(checkpointDir, "graft-serve-kernel")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val pinned =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      if (pinned != tag) throw new IllegalStateException(
+        s"checkpoint $checkpointDir was created with --kernel $pinned but this " +
+        s"restart requested --kernel $tag; earlier epochs in the output dir hold " +
+        s"$pinned answers, so resuming would mix kernels under one exactly-once " +
+        "contract. Use a fresh --checkpoint and --output to change kernels.")
+    } else {
+      val out = fs.create(p, false)
+      try out.write(tag.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   def run(spark: SparkSession, corpusDir: String, inputDir: String,
           outputDir: String, checkpointDir: String, k: Int = 5,
           maxFilesPerTrigger: Int = 1,
           kernel: AnnServeStream.ServeKernel = AnnServeStream.AllFlips)
          : StreamingQuery = {
+    pinKernel(spark, checkpointDir, kernel)
     // At-rest index, keyed by the corpus footprint: a restart re-reads the
     // stored signatures instead of re-hashing the corpus; a regenerated
     // corpus misses the key and rebuilds (stale index unreachable).
@@ -318,23 +356,15 @@ object AnnServeJob {
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(inputDir)
       .select("vec_id", "embedding")
-    val query = AnnServeStream.start(stream, idx, k,
-      checkpoint = Some(checkpointDir), kernel = kernel) { (answers, epochId) =>
-      answers.write.mode("overwrite").parquet(s"$outputDir/epoch=$epochId")
-    }
-    // Release the per-run cached index when THIS query terminates (same
-    // pattern as DedupStreamJob): keyed on the query id, idempotent.
-    val qid = query.id
-    spark.streams.addListener(new StreamingQueryListener {
-      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = ()
-      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (e.id == qid) {
-          idx.vecs.unpersist(); idx.buckets.unpersist()
-          spark.streams.removeListener(this)
-        }
-    })
-    query
+    // Release the per-run cached index when THIS query terminates;
+    // [[StreamLifecycle.withRelease]] covers the throwing-start() /
+    // terminated-before-listener races (ADVICE r16).
+    StreamLifecycle.withRelease(spark) {
+      AnnServeStream.start(stream, idx, k,
+        checkpoint = Some(checkpointDir), kernel = kernel) { (answers, epochId) =>
+        answers.write.mode("overwrite").parquet(s"$outputDir/epoch=$epochId")
+      }
+    } { () => idx.vecs.unpersist(); idx.buckets.unpersist() }
   }
 
   /** `--corpus --input --output --checkpoint [--k N]` CLI, same option

@@ -3,7 +3,7 @@ package graft.streaming
 import graft.operators.Dedup
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener}
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Streaming incremental dedup: every micro-batch of newly ingested
   * documents is screened against the corpus at rest, emitting the exact
@@ -134,23 +134,16 @@ object DedupStream {
            (onBatch: (DataFrame, Long) => Unit): StreamingQuery = {
     val cdfDf = corpusShingleDf(corpusIdx).persist()
     val cdf = Some(cdfDf)
-    val q = newDocs.writeStream
-      .outputMode("update")
-      .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        onBatch(screenBatch(batch, corpusIdx, maxDf, cdf), epochId)
-      }
-      .start()
-    val streams = newDocs.sparkSession.streams
-    val listener = new StreamingQueryListener {
-      override def onQueryStarted(
-          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-      override def onQueryProgress(
-          e: StreamingQueryListener.QueryProgressEvent): Unit = ()
-      override def onQueryTerminated(
-          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (e.id == q.id) { cdfDf.unpersist(); streams.removeListener(this) }
-    }
-    streams.addListener(listener)
-    q
+    // [[StreamLifecycle.withRelease]] covers the throwing-start() and
+    // terminated-before-listener races (ADVICE r16) — either would leak
+    // the persisted corpus-shingle relation this release exists to plug.
+    StreamLifecycle.withRelease(newDocs.sparkSession) {
+      newDocs.writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, epochId: Long) =>
+          onBatch(screenBatch(batch, corpusIdx, maxDf, cdf), epochId)
+        }
+        .start()
+    }(() => cdfDf.unpersist())
   }
 }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener}
+import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Runnable, checkpointed form of [[DedupStream]] (template:
@@ -39,30 +39,21 @@ object DedupStreamJob {
     val stream = spark.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(inputDir)
-    val query = stream.writeStream
-      .outputMode("update")
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        DedupStream.screenBatch(batch.select("doc_id", "text"), idx, maxDf, Some(cdf))
-          .write.mode("overwrite").parquet(s"$outputDir/epoch=$epochId")
-      }
-      .start()
     // Release the per-run cached relations when THIS query terminates, so
     // repeated run() calls in one SparkSession (restart tests, notebooks)
-    // don't accumulate cache blocks. Keyed on the query id: other streams
-    // in the session are untouched. Listener events are async but the
-    // unpersist is idempotent, so a late fire is harmless.
-    val qid = query.id
-    spark.streams.addListener(new StreamingQueryListener {
-      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = ()
-      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (e.id == qid) {
-          idx.unpersist(); cdf.unpersist()
-          spark.streams.removeListener(this)
+    // don't accumulate cache blocks. [[StreamLifecycle.withRelease]]
+    // covers the throwing-start() / terminated-before-listener races
+    // (ADVICE r16) on top of the plain termination path.
+    StreamLifecycle.withRelease(spark) {
+      stream.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, epochId: Long) =>
+          DedupStream.screenBatch(batch.select("doc_id", "text"), idx, maxDf, Some(cdf))
+            .write.mode("overwrite").parquet(s"$outputDir/epoch=$epochId")
         }
-    })
-    query
+        .start()
+    } { () => idx.unpersist(); cdf.unpersist() }
   }
 
   /** `--corpus --input --output --checkpoint [--max-df N]` CLI, same

@@ -111,26 +111,15 @@ object PqServeJob {
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(inputDir)
       .select("vec_id", "embedding")
-    val query = PqServeStream.start(stream, idx,
-      k, checkpoint = Some(checkpointDir)) { (answers, epochId) =>
-      answers.write.mode("overwrite").parquet(s"$outputDir/epoch=$epochId")
-    }
-    // Release the per-run persisted index when THIS query terminates
-    // (same pattern as AnnServeJob): keyed on the query id, idempotent.
-    val qid = query.id
-    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
-      override def onQueryStarted(
-        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
-      override def onQueryProgress(
-        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
-      override def onQueryTerminated(
-        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (e.id == qid) {
-          idx.unpersist()
-          spark.streams.removeListener(this)
-        }
-    })
-    query
+    // Release the per-run persisted index when THIS query terminates;
+    // [[StreamLifecycle.withRelease]] covers the throwing-start() /
+    // terminated-before-listener races (ADVICE r16).
+    StreamLifecycle.withRelease(spark) {
+      PqServeStream.start(stream, idx,
+        k, checkpoint = Some(checkpointDir)) { (answers, epochId) =>
+        answers.write.mode("overwrite").parquet(s"$outputDir/epoch=$epochId")
+      }
+    }(() => idx.unpersist())
   }
 
   /** `--corpus --input --output --checkpoint [--k N]` CLI, same option

@@ -110,25 +110,17 @@ object MakeScale {
           " ")
       d.withColumn("doc_id", offset("doc_id", r)).withColumn("text", text)
     })
+    // Rotation ∘ per-replica pseudo-random sign diagonal ([[ScaleVecs]]):
+    // orthogonal (within-replica geometry preserved, cross-replica
+    // directions decorrelated) and distinct for ANY k and ANY dim — the
+    // r15 rotation-only and r16 negation-cycle constructions both had
+    // finite transform families (dim and 2·dim) plus a gcd(7, dim)
+    // precondition on the rotation step (ADVICE r16); the sign vectors
+    // remove the precondition and the family bound outright, and
+    // distinctness is asserted at construction instead of argued.
+    ScaleVecs.assertDistinct(k)
     write("embeddings", rep(Tables.embeddings(spark, src)) { (d, r) =>
-      val dim = size(col("embedding"))
-      val rot = lit(r * 7) % dim
-      val rotated = when(rot === 0, col("embedding")).otherwise(
-        concat(slice(col("embedding"), rot + 1, dim - rot),
-          slice(col("embedding"), lit(1), rot)))
-      // (r*7) mod dim repeats once r exceeds dim (7 is invertible mod
-      // 64, so replicas r and r+64 got IDENTICAL rotations — at k=100
-      // that made 36 replica pairs exact cos=1 twins, violating this
-      // tool's own no-planted-twins contract; caught by the r15 sf10
-      // probe). Compose NEGATION on every second dim-replica cycle (the
-      // SimilarityScaleBench construction): also orthogonal — distances
-      // and |cos| within a replica are preserved, cross-replica cosines
-      // flip sign — and distinct for k ≤ 2·dim. The cycle length is the
-      // PER-ROW `dim` column, not a hardcoded 64 (ADVICE r15: a
-      // non-64-dim corpus would otherwise re-pair replicas sharing both
-      // rotation period dim and negation parity into exact twins).
-      val emb = when(pmod(floor(lit(r) / dim).cast("int"), lit(2)) === 1,
-        transform(rotated, x => -x)).otherwise(rotated)
+      val emb = ScaleVecs.replicaTransform(col("embedding"), size(col("embedding")), r)
       d.withColumn("vec_id", offset("vec_id", r)).withColumn("embedding", emb)
     })
 

@@ -175,30 +175,30 @@ object SimilarityScaleBench {
     // threshold below 131,072 vectors is now exercised by measurement,
     // not only the first step)
     val emb = Tables.embeddings(spark, sfDir)
-    // K=66 (r14) reaches the sign-LSH ladder's top rung (14×12 at
-    // ≥131,072 vectors) and the IVF ladder's 512-cell rung — every
-    // shipped threshold is now exercised by measurement. Replicas past
-    // r=63 exhaust the 64 distinct rotations, so they compose the
-    // rotation with NEGATION (also orthogonal: distances and |cos|
-    // within a replica are preserved, and cross-replica cosines flip
-    // sign, so no artificial near-dups are planted).
+    // K=66 (r14) reaches the former top of the sign-LSH ladder (14×12 at
+    // ≥131,072 vectors); K=500 (r17, 1M vectors) reaches the (20,14)
+    // rung the closed-form ladder extension added — one decade above the
+    // largest previously measured corpus, the VERDICT r16 #1 probe.
+    // Replica transforms come from [[ScaleVecs]] (rotation ∘ sign
+    // diagonal — orthogonal, distinct at any K).
     // SPARK_GRAFT_SIM_K narrows the replica ladder for iteration on one
-    // rung (e.g. "66" re-measures only the top rung after a fix without
-    // re-paying the four lower corpora).
+    // rung (e.g. "66" re-measures only that rung after a fix without
+    // re-paying the lower corpora).
     val kList = sys.env.get("SPARK_GRAFT_SIM_K")
       .map(_.split(",").filter(_.nonEmpty).map(_.trim.toInt).toSeq)
       .getOrElse(Seq(1, 2, 5, 10, 20, 66))
 
     def buildEmbCorpus(k: Int): String = {
       val dir = s"/tmp/sim_scale/emb_x$k"
+      // rotation ∘ per-replica sign diagonal ([[ScaleVecs]]) — same
+      // construction as MakeScale: orthogonal, distinct for ANY k (the
+      // old rotation/negation form exhausted at k = 128 and would have
+      // planted exact twins at the ≥500-replica rungs)
+      ScaleVecs.assertDistinct(k)
       (0 until k).map { r =>
-        val rot = r % 64
-        val rotated =
-          if (rot == 0) $"embedding"
-          else concat(slice($"embedding", rot + 1, 64 - rot), slice($"embedding", 1, rot))
         emb.select(
           ($"vec_id" + lit(r.toLong * 10000000L)).as("vec_id"),
-          (if (r < 64) rotated else transform(rotated, x => -x)).as("embedding"),
+          ScaleVecs.replicaTransform($"embedding", size($"embedding"), r).as("embedding"),
           $"label")
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
@@ -241,11 +241,13 @@ object SimilarityScaleBench {
         // both arms are timed with the SAME terminal action (count());
         // the recall set is collected OUTSIDE the timed region (ADVICE
         // r15: the old ranked arm paid collect+Set construction while
-        // all-flips paid count() only — biased against ranked). Min-of-2
-        // INTERLEAVED passes per arm (the Bench.scala r7 discipline):
-        // r16 measured single-shot rungs swinging up to 3× with session
-        // state (62 s first-shot vs 39 s settled at the 132k rung), so a
-        // one-shot A-then-B pair can misread either arm.
+        // all-flips paid count() only — biased against ranked). Min-of-3
+        // INTERLEAVED passes per arm (the TimeQ / ann_ranked_minof3
+        // discipline — ADVICE r16 flagged the shipped min-of-2 as unable
+        // to reproduce the documented min-of-3 headline): r16 measured
+        // single-shot rungs swinging up to 3× with session state (62 s
+        // first-shot vs 39 s settled at the 132k rung), so a one-shot
+        // A-then-B pair can misread either arm.
         def timed(body: => Unit): Double = {
           val t0 = System.nanoTime()
           body
@@ -253,7 +255,7 @@ object SimilarityScaleBench {
           spark.catalog.clearCache()
           s
         }
-        val samples = (1 to 2).map { _ =>
+        val samples = (1 to 3).map { _ =>
           (timed(Similarity.topkLshMultiprobeRanked(spark, dir).count()),
            timed(Similarity.topkLshMultiprobe(spark, dir).count()))
         }

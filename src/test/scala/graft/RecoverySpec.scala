@@ -174,6 +174,27 @@ class RecoverySpec extends AnyFunSuite {
     assert(got.nonEmpty, "vacuous: no ANN answers at this SF")
   }
 
+  test("ANN serve checkpoint pins the serve kernel; a kernel switch fails fast") {
+    // ADVICE r16: the kernel changes WHICH answers each epoch holds, so a
+    // restart under a different --kernel would mix two kernels' answers
+    // in one output dir. The marker written on first start must reject it.
+    import graft.streaming.{AnnServeJob, AnnServeStream}
+    val cp = Files.createTempDirectory("ann_kernel_cp").toString
+    AnnServeJob.pinKernel(spark, cp, AnnServeStream.AllFlips)
+    // same kernel resumes fine (idempotent)
+    AnnServeJob.pinKernel(spark, cp, AnnServeStream.AllFlips)
+    val ex = intercept[IllegalStateException] {
+      AnnServeJob.pinKernel(spark, cp, AnnServeStream.Ranked(3))
+    }
+    assert(ex.getMessage.contains("allflips") && ex.getMessage.contains("ranked:3"))
+    // distinct ranked budgets are distinct kernels too
+    val cp2 = Files.createTempDirectory("ann_kernel_cp2").toString
+    AnnServeJob.pinKernel(spark, cp2, AnnServeStream.Ranked(2))
+    intercept[IllegalStateException] {
+      AnnServeJob.pinKernel(spark, cp2, AnnServeStream.Ranked(3))
+    }
+  }
+
   test("LSH serve index persists at rest; a regenerated corpus invalidates it") {
     import graft.streaming.AnnServeStream
     val corpusDir = Files.createTempDirectory("lshidx_corpus").toString
