@@ -489,7 +489,21 @@ object EventOps extends QueryModule {
     // growth at ~2.1× per decade (666 → 1,429 from the 15k rung) —
     // inside the ≤3× target the sign-LSH family meets. Threshold keeps
     // the ladder's ×2.5 geometric spacing.
-    (5000L, 6, 24), (12500L, 7, 32), (31250L, 8, 53), (78125L, 11, 80))
+    (5000L, 6, 24), (12500L, 7, 32), (31250L, 8, 53), (78125L, 11, 80)) ++
+    // Closed-form extension (r17, VERDICT r16 #1/#7: every measured rung
+    // table ended one decade above its largest measured corpus, and the
+    // repo's own 150k-user incident shows candidates reverting to linear
+    // growth one decade past a top rung). Thresholds keep the ×2.5
+    // geometric spacing in exact Long arithmetic (·5, then /2); per rung
+    // pk += 1 (the +1 concatenation per 1/p2 ≈ 2.5× rule above) and
+    // pt ×= 1.45 rounded (the measured 24→32→53→80 trajectory's mean
+    // step, above the ×1.33 recall floor). These rungs are the RULE's
+    // prediction, to be re-calibrated the way r14's CapSweep calibrated
+    // the 11×80 rung when a corpus actually reaches them; the ~1M-user
+    // probe (BASELINE.md r17) measures the first of them.
+    Iterator.iterate((78125L, 11, 80)) { case (thr, pk, pt) =>
+      (thr * 5 / 2, pk + 1, math.round(pt * 1.45).toInt)
+    }.drop(1).take(3).toSeq
   private[graft] def profParams(nUsers: Long): (Int, Int) =
     ProfSteps.foldLeft((ProfTables, ProfProj)) {
       case (acc, (thr, pk, pt)) => if (nUsers >= thr) (pt, pk) else acc

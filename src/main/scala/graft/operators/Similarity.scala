@@ -106,6 +106,14 @@ object Similarity extends QueryModule {
       .orderBy($"query_id", $"rnk")
   }
 
+  /** Generated rungs per ANN ladder ([[LshSteps]] has the full design
+    * note). 6 ⇒ top thresholds at 8,388,608 rows — two decades above the
+    * 1M-vector rung measured in SIMILARITY_SCALE_r17 (rung i=3, the
+    * VERDICT r16 #1 probe). Declared BEFORE every generated step table:
+    * object vals initialize in declaration order, and a forward
+    * reference would silently read 0 and generate EMPTY ladders. */
+  private[graft] val AnnLadderRungs = 6
+
   private val NCENT = 16
   private val NPROBE = 4
 
@@ -121,9 +129,16 @@ object Similarity extends QueryModule {
   // historical (16, 4) base. First-n seed centroids stay the family's
   // documented teaching form — the trained-centroid production path is
   // [[topkIvfPq]], which already ladders.
-  private[graft] val IvfSteps: Seq[(Long, Int, Int)] = Seq(
-    // (min corpus rows, cells, nprobe)
-    (8192L, 64, 8), (32768L, 128, 12), (131072L, 256, 16))
+  // Closed form (r17, the [[LshSteps]] treatment): threshold 8192·4^i,
+  // cells = 64·2^i (~√n, the FAISS sizing), nprobe = 8 + 4i — rungs
+  // i=0..2 reproduce the shipped table exactly; the scan fraction
+  // nprobe/cells keeps falling along the generated extension
+  // (12.5% → 9.4% → 6.25% ... → 1.4% at the i=5 top rung).
+  private[graft] val IvfSteps: Seq[(Long, Int, Int)] =
+    (0 until AnnLadderRungs).map { i =>
+      // (min corpus rows, cells, nprobe)
+      (8192L << (2 * i), 64 << i, 8 + 4 * i)
+    }
   private[graft] def ivfParams(n: Long): (Int, Int) =
     IvfSteps.foldLeft((NCENT, NPROBE)) {
       case (acc, (thr, c, p)) => if (n >= thr) (c, p) else acc
@@ -165,10 +180,26 @@ object Similarity extends QueryModule {
   // three rungs below; integer threshold, the profParams contract.
   private[graft] val SemTrainedMinRows = 131072L
   private[graft] val SemTrainedCells = 2048
+  // Closed-form trained-cell ladder (r17, the [[LshSteps]] treatment):
+  // the r14 hand-over fixed trained cells at 2,048, which re-opens the
+  // Θ(n²/cells) within-cell pair trap one decade past the hand-over —
+  // cells now double per ×4 corpus (threshold 131,072·4^j, cells
+  // 2048·2^j, the ~√n sizing), so expected cell size stays bounded while
+  // training cost stays FIXED by [[TrainCap]]. j=0 reproduces the
+  // shipped (131,072 → 2,048) hand-over exactly; thresholds are exact
+  // integers mirrored into the oracle's `sprm` CASE.
+  private[graft] val SemTrainedSteps: Seq[(Long, Int)] =
+    (0 until AnnLadderRungs - 2).map { j =>
+      (SemTrainedMinRows << (2 * j), SemTrainedCells << j)
+    }
   /** (cell count, trained?) for a corpus of n vectors — the semdedup
     * centroid rule both engines derive from the same constants. */
   private[graft] def semPlan(n: Long): (Int, Boolean) =
-    if (n >= SemTrainedMinRows) (SemTrainedCells, true) else (semCells(n), false)
+    if (n >= SemTrainedMinRows)
+      (SemTrainedSteps.foldLeft(SemTrainedCells) {
+        case (acc, (thr, c)) => if (n >= thr) c else acc
+      }, true)
+    else (semCells(n), false)
   private[graft] def semCentroids(e: DataFrame, n: Long): DataFrame = {
     val (cells, trained) = semPlan(n)
     if (trained) ivfPqCentroids(e, cells) else centroidsOf(e, cells)
@@ -301,9 +332,30 @@ object Similarity extends QueryModule {
   // sf0.01/sf0.1 gates stay on the r10-tuned (4, 6) base. The plane pool
   // is prefix-stable per row and rung rows are addressed t·bits + j, so
   // base-rung hashes are bit-identical to the fixed-parameter form.
-  private[graft] val LshSteps: Seq[(Long, Int, Int)] = Seq(
-    // (min corpus rows, tables, bits)
-    (8192L, 6, 8), (32768L, 9, 10), (131072L, 14, 12))
+  //
+  // CLOSED-FORM RUNGS (round 17, VERDICT r16 #1): the r12–r14 tables
+  // hand-wrote three rungs ending at 131,072 — one decade above the
+  // largest measured corpus, and the repo's own history shows candidate
+  // growth reverting to linear one decade past a top rung (the 150k-user
+  // E2LSH incident). The schedule those rungs discretized IS a closed
+  // form — threshold 8192·4^i, bits = 8 + 2i (log₂ of the ×4 growth),
+  // tables = round(6·1.5^i) (the ×~1/p1 per added-bit pair) — so the
+  // table is now GENERATED from it: rung i=0..2 reproduce the shipped
+  // (6,8)/(9,10)/(14,12) exactly (gated hashes unchanged), and the rule
+  // extends the ladder as far as [[AnnLadderRungs]] reaches. The rung
+  // count is bounded only because the shared plane pool (and its inlined
+  // oracle mirror) is sized by the TOP rung — raising the one constant
+  // extends every generated ladder and its oracle CASE together; nothing
+  // else in engine or oracle is rung-count-aware. The closed form is
+  // evaluated ONCE at class load and its INTEGER results are what both
+  // engines consume (the oracle CASE inlines them as literals), so the
+  // no-libm-at-a-boundary contract still holds — and 6·1.5^i is an exact
+  // dyadic product anyway (3^i ≤ 2^53), so math.round is deterministic.
+  private[graft] val LshSteps: Seq[(Long, Int, Int)] =
+    (0 until AnnLadderRungs).map { i =>
+      // (min corpus rows, tables, bits)
+      (8192L << (2 * i), math.round(6 * math.pow(1.5, i)).toInt, 8 + 2 * i)
+    }
   private[graft] def lshParams(n: Long): (Int, Int) =
     LshSteps.foldLeft((TABLES, BITS)) {
       case (acc, (thr, pt, pb)) => if (n >= thr) (pt, pb) else acc
@@ -1088,9 +1140,15 @@ object Similarity extends QueryModule {
   // generated code size: cells are DATA rows (broadcast centroid
   // relations), not expression fan-out, so the LshBucketIds JIT-cliff
   // class does not apply by construction.
-  private[graft] val IvfPqSteps: Seq[(Long, Int, Int)] = Seq(
-    // (min corpus rows, cells, nprobe)
-    (8192L, 128, 32), (32768L, 256, 48), (131072L, 512, 64))
+  // Closed form (r17, the [[LshSteps]] treatment): threshold 8192·4^i,
+  // cells = 128·2^i (~√n), nprobe = 32 + 16i — rungs i=0..2 reproduce
+  // the shipped table exactly; the code-scan fraction keeps falling
+  // along the generated extension (0.125 → 0.078 → 0.047 → 0.027).
+  private[graft] val IvfPqSteps: Seq[(Long, Int, Int)] =
+    (0 until AnnLadderRungs).map { i =>
+      // (min corpus rows, cells, nprobe)
+      (8192L << (2 * i), 128 << i, 32 + 16 * i)
+    }
   private[graft] def ivfPqParams(n: Long): (Int, Int) =
     IvfPqSteps.foldLeft((IvfPqCells, IvfPqProbe)) {
       case (acc, (thr, c, p)) => if (n >= thr) (c, p) else acc
@@ -1542,9 +1600,15 @@ object Similarity extends QueryModule {
          |             FROM sm$i GROUP BY cid) c2 ON c2.cid = b0.cid
          |)""".stripMargin
     }.mkString(",\n")
-    s"""strain AS (SELECT * FROM e WHERE vec_id < $TrainCap),
+    // trained-cell ladder rung, generated from [[SemTrainedSteps]] so the
+    // two engines cannot drift on the hand-over thresholds (r17)
+    val scCases = SemTrainedSteps.reverse.map { case (thr, c) =>
+      s"WHEN n >= $thr THEN $c" }.mkString(" ")
+    s"""sprm AS (SELECT CASE $scCases ELSE $SemTrainedCells END AS sc
+       |         FROM (SELECT count(*) AS n FROM e)),
+       |strain AS (SELECT * FROM e WHERE vec_id < $TrainCap),
        |sb0 AS (SELECT vec_id AS cid, v AS cv FROM e
-       |        WHERE vec_id < $SemTrainedCells AND nrm > 0),
+       |        WHERE vec_id < (SELECT sc FROM sprm) AND nrm > 0),
        |$iters,
        |scent AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnrm
        |          FROM sb$PqLloydIters)""".stripMargin

@@ -66,7 +66,8 @@ object SemDedupStream {
   }
 
   /** Build the corpus-at-rest index. The cell count rides the
-    * [[Similarity.semPlan]] ladder (16 → 2,048 with the corpus, trained
+    * [[Similarity.semPlan]] ladder (16 → 2,048 and doubling per ×4
+    * corpus past the hand-over — [[Similarity.SemTrainedSteps]], trained
     * past the hand-over rung) — the same rule as the registered batch
     * `sim_semdedup`, so expected cell size (and therefore per-batch
     * screen cost, which joins each new vector to ONE cell's members)

@@ -205,6 +205,47 @@ object SimilarityScaleBench {
       dir
     }
 
+    // Ground truth for per-rung recalls. Full brute force scores
+    // queries × corpus ≈ n²/50 rows — fine to ~300k vectors, 2×10¹⁰
+    // rows at the 1M rung. Above the bound the truth set comes from a
+    // DETERMINISTIC 1-in-50 knuth-hash subsample of the standard query
+    // set scored against the FULL corpus (the corpus side is never
+    // sampled, so each sampled query's truth is exact): recall over a
+    // uniform query subsample is an unbiased estimate, at the same
+    // ~4×10⁸-row cost as the previous top rung's full truth. The hash
+    // sampler — the [[Similarity.capPostings]] knuth chain — spreads the
+    // sample across base ids AND replicas, where a plain stride on these
+    // replica-offset ids would collapse onto base id 0 only.
+    val BruteFullMaxVectors = 300000L
+    def knuthSampled(id: Long): Boolean =
+      (id % 1000003L) * 2654435761L % 1000003L % 50L == 0L
+    def bruteTruth(dir: String, nVec: Long)
+        : (Set[(Long, Long)], ((Long, Long)) => Boolean) =
+      if (nVec <= BruteFullMaxVectors)
+        (nbrSet(Similarity.topkBruteForce(spark, dir)), _ => true)
+      else {
+        val e = Similarity.vecs(spark, dir)
+        val q = e.filter($"vec_id" % 50 === 0 &&
+            ($"vec_id" % 1000003L) * 2654435761L % 1000003L % 50 === 0)
+          .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"))
+        val byQuery = org.apache.spark.sql.expressions.Window
+          .partitionBy($"query_id").orderBy($"score".desc, $"neighbor_id".asc)
+        val truth = broadcast(q)
+          .join(Similarity.collapseTwins(e)
+                  .select($"vec_id".as("neighbor_id"), $"v".as("nv"), $"norm".as("nnorm")),
+                $"neighbor_id" =!= $"query_id")
+          .withColumn("score",
+            round(graft.functions.VectorDot.vectorDot($"qv", $"nv")
+              / ($"qnorm" * $"nnorm"), 6))
+          .withColumn("rnk", row_number().over(byQuery))
+          .where($"rnk" <= 5)
+          .select($"query_id", $"neighbor_id")
+        val set = nbrSet(truth)
+        spark.catalog.clearCache()
+        println(s"""{"check":"brute_truth_sampled","vectors":$nVec,"sampled_queries":${set.map(_._1).size},"truth_pairs":${set.size}}""")
+        (set, (p: (Long, Long)) => knuthSampled(p._1))
+      }
+
     kList.foreach { k =>
       val dir = buildEmbCorpus(k)
 
@@ -223,12 +264,14 @@ object SimilarityScaleBench {
       val sec = (System.nanoTime() - t0) / 1e9
       // recall vs the exact brute twin AT THIS corpus size — the rung
       // must hold the recall floor while selectivity falls (the whole
-      // point of the ladder; VERDICT r10 pattern)
-      val bf = nbrSet(Similarity.topkBruteForce(spark, dir))
-      val lshRec = nbrSet(Similarity.topkLsh(spark, dir))
-        .intersect(bf).size.toDouble / bf.size
-      val mpRec = nbrSet(Similarity.topkLshMultiprobe(spark, dir))
-        .intersect(bf).size.toDouble / bf.size
+      // point of the ladder; VERDICT r10 pattern). Past
+      // BruteFullMaxVectors the truth is the sampled-query exact set and
+      // recalls are computed on the sampled queries only (see bruteTruth)
+      val (bf, inTruth) = bruteTruth(dir, nVec)
+      def recallVsBf(df: org.apache.spark.sql.DataFrame): Double =
+        nbrSet(df).filter(inTruth).intersect(bf).size.toDouble / bf.size
+      val lshRec = recallVsBf(Similarity.topkLsh(spark, dir))
+      val mpRec = recallVsBf(Similarity.topkLshMultiprobe(spark, dir))
       spark.catalog.clearCache()
       println(s"""{"bench":"ann_lsh","k":$k,"vectors":$nVec,"tables":$pt,"bits":$pb,"queries":$nQueries,"candidates":$candidates,"brute_scored":$scanned,"selectivity":${r3(candidates.toDouble / scanned)},"recall_lsh":${r3(lshRec)},"recall_multiprobe":${r3(mpRec)},"sec":${r3(sec)}}""")
 
@@ -263,7 +306,7 @@ object SimilarityScaleBench {
         val msec = samples.map(_._2).min
         val rkNbrs = nbrSet(Similarity.topkLshMultiprobeRanked(spark, dir))
         spark.catalog.clearCache()
-        val rkRec = rkNbrs.intersect(bf).size.toDouble / bf.size
+        val rkRec = rkNbrs.filter(inTruth).intersect(bf).size.toDouble / bf.size
         println(s"""{"bench":"ann_ranked_scale","k":$k,"vectors":$nVec,"tables":$pt,"bits":$pb,"probes_per_query":${pt * (1 + Similarity.LshRankedProbeMult)},"allflips_probes":${pt * (1 + pb)},"recall":${r3(rkRec)},"recall_allflips":${r3(mpRec)},"sec":${r3(rsec)},"sec_allflips":${r3(msec)}}""")
       }
 
@@ -280,7 +323,7 @@ object SimilarityScaleBench {
         val nbrs = nbrSet(Similarity.topkRanked(spark, dir, mult))
         val ssec = (System.nanoTime() - t1) / 1e9
         spark.catalog.clearCache()
-        val rec = nbrs.intersect(bf).size.toDouble / bf.size
+        val rec = nbrs.filter(inTruth).intersect(bf).size.toDouble / bf.size
         println(s"""{"bench":"ann_ranked_sweep","k":$k,"vectors":$nVec,"tables":$pt,"bits":$pb,"mult":$mult,"probes_per_query":${pt * (1 + mult)},"recall":${r3(rec)},"sec":${r3(ssec)}}""")
       }
 
@@ -291,7 +334,7 @@ object SimilarityScaleBench {
       {
         val t1 = System.nanoTime()
         val ivfpqRec = nbrSet(Similarity.topkIvfPq(spark, dir))
-          .intersect(bf).size.toDouble / bf.size
+          .filter(inTruth).intersect(bf).size.toDouble / bf.size
         val isec = (System.nanoTime() - t1) / 1e9
         spark.catalog.clearCache()
         val (_, cells, nprobe, frac) = ivfPqScanFraction(dir)
@@ -305,7 +348,7 @@ object SimilarityScaleBench {
       {
         val t1 = System.nanoTime()
         val ivfRec = nbrSet(Similarity.topkIvf(spark, dir))
-          .intersect(bf).size.toDouble / bf.size
+          .filter(inTruth).intersect(bf).size.toDouble / bf.size
         val isec = (System.nanoTime() - t1) / 1e9
         val (icells, inprobe) = Similarity.ivfParams(nVec)
         // MEASURED scanned fraction (cell sizes are uneven with first-n

@@ -66,8 +66,16 @@ class EventOpsSpec extends AnyFunSuite {
     assert(EventOps.profParams(78124L) === ((53, 8)))
     assert(EventOps.profParams(78125L) === ((80, 11)))
     assert(EventOps.profParams(150000L) === ((80, 11)))
+    // r17 closed-form extension rungs (thr ×2.5 exact-integer, pk += 1,
+    // pt ×1.45 rounded) — generated, but pinned here because the oracle
+    // CASE inlines these exact integers
+    assert(EventOps.profParams(195312L) === ((116, 12)))
+    assert(EventOps.profParams(488280L) === ((168, 13)))
+    assert(EventOps.profParams(1000000L) === ((168, 13)))
+    assert(EventOps.profParams(1220703L) === ((244, 14)))
     // amplification must be monotone: bigger corpora never hash LESS
-    val rungs = Seq(1L, 5000L, 12500L, 31250L, 78125L, 1000000L).map(EventOps.profParams)
+    val rungs = Seq(1L, 5000L, 12500L, 31250L, 78125L, 195312L, 488280L,
+      1000000L, 1220703L, 100000000L).map(EventOps.profParams)
     assert(rungs.sliding(2).forall { case Seq((t1, k1), (t2, k2)) =>
       t2 >= t1 && k2 >= k1 })
   }

@@ -208,9 +208,14 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivfPqParams(8192L) === (128, 32))
     assert(ivfPqParams(32768L) === (256, 48))
     assert(ivfPqParams(131072L) === (512, 64))
+    // r17 closed-form rungs (cells 128·2^i, nprobe 32+16i at 8192·4^i)
+    assert(ivfPqParams(524288L) === (1024, 80))
+    assert(ivfPqParams(2097152L) === (2048, 96))
+    assert(ivfPqParams(8388608L) === (4096, 112))
     // the point of the ladder: the per-query code-scan FRACTION
     // (nprobe/cells) strictly falls across rungs, while cells rise
-    val rungs = Seq(1L, 8192L, 32768L, 131072L).map(ivfPqParams)
+    val rungs = Seq(1L, 8192L, 32768L, 131072L, 524288L, 2097152L,
+      8388608L).map(ivfPqParams)
     assert(rungs.sliding(2).forall { case Seq((c1, p1), (c2, p2)) =>
       c2 > c1 && p2.toDouble / c2 < p1.toDouble / c1 })
   }
@@ -224,8 +229,13 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivfParams(8192L) === (64, 8))
     assert(ivfParams(32768L) === (128, 12))
     assert(ivfParams(131072L) === (256, 16))
-    // nominal scan fraction strictly falls across rungs (25% → 6.25%)
-    val rungs = Seq(1L, 8192L, 32768L, 131072L).map(ivfParams)
+    // r17 closed-form rungs (cells 64·2^i, nprobe 8+4i at 8192·4^i)
+    assert(ivfParams(524288L) === (512, 20))
+    assert(ivfParams(2097152L) === (1024, 24))
+    assert(ivfParams(8388608L) === (2048, 28))
+    // nominal scan fraction strictly falls across rungs (25% → 1.4%)
+    val rungs = Seq(1L, 8192L, 32768L, 131072L, 524288L, 2097152L,
+      8388608L).map(ivfParams)
     assert(rungs.sliding(2).forall { case Seq((c1, p1), (c2, p2)) =>
       c2 > c1 && p2.toDouble / c2 < p1.toDouble / c1 })
   }
@@ -308,7 +318,40 @@ class SimilaritySpec extends AnyFunSuite {
     // at 200k vectors: pair term 19.6M → 10.1M, max cell 263 → 147.
     assert(operators.Similarity.semPlan(131071L) === ((1024, false)))
     assert(operators.Similarity.semPlan(131072L) === ((2048, true)))
-    assert(operators.Similarity.semPlan(10000000L) === ((2048, true)))
+    // r17 closed-form trained ladder: cells double per ×4 corpus past
+    // the hand-over (2048·2^j at 131072·4^j), oracle sprm CASE mirror
+    assert(operators.Similarity.semPlan(524287L) === ((2048, true)))
+    assert(operators.Similarity.semPlan(524288L) === ((4096, true)))
+    assert(operators.Similarity.semPlan(2097152L) === ((8192, true)))
+    assert(operators.Similarity.semPlan(8388608L) === ((16384, true)))
+    assert(operators.Similarity.semPlan(10000000L) === ((16384, true)))
+  }
+
+  test("sign-LSH ladder rungs are pinned (oracle prm CASE mirrors them)") {
+    import operators.Similarity.lshParams
+    // bench SFs (≤2,000 vectors) stay on the r10-tuned (4, 6) base
+    assert(lshParams(2000L) === (4, 6))
+    assert(lshParams(8191L) === (4, 6))
+    // measured rungs (r12–r14), now generated by the closed form
+    // (tables round(6·1.5^i), bits 8+2i at 8192·4^i) — pinned because
+    // the oracle CASE and the plane-pool addressing inline them
+    assert(lshParams(8192L) === (6, 8))
+    assert(lshParams(32768L) === (9, 10))
+    assert(lshParams(131072L) === (14, 12))
+    // r17 closed-form extension rungs
+    assert(lshParams(524288L) === (20, 14))
+    assert(lshParams(1000000L) === (20, 14))
+    assert(lshParams(2097152L) === (30, 16))
+    assert(lshParams(8388608L) === (46, 18))
+    // amplification monotone; per-bucket expected occupancy n/2^bits
+    // stays bounded (≤ 64·base) along every generated rung
+    val sizes = Seq(1L, 8192L, 32768L, 131072L, 524288L, 2097152L, 8388608L)
+    val rungs = sizes.map(lshParams)
+    assert(rungs.sliding(2).forall { case Seq((t1, b1), (t2, b2)) =>
+      t2 >= t1 && b2 >= b1 })
+    sizes.zip(rungs).foreach { case (n, (_, bits)) =>
+      assert((n.toDouble / (1L << bits)) <= 64.0,
+        s"expected occupancy blew up at n=$n, bits=$bits") }
   }
 
   /** ADVICE r15: training assignment rides [[Similarity.semAssign]],
