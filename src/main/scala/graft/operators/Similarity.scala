@@ -44,7 +44,7 @@ object Similarity extends QueryModule {
       .persist()
   }
 
-  private def queriesOf(e: DataFrame): DataFrame =
+  private[graft] def queriesOf(e: DataFrame): DataFrame =
     e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
 
@@ -494,8 +494,6 @@ object Similarity extends QueryModule {
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"))
       .distinct()
-      .join(queriesOf(e), "query_id")
-      .select(col("query_id"), col("qv"), col("qnorm"), col("neighbor_id"))
   }
 
   /** Corpus-side bucket postings for the registered LSH queries: twin
@@ -515,7 +513,7 @@ object Similarity extends QueryModule {
     val n = e.count()
     val (pt, pb) = lshParams(n)
     val buckets = lshBuckets(e, tables = pt, bits = pb).persist()
-    rankTopK(lshCandidates(e, buckets, lshCorpus(e, buckets, n, pb)), e)
+    rankTopK(lshCandidates(e, buckets, lshCorpus(e, buckets, n, pb)), e, queriesOf(e))
   }
 
   /** Multi-probe LSH ANN (Lv et al., "Multi-probe LSH", VLDB'07): each
@@ -545,10 +543,8 @@ object Similarity extends QueryModule {
     // Same slim-pair shape as [[lshCandidates]] (r13): probe expansion,
     // bucket join and distinct all run on (query_id, neighbor_id) alone —
     // the ×(1+bits) probe fan-out multiplied the old qv-fat rows exactly
-    // where volume peaks — and each query's vector re-attaches once per
-    // surviving pair from the (small) distinct query-side relation.
-    val qmeta = qb.select(col("query_id"), col("qv"), col("qnorm"))
-      .dropDuplicates("query_id")
+    // where volume peaks. Vectors re-attach inside [[rankTopK]] (r17:
+    // the neighbor SMJ first, slim; then the broadcast query attach).
     val joined = qb.select(col("query_id"), col("tbl"), col("bucket"))
       .withColumn("flip",
         explode(array((lit(0) +: (0 until bits).map(j => lit(1 << j))): _*)))
@@ -558,21 +554,39 @@ object Similarity extends QueryModule {
     (if (excludeSelf) joined.where(col("neighbor_id") =!= col("query_id")) else joined)
       .select(col("query_id"), col("neighbor_id"))
       .distinct()
-      .join(qmeta, "query_id")
-      .select(col("query_id"), col("qv"), col("qnorm"), col("neighbor_id"))
   }
 
-  /** Exact-cosine ranking of `(query_id, qv, qnorm, neighbor_id)`
-    * candidates against the corpus vector relation: top-`k` per query on
-    * the rounded score (tie-break neighbor_id — see [[topkBruteForce]]). */
-  private[graft] def rankTopK(cand: DataFrame, e: DataFrame, k: Int = K): DataFrame = {
+  /** Exact-cosine ranking of SLIM `(query_id, neighbor_id)` candidates
+    * against the corpus vector relation `e`, with the query vectors
+    * supplied separately as `q(query_id, qv, qnorm)`: top-`k` per query
+    * on the rounded score (tie-break neighbor_id — see
+    * [[topkBruteForce]]).
+    *
+    * JOIN ORDER IS THE SCALE CONTRACT (r17, found by the 1M-vector rung):
+    * the neighbor attach is the big join — its sort-merge sorts one row
+    * per candidate pair — so it runs FIRST, on 16-byte slim pairs; the
+    * query vectors re-attach AFTERWARD via an explicit broadcast (the
+    * query set is the small side by construction at every rung, ~11 MB
+    * at 1M vectors). The pre-r17 shape attached qv/qnorm BEFORE the
+    * neighbor join, so the SMJ sorted a 64-double payload on every
+    * candidate row — at 1M vectors that sorted ~550 B × ~4×10⁸ rows and
+    * exhausted an 80 GB disk in shuffle spill. Vectors are projected
+    * away again before the window, so the top-k sort is slim too.
+    * Scores, rounding and ordering are unchanged — the r16 oracle hashes
+    * hold bit-for-bit. */
+  private[graft] def rankTopK(cand: DataFrame, e: DataFrame, q: DataFrame,
+                              k: Int = K): DataFrame = {
     val byQuery = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
-    cand.join(e.select(col("vec_id").as("neighbor_id"),
-                       col("v").as("nv"), col("norm").as("nnorm")),
-              "neighbor_id")
+    cand.select(col("query_id"), col("neighbor_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"),
+                     col("v").as("nv"), col("norm").as("nnorm")),
+            "neighbor_id")
+      .join(broadcast(q.select(col("query_id"), col("qv"), col("qnorm"))),
+            "query_id")
       .withColumn("dot", vectorDot(col("qv"), col("nv")))
       .withColumn("score", round(col("dot") / (col("qnorm") * col("nnorm")), 6))
+      .select(col("query_id"), col("neighbor_id"), col("score"))
       .withColumn("rnk", row_number().over(byQuery))
       .where(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"), col("score"))
@@ -587,7 +601,8 @@ object Similarity extends QueryModule {
     val buckets = lshBuckets(e, tables = pt, bits = pb).persist()
     val qb = buckets.join(queriesOf(e), $"vec_id" === $"query_id")
       .select($"query_id", $"qv", $"qnorm", $"tbl", $"bucket")
-    rankTopK(multiprobeCandidates(qb, lshCorpus(e, buckets, n, pb), bits = pb), e)
+    rankTopK(multiprobeCandidates(qb, lshCorpus(e, buckets, n, pb), bits = pb),
+      e, queriesOf(e))
   }
 
   // ---- Query-directed (ranked) multi-probe (round 15) — the probing
@@ -653,17 +668,15 @@ object Similarity extends QueryModule {
     val flipped = qb.join(rankedFlips(q, pt, pb, mult * pt),
         Seq("query_id", "tbl"))
       .select($"query_id", $"tbl", $"bucket".bitwiseXOR($"flip").as("bucket"))
-    // slim probe → bucket join → distinct pairs → re-attach qv (the r13
-    // slim-pair shape shared with [[multiprobeCandidates]])
+    // slim probe → bucket join → distinct pairs (the r13 slim-pair shape
+    // shared with [[multiprobeCandidates]]; vectors attach in rankTopK)
     val cand = qb.unionByName(flipped)
       .join(corpus.select($"vec_id".as("neighbor_id"), $"tbl", $"bucket"),
         Seq("tbl", "bucket"))
       .where($"neighbor_id" =!= $"query_id")
       .select($"query_id", $"neighbor_id")
       .distinct()
-      .join(q, "query_id")
-      .select($"query_id", $"qv", $"qnorm", $"neighbor_id")
-    rankTopK(cand, e)
+    rankTopK(cand, e, q)
   }
 
   /** documents ⋈ embeddings (doc_id = vec_id): the metadata-to-vector

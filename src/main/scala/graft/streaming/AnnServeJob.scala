@@ -206,10 +206,12 @@ object AnnServeStream {
         keep = Seq("v", "norm"), tables = idx.tables, bits = idx.bits)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"),
               col("tbl"), col("bucket"))
+    val qmeta = qb.select(col("query_id"), col("qv"), col("qnorm"))
+      .dropDuplicates("query_id")
     Similarity.rankTopK(
       Similarity.multiprobeCandidates(qb, idx.buckets, excludeSelf = false,
         bits = idx.bits),
-      idx.vecs, k)
+      idx.vecs, qmeta, k)
   }
 
   /** [[serveBatch]] with the FIXED-BUDGET ranked probing sequence
@@ -245,9 +247,7 @@ object AnnServeStream {
         Seq("tbl", "bucket"))
       .select(col("query_id"), col("neighbor_id"))
       .distinct()
-      .join(qmeta, "query_id")
-      .select(col("query_id"), col("qv"), col("qnorm"), col("neighbor_id"))
-    Similarity.rankTopK(cand, idx.vecs, k)
+    Similarity.rankTopK(cand, idx.vecs, qmeta, k)
   }
 
   /** The serve-kernel dial (r16, closing the named residue): the two

@@ -137,14 +137,14 @@ object CapSweep {
       val corpus = Similarity.capPostings(buckets, cap)
       val t0 = System.nanoTime()
       val cands = Similarity.lshCandidates(e, buckets, corpus).count()
-      val single = Similarity.rankTopK(Similarity.lshCandidates(e, buckets, corpus), e)
+      val qE = e.filter($"vec_id" % 50 === 0)
+        .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"))
+      val single = Similarity.rankTopK(Similarity.lshCandidates(e, buckets, corpus), e, qE)
         .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val qb = buckets.join(e.filter($"vec_id" % 50 === 0)
-          .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm")),
-          $"vec_id" === $"query_id")
+      val qb = buckets.join(qE, $"vec_id" === $"query_id")
         .select($"query_id", $"qv", $"qnorm", $"tbl", $"bucket")
       val multi = Similarity.rankTopK(
-          Similarity.multiprobeCandidates(qb, corpus, bits = lb), e)
+          Similarity.multiprobeCandidates(qb, corpus, bits = lb), e, qE)
         .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val sec = (System.nanoTime() - t0) / 1e9
       println(s"""{"sweep":"signlsh","cap_mult":${mult.getOrElse(-1L)},"cap":${cap.getOrElse(-1L)},"cands":$cands,"cands_per_query":${r3(cands.toDouble / nq)},"recall_lsh":${r3(single.intersect(bf).size.toDouble / bf.size)},"recall_multiprobe":${r3(multi.intersect(bf).size.toDouble / bf.size)},"sec":${r3(sec)}}""")

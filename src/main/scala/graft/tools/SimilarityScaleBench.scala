@@ -444,9 +444,30 @@ object SimilarityScaleBench {
         (row.getLong(0), row.getLong(1))
       }
       val (pairTerm, maxCell) = pairStats(Similarity.semCentroids(e, n))
+      // r17 (VERDICT r16 #3): the hand-over's break-even was arithmetic,
+      // not measurement — time the full pipeline under the PRE-hand-over
+      // counterfactual (first-n seeds at the 1,024 cap) on the same
+      // corpus, so the crossover is a measured ratio of end-to-end walls
+      // (training cost included on the shipped side, which pays it).
+      def semWall(cent: org.apache.spark.sql.DataFrame): Double = {
+        val t1 = System.nanoTime()
+        val slim = Similarity.semAssign(e, cent)
+        val assign = slim.join(e, "vec_id")
+        assign.as("a").join(assign.as("b"),
+            $"a.cid" === $"b.cid" && $"a.vec_id" < $"b.vec_id")
+          .withColumn("score",
+            round(graft.functions.VectorDot.vectorDot($"a.v", $"b.v")
+              / ($"a.norm" * $"b.norm"), 6))
+          .where($"score" >= Similarity.SemThreshold)
+          .count()
+        (System.nanoTime() - t1) / 1e9
+      }
       val counterfactual = if (trained) {
         val (cfPairs, cfMax) = pairStats(Similarity.centroidsOf(e, 1024))
-        s""","pair_term_firstn1024":$cfPairs,"max_cell_firstn1024":$cfMax"""
+        spark.catalog.clearCache()
+        val cfSec = semWall(Similarity.centroidsOf(e, 1024))
+        spark.catalog.clearCache()
+        s""","pair_term_firstn1024":$cfPairs,"max_cell_firstn1024":$cfMax,"sec_firstn1024":${r3(cfSec)}"""
       } else ""
       spark.catalog.clearCache()
       println(s"""{"bench":"sem_dedup_scale","k":$k,"vectors":$n,"cells":$cells,"trained":$trained,"pair_term":$pairTerm,"max_cell":$maxCell,"out_pairs":$outPairs,"sec":${r3(sec)}$counterfactual}""")

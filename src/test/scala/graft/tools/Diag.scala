@@ -43,7 +43,8 @@ object Diag {
       Similarity.capPostings(buckets, Similarity.lshPostingsCap(n, pb)))
     val nc = time("candidates count")(cand.count())
     println(s"DIAG candidates=$nc")
-    time("rankTopK")(Similarity.rankTopK(cand, e).write.mode("overwrite").format("noop").save())
+    time("rankTopK")(Similarity.rankTopK(cand, e, Similarity.queriesOf(e))
+      .write.mode("overwrite").format("noop").save())
     time("full topkLsh again")(Similarity.topkLsh(spark, dir).write.mode("overwrite").format("noop").save())
     spark.stop()
   }
