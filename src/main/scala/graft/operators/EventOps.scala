@@ -499,8 +499,10 @@ object EventOps extends QueryModule {
     // pt ×= 1.45 rounded (the measured 24→32→53→80 trajectory's mean
     // step, above the ×1.33 recall floor). These rungs are the RULE's
     // prediction, to be re-calibrated the way r14's CapSweep calibrated
-    // the 11×80 rung when a corpus actually reaches them; the ~1M-user
-    // probe (BASELINE.md r17) measures the first of them.
+    // the 11×80 rung when a corpus actually reaches them; EvRungProbe
+    // (tools/) measures candidate volume at a chosen rung — its first
+    // run is the r18 ~490k-user row in BASELINE.md ("E2LSH extension
+    // rung measured").
     Iterator.iterate((78125L, 11, 80)) { case (thr, pk, pt) =>
       (thr * 5 / 2, pk + 1, math.round(pt * 1.45).toInt)
     }.drop(1).take(3).toSeq
@@ -535,7 +537,11 @@ object EventOps extends QueryModule {
     if (nUsers >= ProfCapMinUsers) Some(ProfCap) else None
   private val ProfPoolSize: Int = {
     val (pt, pk) = (ProfSteps.last._3, ProfSteps.last._2)
-    pt * pk // 344 — the largest rung's plane demand
+    // ProfSteps.last-derived — currently (1220700, 14, 244) → 3416 rows
+    // (the r17 closed-form ladder extension grew it ~4× from the
+    // pre-extension 344; the oracle's inlined integer plane matrix grows
+    // with it, same generator on both sides).
+    pt * pk
   }
   private[operators] val profPlaneInts: Array[Array[Int]] =
     Similarity.planeIntMatrix(ProfPoolSize, 24)

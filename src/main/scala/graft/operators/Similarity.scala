@@ -174,36 +174,69 @@ object Similarity extends QueryModule {
   // [[ivfPqCentroids]] — the same TrainCap-bounded deterministic
   // spherical Lloyd the IVF×PQ coarse quantizer uses, whose SQL mirror
   // ([[semKmCte]], the [[ivfKmCte]] chain at this rung's cell count)
-  // keeps the oracle bit-identical. Cell count doubles at the hand-over
-  // (expected cell ~n/2048 at the rung floor), and training cost is
-  // FIXED by the cap — the 100 TB shape. Gated SFs (≤2,048 vectors) sit
-  // three rungs below; integer threshold, the profParams contract.
+  // keeps the oracle bit-identical. Training cost is FIXED by the cap —
+  // the 100 TB shape. Gated SFs (≤2,048 vectors) sit three rungs below;
+  // integer threshold, the profParams contract. What the hand-over does
+  // to the CELL COUNT depends on which form is asking — see the r18
+  // split below (one-shot cells DROP to the assignment/pair balance
+  // point; at-rest cells double to bound per-batch screen cost).
   private[graft] val SemTrainedMinRows = 131072L
-  private[graft] val SemTrainedCells = 2048
-  // Closed-form trained-cell ladder (r17, the [[LshSteps]] treatment):
-  // the r14 hand-over fixed trained cells at 2,048, which re-opens the
-  // Θ(n²/cells) within-cell pair trap one decade past the hand-over —
-  // cells now double per ×4 corpus (threshold 131,072·4^j, cells
-  // 2048·2^j, the ~√n sizing), so expected cell size stays bounded while
-  // training cost stays FIXED by [[TrainCap]]. j=0 reproduces the
-  // shipped (131,072 → 2,048) hand-over exactly; thresholds are exact
-  // integers mirrored into the oracle's `sprm` CASE.
-  private[graft] val SemTrainedSteps: Seq[(Long, Int)] =
+  // ---- r18 recalibration (VERDICT r17 #1): ONE-SHOT and AT-REST cells
+  // have genuinely different optima, so the schedule is SPLIT.
+  //
+  // One-shot (the registered `sim_semdedup`, which pays assignment AND
+  // pairs in one wall): the r17 2M-vector crossover run refuted the r16
+  // pair-term-only break-even — the n × cells assignment scan dominates,
+  // and total cost n·c + n²/(2c) is minimized at c* = √(n/2). The rung
+  // rule cells = 256·2^j at 131,072·4^j sits EXACTLY on c* at every rung
+  // floor (131,072·4^j / 2 = (256·2^j)²) and within 1.25× of optimal
+  // cost mid-rung. MEASURED (r18 sem_cells_sweep, trained centroids,
+  // Lloyd included): at 200k vectors the 256-cell arm is the wall
+  // minimum (128→27.6 s, 256→18.2 s, 512→20.6 s, 1024→37.3 s; the old
+  // schedule's 2048 was 61.8 s via the r17 registered-query probe); the
+  // 2M confirmation row is in BASELINE.md ("one-shot cells
+  // recalibrated"). j=0 keeps the 131,072 hand-over threshold; exact
+  // integer thresholds AND cells mirrored into the oracle's `sprm` CASE.
+  private[graft] val SemOneShotCells = 256
+  private[graft] val SemOneShotSteps: Seq[(Long, Int)] =
     (0 until AnnLadderRungs - 2).map { j =>
-      (SemTrainedMinRows << (2 * j), SemTrainedCells << j)
+      (SemTrainedMinRows << (2 * j), SemOneShotCells << j)
     }
-  /** (cell count, trained?) for a corpus of n vectors — the semdedup
-    * centroid rule both engines derive from the same constants. */
+  // At-rest (the streaming [[graft.streaming.SemDedupStream]] index):
+  // assignment is paid ONCE and amortized across every micro-batch
+  // screen, where per-batch cost ∝ expected cell size — smaller cells
+  // win strictly, so the r17 schedule (2048·2^j, expected cell ~n/2048
+  // at rung floors) stays RIGHT for this form; it is also the
+  // distributed-skew bound (max cell 1,201 vs 2,238 measured at 2M).
+  private[graft] val SemAtRestCells = 2048
+  private[graft] val SemAtRestSteps: Seq[(Long, Int)] =
+    (0 until AnnLadderRungs - 2).map { j =>
+      (SemTrainedMinRows << (2 * j), SemAtRestCells << j)
+    }
+  private def semTrainedFold(steps: Seq[(Long, Int)], base: Int, n: Long): Int =
+    steps.foldLeft(base) { case (acc, (thr, c)) => if (n >= thr) c else acc }
+  /** (cell count, trained?) for a ONE-SHOT semdedup over n vectors — the
+    * centroid rule the registered query and its oracle derive from the
+    * same constants. */
   private[graft] def semPlan(n: Long): (Int, Boolean) =
     if (n >= SemTrainedMinRows)
-      (SemTrainedSteps.foldLeft(SemTrainedCells) {
-        case (acc, (thr, c)) => if (n >= thr) c else acc
-      }, true)
+      (semTrainedFold(SemOneShotSteps, SemOneShotCells, n), true)
     else (semCells(n), false)
-  private[graft] def semCentroids(e: DataFrame, n: Long): DataFrame = {
-    val (cells, trained) = semPlan(n)
-    if (trained) ivfPqCentroids(e, cells) else centroidsOf(e, cells)
-  }
+  /** (cell count, trained?) for the AT-REST index ([[SemDedupStream]]).
+    * Below the hand-over the two plans agree (the [[semCells]] ladder). */
+  private[graft] def semPlanAtRest(n: Long): (Int, Boolean) =
+    if (n >= SemTrainedMinRows)
+      (semTrainedFold(SemAtRestSteps, SemAtRestCells, n), true)
+    else (semCells(n), false)
+  private def semCentroidsFor(e: DataFrame, plan: (Int, Boolean)): DataFrame =
+    plan match {
+      case (cells, true)  => ivfPqCentroids(e, cells)
+      case (cells, false) => centroidsOf(e, cells)
+    }
+  private[graft] def semCentroids(e: DataFrame, n: Long): DataFrame =
+    semCentroidsFor(e, semPlan(n))
+  private[graft] def semCentroidsAtRest(e: DataFrame, n: Long): DataFrame =
+    semCentroidsFor(e, semPlanAtRest(n))
 
   /** SLIM max-cosine cell per corpus vector — (vec_id, cid) only, the
     * assignment the semdedup family ships (vectors re-attach by join
@@ -349,12 +382,17 @@ object Similarity extends QueryModule {
   // else in engine or oracle is rung-count-aware. The closed form is
   // evaluated ONCE at class load and its INTEGER results are what both
   // engines consume (the oracle CASE inlines them as literals), so the
-  // no-libm-at-a-boundary contract still holds — and 6·1.5^i is an exact
-  // dyadic product anyway (3^i ≤ 2^53), so math.round is deterministic.
+  // no-libm-at-a-boundary contract still holds. round(6·1.5^i) is
+  // computed in EXACT Long arithmetic — 6·3^i plus half the divisor,
+  // shifted down by i (round-half-up; 3^i fits a Long for every
+  // reachable rung) — because Math.pow is only specified to 1 ulp and
+  // i=2 lands exactly on the .5 boundary (13.5 → 14), where a 1-ulp-low
+  // pow would silently shrink a rung (ADVICE r17).
   private[graft] val LshSteps: Seq[(Long, Int, Int)] =
     (0 until AnnLadderRungs).map { i =>
+      val pow3 = (0 until i).foldLeft(1L)((a, _) => a * 3)
       // (min corpus rows, tables, bits)
-      (8192L << (2 * i), math.round(6 * math.pow(1.5, i)).toInt, 8 + 2 * i)
+      (8192L << (2 * i), ((6L * pow3 + (1L << i >> 1)) >> i).toInt, 8 + 2 * i)
     }
   private[graft] def lshParams(n: Long): (Int, Int) =
     LshSteps.foldLeft((TABLES, BITS)) {
@@ -1379,7 +1417,8 @@ object Similarity extends QueryModule {
   private[graft] def ivfPqServe(queries0: DataFrame, e: DataFrame,
       cent: DataFrame, assign: DataFrame, cbk: DataFrame, codes: DataFrame,
       k: Int = K, nprobe: Int = IvfPqProbe,
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false,
+      shortlist: Int = IvfPqShortlist): DataFrame = {
     val s = queries0.sparkSession
     import s.implicits._
     val q = queries0.withColumn("qq", vectorDot($"qv", $"qv"))
@@ -1400,7 +1439,7 @@ object Similarity extends QueryModule {
       .orderBy($"adc".asc, $"neighbor_id".asc)
     val short = cand.withColumn("adc", round(adcLookupSum, 6))
       .withColumn("srnk", row_number().over(shortW))
-      .where($"srnk" <= IvfPqShortlist)
+      .where($"srnk" <= shortlist)
       .select($"query_id", $"neighbor_id")
     val byQuery = Window.partitionBy($"query_id")
       .orderBy($"score".desc, $"neighbor_id".asc)
@@ -1571,7 +1610,7 @@ object Similarity extends QueryModule {
     * engines cannot drift on the rung thresholds (the [[lshPrmCte]]
     * pattern). */
   /** The semdedup trained-centroid Lloyd chain — the [[ivfKmCte]]
-    * structure at [[SemTrainedCells]] cells with `s`-prefixed CTE names
+    * structure at the [[SemOneShotSteps]] rung's cells with `s`-prefixed CTE names
     * (so it can coexist with the first-n chain in one query), ending in
     * `scent(cid, cv, cnrm)`. Mirrors [[ivfPqCentroids]] step for step:
     * first-`cells` seeds, [[PqLloydIters]] rounds of rounded-cosine
@@ -1613,11 +1652,12 @@ object Similarity extends QueryModule {
          |             FROM sm$i GROUP BY cid) c2 ON c2.cid = b0.cid
          |)""".stripMargin
     }.mkString(",\n")
-    // trained-cell ladder rung, generated from [[SemTrainedSteps]] so the
-    // two engines cannot drift on the hand-over thresholds (r17)
-    val scCases = SemTrainedSteps.reverse.map { case (thr, c) =>
+    // trained-cell ladder rung, generated from [[SemOneShotSteps]] (the
+    // ONE-SHOT schedule — the registered query's; r18) so the two
+    // engines cannot drift on the hand-over thresholds (r17)
+    val scCases = SemOneShotSteps.reverse.map { case (thr, c) =>
       s"WHEN n >= $thr THEN $c" }.mkString(" ")
-    s"""sprm AS (SELECT CASE $scCases ELSE $SemTrainedCells END AS sc
+    s"""sprm AS (SELECT CASE $scCases ELSE $SemOneShotCells END AS sc
        |         FROM (SELECT count(*) AS n FROM e)),
        |strain AS (SELECT * FROM e WHERE vec_id < $TrainCap),
        |sb0 AS (SELECT vec_id AS cid, v AS cv FROM e

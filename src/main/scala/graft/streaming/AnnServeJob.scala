@@ -326,19 +326,38 @@ object AnnServeJob {
     val tag = kernelTag(kernel)
     val p = new org.apache.hadoop.fs.Path(checkpointDir, "graft-serve-kernel")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
-      val in = fs.open(p)
-      val pinned =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      if (pinned != tag) throw new IllegalStateException(
-        s"checkpoint $checkpointDir was created with --kernel $pinned but this " +
+    // An empty/blank marker is a truncated write from a crash mid-pin —
+    // treat it as absent and rewrite, instead of mismatching every
+    // kernel (including the original one) forever (ADVICE r17).
+    val pinned: Option[String] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                finally in.close()
+        if (s.isEmpty) None else Some(s)
+      }
+    pinned match {
+      case Some(prev) if prev != tag => throw new IllegalStateException(
+        s"checkpoint $checkpointDir was created with --kernel $prev but this " +
         s"restart requested --kernel $tag; earlier epochs in the output dir hold " +
-        s"$pinned answers, so resuming would mix kernels under one exactly-once " +
+        s"$prev answers, so resuming would mix kernels under one exactly-once " +
         "contract. Use a fresh --checkpoint and --output to change kernels.")
-    } else {
-      val out = fs.create(p, false)
-      try out.write(tag.getBytes("UTF-8")) finally out.close()
+      case Some(_) => () // already pinned to this kernel
+      case None =>
+        // Crash-safe pin: write the full tag to a temp path, then rename
+        // into place — rename is atomic on local FS/HDFS, so the marker
+        // is either absent or complete, never truncated (ADVICE r17).
+        val tmp = new org.apache.hadoop.fs.Path(
+          checkpointDir, s"graft-serve-kernel.tmp-${java.util.UUID.randomUUID}")
+        val out = fs.create(tmp, true)
+        try out.write(tag.getBytes("UTF-8")) finally out.close()
+        if (fs.exists(p)) fs.delete(p, false) // blank marker from a crash
+        if (!fs.rename(tmp, p)) {
+          fs.delete(tmp, false)
+          throw new IllegalStateException(
+            s"could not atomically pin serve kernel marker at $p")
+        }
     }
   }
 

@@ -66,13 +66,16 @@ object SemDedupStream {
   }
 
   /** Build the corpus-at-rest index. The cell count rides the
-    * [[Similarity.semPlan]] ladder (16 → 2,048 and doubling per ×4
-    * corpus past the hand-over — [[Similarity.SemTrainedSteps]], trained
-    * past the hand-over rung) — the same rule as the registered batch
-    * `sim_semdedup`, so expected cell size (and therefore per-batch
-    * screen cost, which joins each new vector to ONE cell's members)
-    * stays bounded as the at-rest corpus grows instead of drifting
-    * toward n/16. Training caches are collected into the build's own
+    * [[Similarity.semPlanAtRest]] ladder (16 → 2,048 and doubling per ×4
+    * corpus past the hand-over — [[Similarity.SemAtRestSteps]], trained
+    * past the hand-over rung) — NOT the registered one-shot query's
+    * retuned schedule (r18, VERDICT r17 #1): the at-rest form pays
+    * assignment once and amortizes it across every micro-batch screen,
+    * where per-batch cost ∝ expected cell size and smaller cells win
+    * strictly, so this ladder keeps cell size (and per-batch screen
+    * cost, which joins each new vector to ONE cell's members) bounded as
+    * the at-rest corpus grows instead of drifting toward n/16. Training
+    * caches are collected into the build's own
     * [[Similarity.TrainingScope]] and released by `SemIndex.unpersist()`
     * (ADVICE r15) — no session-wide clearCache needed between rebuilds. */
   def corpusIndex(corpus: DataFrame): SemIndex = {
@@ -81,7 +84,7 @@ object SemDedupStream {
     // them into this build's own scope so unpersist() releases exactly
     // this index's cached state (the PqServeStream.corpusIndex pattern)
     val (cent, scope) =
-      Similarity.withTrainingScope(Similarity.semCentroids(e, e.count()))
+      Similarity.withTrainingScope(Similarity.semCentroidsAtRest(e, e.count()))
     SemIndex(Similarity.cellAssignment(e, cent).persist(), cent, e, scope)
   }
 

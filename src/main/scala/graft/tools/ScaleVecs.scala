@@ -63,13 +63,22 @@ object ScaleVecs {
   /** Replica-`r` transform of an embedding column: rotate by
     * `(r * 7) mod dim` positions (any step works now — distinctness
     * comes from the signs), then flip coordinate signs by
-    * [[signArray]](r). `dimCol` is the per-row dim (≤ [[MaxDim]]). */
+    * [[signArray]](r). `dimCol` is the per-row dim, runtime-guarded to
+    * [64, [[MaxDim]]]: above MaxDim `element_at(signs, i+1)` would be
+    * null and silently force +1 past coordinate 512; below 64
+    * [[assertDistinct]]'s 64-coord mask would validate sign bits the
+    * corpus doesn't have (ADVICE r17). */
   def replicaTransform(emb: Column, dimCol: Column, r: Int): Column = {
     if (r == 0) emb
     else {
-      val rot = lit(r * 7) % dimCol
+      val guarded = when(
+        assert_true(dimCol >= 64 && dimCol <= lit(MaxDim),
+          lit(s"ScaleVecs.replicaTransform: dim outside [64, $MaxDim] — " +
+            "sign coverage/distinctness guarantees would silently degrade")).isNull,
+        dimCol)
+      val rot = lit(r * 7) % guarded
       val rotated = when(rot === 0, emb).otherwise(
-        concat(slice(emb, rot + 1, dimCol - rot), slice(emb, lit(1), rot)))
+        concat(slice(emb, rot + 1, guarded - rot), slice(emb, lit(1), rot)))
       val signs = lit(signArray(r))
       // negate-by-branch, not multiply: keeps the element type (float32
       // corpora stay float32 through the transform)

@@ -341,6 +341,33 @@ object SimilarityScaleBench {
         println(s"""{"bench":"ann_ivfpq_scale","k":$k,"vectors":$nVec,"cells":$cells,"nprobe":$nprobe,"scan_fraction":${r3(frac)},"recall":${r3(ivfpqRec)},"sec":${r3(isec)}}""")
       }
 
+      // IVF×PQ exact-rerank shortlist sweep (round 18, VERDICT r17 #3):
+      // recall@5 fell 0.79 → 0.344 → 0.201 across 2k/132k/1M with R
+      // fixed at 300 while every other constant rides a ladder — PQ
+      // distortion dominates the floor, and R is the knob that buys it
+      // back. Recall AND wall per R at THIS rung, same index and truth
+      // set across the sweep (index built once; serve is the only arm
+      // that moves). Env-gated: SPARK_GRAFT_SIM_R_SWEEP="300,600,1200".
+      sys.env.get("SPARK_GRAFT_SIM_R_SWEEP")
+        .map(_.split(",").filter(_.nonEmpty).map(_.trim.toInt).toSeq)
+        .getOrElse(Seq.empty) match {
+        case rs if rs.nonEmpty =>
+          val idx = Similarity.ivfPqIndex(e)
+          val queries = e.where($"vec_id" % 50 === 0)
+            .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"))
+          rs.foreach { r =>
+            val t1 = System.nanoTime()
+            val got = nbrSet(Similarity.ivfPqServe(queries, e, idx.cent,
+              idx.assign, idx.cbk, idx.codes, nprobe = idx.nprobe,
+              excludeSelf = true, shortlist = r))
+            val ssec = (System.nanoTime() - t1) / 1e9
+            val rec = got.filter(inTruth).intersect(bf).size.toDouble / bf.size
+            println(s"""{"bench":"ann_ivfpq_r_sweep","k":$k,"vectors":$nVec,"cells":${idx.cells},"nprobe":${idx.nprobe},"shortlist":$r,"recall":${r3(rec)},"sec":${r3(ssec)}}""")
+          }
+          spark.catalog.clearCache()
+        case _ => ()
+      }
+
       // Plain IVF at THIS corpus size (r14, sf10-probe follow-up): the
       // last fixed-grid family member gained the same cell ladder —
       // scan fraction must fall along the rungs (was flat 25% at
@@ -471,6 +498,47 @@ object SimilarityScaleBench {
       } else ""
       spark.catalog.clearCache()
       println(s"""{"bench":"sem_dedup_scale","k":$k,"vectors":$n,"cells":$cells,"trained":$trained,"pair_term":$pairTerm,"max_cell":$maxCell,"out_pairs":$outPairs,"sec":${r3(sec)}$counterfactual}""")
+    }
+
+    // ---- 2d. SemDeDup ONE-SHOT cells sweep (round 18, VERDICT r17 #1).
+    // The r17 2M-vector crossover run refuted the r16 pair-term-only
+    // break-even: the one-shot wall is dominated by the n × cells
+    // ASSIGNMENT scan, which wants c* ≈ √(n/2) — ~8× BELOW the shipped
+    // trained schedule. Before the schedule moves (an oracle-mirrored
+    // cross-engine rung change), this sweep measures the full one-shot
+    // wall — TRAINED centroids, Lloyd cost included, the exact shape the
+    // registered query runs past the hand-over — at several cell counts
+    // on the same corpus, so the recalibrated rung constant is picked
+    // from walls, not re-derived arithmetic. Env:
+    // SPARK_GRAFT_SIM_SEM_CELLS="k:c1,c2,..." (e.g. "1000:256,512,1024").
+    sys.env.get("SPARK_GRAFT_SIM_SEM_CELLS").foreach { spec =>
+      val Array(kStr, cellsStr) = spec.split(":", 2)
+      val k = kStr.trim.toInt
+      val cellList = cellsStr.split(",").filter(_.nonEmpty).map(_.trim.toInt).toSeq
+      val dir = buildEmbCorpus(k)
+      val e = Similarity.vecs(spark, dir)
+      val n = e.count()
+      cellList.foreach { c =>
+        val t0 = System.nanoTime()
+        val slim = Similarity.semAssign(e, Similarity.ivfPqCentroids(e, c))
+        val assign = slim.join(e, "vec_id")
+        val outPairs = assign.as("a").join(assign.as("b"),
+            $"a.cid" === $"b.cid" && $"a.vec_id" < $"b.vec_id")
+          .withColumn("score",
+            round(graft.functions.VectorDot.vectorDot($"a.v", $"b.v")
+              / ($"a.norm" * $"b.norm"), 6))
+          .where($"score" >= Similarity.SemThreshold)
+          .count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        val sizes = Similarity.semAssign(e, Similarity.ivfPqCentroids(e, c))
+          .groupBy($"cid").agg(count(lit(1)).as("csz"))
+        val row = sizes.agg(
+          sum(($"csz" * ($"csz" - lit(1)) / 2).cast("long")).as("pairs"),
+          max($"csz").as("mx")).head()
+        spark.catalog.clearCache()
+        println(s"""{"bench":"sem_cells_sweep","k":$k,"vectors":$n,"cells":$c,"pair_term":${row.getLong(0)},"max_cell":${row.getLong(1)},"out_pairs":$outPairs,"sec":${r3(sec)}}""")
+      }
     }
     spark.stop()
   }

@@ -314,17 +314,38 @@ class SimilaritySpec extends AnyFunSuite {
       .forall { case Seq(a, b) => b >= a })
     // r14 trained hand-over: past the top first-n rung the centroids
     // come from the TrainCap-bounded Lloyd (the ivfPqCentroids path,
-    // semKmCte mirror); cell count doubles at the hand-over. Measured
-    // at 200k vectors: pair term 19.6M → 10.1M, max cell 263 → 147.
+    // semKmCte mirror).
+    //
+    // r18 ONE-SHOT schedule (the registered query's, VERDICT r17 #1):
+    // trained cells sit on the measured assignment/pair balance point
+    // c* = √(n/2) at every rung floor (256·2^j at 131072·4^j — exact:
+    // 131072·4^j / 2 = (256·2^j)²); the 200k sweep measured 256 cells
+    // as the wall minimum (18.2 s vs 61.8 s at the old 2048), oracle
+    // sprm CASE mirror.
     assert(operators.Similarity.semPlan(131071L) === ((1024, false)))
-    assert(operators.Similarity.semPlan(131072L) === ((2048, true)))
-    // r17 closed-form trained ladder: cells double per ×4 corpus past
-    // the hand-over (2048·2^j at 131072·4^j), oracle sprm CASE mirror
-    assert(operators.Similarity.semPlan(524287L) === ((2048, true)))
-    assert(operators.Similarity.semPlan(524288L) === ((4096, true)))
-    assert(operators.Similarity.semPlan(2097152L) === ((8192, true)))
-    assert(operators.Similarity.semPlan(8388608L) === ((16384, true)))
-    assert(operators.Similarity.semPlan(10000000L) === ((16384, true)))
+    assert(operators.Similarity.semPlan(131072L) === ((256, true)))
+    assert(operators.Similarity.semPlan(524287L) === ((256, true)))
+    assert(operators.Similarity.semPlan(524288L) === ((512, true)))
+    assert(operators.Similarity.semPlan(2097152L) === ((1024, true)))
+    assert(operators.Similarity.semPlan(8388608L) === ((2048, true)))
+    assert(operators.Similarity.semPlan(10000000L) === ((2048, true)))
+    // r18 AT-REST schedule (SemDedupStream.corpusIndex): keeps the r17
+    // cells-double-per-×4 rule (2048·2^j) — assignment is amortized
+    // across micro-batch screens, so smaller cells win strictly there
+    // and the schedules legitimately diverge. Below the hand-over the
+    // two plans agree (the semCells ladder).
+    assert(operators.Similarity.semPlanAtRest(131071L) === ((1024, false)))
+    assert(operators.Similarity.semPlanAtRest(131072L) === ((2048, true)))
+    assert(operators.Similarity.semPlanAtRest(524287L) === ((2048, true)))
+    assert(operators.Similarity.semPlanAtRest(524288L) === ((4096, true)))
+    assert(operators.Similarity.semPlanAtRest(2097152L) === ((8192, true)))
+    assert(operators.Similarity.semPlanAtRest(8388608L) === ((16384, true)))
+    assert(operators.Similarity.semPlanAtRest(10000000L) === ((16384, true)))
+    (1L to 20L).map(_ * 100000L).foreach { n =>
+      assert(operators.Similarity.semPlan(n)._2 ===
+        operators.Similarity.semPlanAtRest(n)._2,
+        s"trained? must agree between the plans at n=$n")
+    }
   }
 
   test("sign-LSH ladder rungs are pinned (oracle prm CASE mirrors them)") {

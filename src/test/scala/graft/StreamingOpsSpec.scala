@@ -166,12 +166,13 @@ class StreamingOpsSpec extends AnyFunSuite {
     val corpusIdx = graft.streaming.SemDedupStream.corpusIndex(
       emb.where(col("vec_id") % 2 === 0))
     try {
-      // the index rides the semPlan ladder (r15): at this corpus size the
-      // rung is 16 first-n cells (ids here are sparse — evens only — so
-      // the vec_id < cells prefix yields the 8 even ids below 16, the
+      // the index rides the semPlanAtRest ladder (r15; r18 split it from
+      // the one-shot schedule): at this corpus size the rung is 16
+      // first-n cells (ids here are sparse — evens only — so the
+      // vec_id < cells prefix yields the 8 even ids below 16, the
       // same centroid set the historical fixed-NCENT rule picked)
       val corpus = emb.where(col("vec_id") % 2 === 0)
-      val cells = graft.operators.Similarity.semPlan(corpus.count())._1
+      val cells = graft.operators.Similarity.semPlanAtRest(corpus.count())._1
       assert(cells === 16)
       assert(corpusIdx.centroids.count() ===
         corpus.where(col("vec_id") < cells).count())

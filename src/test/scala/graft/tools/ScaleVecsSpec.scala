@@ -23,9 +23,12 @@ class ScaleVecsSpec extends AnyFunSuite {
   test("within-replica norms and dot products are preserved exactly") {
     val s = spark; import s.implicits._
     // dyadic-rational coordinates: permutation + sign flips re-order an
-    // EXACT sum, so equality below is bit-for-bit, not approximate
-    val a = Array(0.25, -0.5, 1.0, 0.125, -2.0, 0.75, 0.5, -0.25)
-    val b = Array(1.0, 0.5, -0.25, 2.0, 0.125, -0.75, 0.25, 0.5)
+    // EXACT sum, so equality below is bit-for-bit, not approximate.
+    // 64-dim (the corpus dim floor): replicaTransform runtime-guards
+    // dim to [64, MaxDim] (ADVICE r17), so sub-64 probes now FAIL — see
+    // the guard test below.
+    val a = Array.tabulate(64)(i => ((i % 9) - 4) * 0.125)
+    val b = Array.tabulate(64)(i => ((i % 7) - 3) * 0.25)
     val df = Seq((0L, a), (1L, b)).toDF("id", "v")
     val dot = expr("aggregate(zip_with(x, y, (p, q) -> p * q), 0D, (acc, d) -> acc + d)")
     for (r <- Seq(1, 7, 64, 129, 500)) {
@@ -35,6 +38,23 @@ class ScaleVecsSpec extends AnyFunSuite {
       val orig = df.as("l").join(df.as("r"), $"l.id" < $"r.id")
         .select($"l.v".as("x"), $"r.v".as("y")).withColumn("d", dot).head()
       assert(pair.getDouble(2) === orig.getDouble(2), s"replica $r broke the dot product")
+    }
+  }
+
+  test("transform refuses dims outside [64, MaxDim] instead of degrading") {
+    val s = spark; import s.implicits._
+    // ADVICE r17: past MaxDim the sign table would silently force +1 on
+    // the tail coordinates; below 64 assertDistinct would validate sign
+    // bits the corpus doesn't carry. Both are now loud failures.
+    for (dim <- Seq(8, ScaleVecs.MaxDim + 1)) {
+      val df = Seq((0L, Array.tabulate(dim)(_ * 0.125))).toDF("id", "v")
+      val e = intercept[Exception] {
+        df.select(ScaleVecs.replicaTransform($"v", size($"v"), 3).as("x")).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("dim outside")),
+        s"dim=$dim failed with the wrong error: $e")
     }
   }
 
