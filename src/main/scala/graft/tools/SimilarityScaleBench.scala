@@ -246,6 +246,22 @@ object SimilarityScaleBench {
         (set, (p: (Long, Long)) => knuthSampled(p._1))
       }
 
+    // Per-k block filter (r18): SPARK_GRAFT_SIM_BLOCKS="lsh,rsweep"
+    // runs only the named blocks — the 1M ranked block alone is ~30 min
+    // of interleaved min-of-3 timing, and the R-sweep / 4M-rung runs
+    // must not re-pay every sibling block per corpus. Unset = all
+    // blocks (the artifact-producing default). Block names: lsh,
+    // ranked, ivfpq, ivf, serve (rsweep/ranked-sweep/sem keep their own
+    // env gates). Skips are LOGGED so a filtered artifact can't be
+    // misread as a full run.
+    val simBlocks = sys.env.get("SPARK_GRAFT_SIM_BLOCKS")
+      .map(_.split(",").filter(_.nonEmpty).map(_.trim).toSet)
+    def blockOn(name: String): Boolean = simBlocks.forall(_.contains(name))
+    simBlocks.foreach { b =>
+      System.err.println(s"[sim-scale] WARNING: SPARK_GRAFT_SIM_BLOCKS=" +
+        s"${b.mkString(",")} — all other per-k blocks SKIPPED (dev filter)")
+    }
+
     kList.foreach { k =>
       val dir = buildEmbCorpus(k)
 
@@ -254,33 +270,43 @@ object SimilarityScaleBench {
       // the ladder rung the registered queries would run at this size
       val (pt, pb) = Similarity.lshParams(nVec)
       val nQueries = e.filter($"vec_id" % 50 === 0).count()
-      val buckets = Similarity.lshBuckets(e, tables = pt, bits = pb).persist()
-      // the registered query's corpus side: hot-bucket-capped (r14)
-      val corpus = Similarity.capPostings(buckets, Similarity.lshPostingsCap(nVec, pb))
-      val candidates = Similarity.lshCandidates(e, buckets, corpus).count()
-      val scanned = nQueries * (nVec - 1) // brute force would score this many
-      val t0 = System.nanoTime()
-      Similarity.topkLsh(spark, dir).count()
-      val sec = (System.nanoTime() - t0) / 1e9
       // recall vs the exact brute twin AT THIS corpus size — the rung
       // must hold the recall floor while selectivity falls (the whole
       // point of the ladder; VERDICT r10 pattern). Past
       // BruteFullMaxVectors the truth is the sampled-query exact set and
-      // recalls are computed on the sampled queries only (see bruteTruth)
-      val (bf, inTruth) = bruteTruth(dir, nVec)
+      // recalls are computed on the sampled queries only (see bruteTruth).
+      // Lazy (r18): computed on first recall consumer, so a
+      // timing-only block subset never pays the truth scan.
+      lazy val truthPair = bruteTruth(dir, nVec)
+      def bf = truthPair._1
+      def inTruth = truthPair._2
       def recallVsBf(df: org.apache.spark.sql.DataFrame): Double =
         nbrSet(df).filter(inTruth).intersect(bf).size.toDouble / bf.size
-      val lshRec = recallVsBf(Similarity.topkLsh(spark, dir))
-      val mpRec = recallVsBf(Similarity.topkLshMultiprobe(spark, dir))
-      spark.catalog.clearCache()
-      println(s"""{"bench":"ann_lsh","k":$k,"vectors":$nVec,"tables":$pt,"bits":$pb,"queries":$nQueries,"candidates":$candidates,"brute_scored":$scanned,"selectivity":${r3(candidates.toDouble / scanned)},"recall_lsh":${r3(lshRec)},"recall_multiprobe":${r3(mpRec)},"sec":${r3(sec)}}""")
+      lazy val mpRec = {
+        val r = recallVsBf(Similarity.topkLshMultiprobe(spark, dir))
+        spark.catalog.clearCache(); r
+      }
+      if (blockOn("lsh")) {
+        val buckets = Similarity.lshBuckets(e, tables = pt, bits = pb).persist()
+        // the registered query's corpus side: hot-bucket-capped (r14)
+        val corpus = Similarity.capPostings(buckets, Similarity.lshPostingsCap(nVec, pb))
+        val candidates = Similarity.lshCandidates(e, buckets, corpus).count()
+        val scanned = nQueries * (nVec - 1) // brute force would score this many
+        val t0 = System.nanoTime()
+        Similarity.topkLsh(spark, dir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val lshRec = recallVsBf(Similarity.topkLsh(spark, dir))
+        buckets.unpersist()
+        spark.catalog.clearCache()
+        println(s"""{"bench":"ann_lsh","k":$k,"vectors":$nVec,"tables":$pt,"bits":$pb,"queries":$nQueries,"candidates":$candidates,"brute_scored":$scanned,"selectivity":${r3(candidates.toDouble / scanned)},"recall_lsh":${r3(lshRec)},"recall_multiprobe":${r3(mpRec)},"sec":${r3(sec)}}""")
+      }
 
       // Ranked (query-directed) multi-probe at THIS corpus size (r15):
       // fixed probe budget pt·(1+2) per query vs all-flips pt·(1+bits).
       // Timed head-to-head with the all-flips form — the batch-contract
       // cost the ranked sequence exists to cut — plus recall vs the same
       // brute twin.
-      {
+      if (blockOn("ranked")) {
         // both arms are timed with the SAME terminal action (count());
         // the recall set is collected OUTSIDE the timed region (ADVICE
         // r15: the old ranked arm paid collect+Set construction while
@@ -331,7 +357,7 @@ object SimilarityScaleBench {
       // picks, the measured per-query code-scan fraction (must FALL
       // across rungs where the fixed grid sat flat at 0.375), and
       // recall@5 vs the same brute twin.
-      {
+      if (blockOn("ivfpq")) {
         val t1 = System.nanoTime()
         val ivfpqRec = nbrSet(Similarity.topkIvfPq(spark, dir))
           .filter(inTruth).intersect(bf).size.toDouble / bf.size
@@ -372,7 +398,7 @@ object SimilarityScaleBench {
       // last fixed-grid family member gained the same cell ladder —
       // scan fraction must fall along the rungs (was flat 25% at
       // (16, 4)) while recall@5 is recorded per rung.
-      {
+      if (blockOn("ivf")) {
         val t1 = System.nanoTime()
         val ivfRec = nbrSet(Similarity.topkIvf(spark, dir))
           .filter(inTruth).intersect(bf).size.toDouble / bf.size
@@ -407,7 +433,7 @@ object SimilarityScaleBench {
       // measured at the bench SF. Same standard query set construction
       // as 1c (every 50th vector), which itself grows with the corpus,
       // so qps holding ~flat means per-query cost is corpus-insensitive.
-      {
+      if (blockOn("serve")) {
         val embAll = spark.read.parquet(s"$dir/embeddings.parquet")
           .select("vec_id", "embedding")
         val idx = graft.streaming.AnnServeStream.corpusIndex(embAll)
