@@ -188,19 +188,28 @@ object Similarity extends QueryModule {
   // pairs in one wall): the r17 2M-vector crossover run refuted the r16
   // pair-term-only break-even — the n × cells assignment scan dominates,
   // and total cost n·c + n²/(2c) is minimized at c* = √(n/2). The rung
-  // rule cells = 256·2^j at 131,072·4^j sits EXACTLY on c* at every rung
-  // floor (131,072·4^j / 2 = (256·2^j)²) and within 1.25× of optimal
-  // cost mid-rung. MEASURED (r18 sem_cells_sweep, trained centroids,
-  // Lloyd included): at 200k vectors the 256-cell arm is the wall
-  // minimum (128→27.6 s, 256→18.2 s, 512→20.6 s, 1024→37.3 s; the old
-  // schedule's 2048 was 61.8 s via the r17 registered-query probe); the
-  // 2M confirmation row is in BASELINE.md ("one-shot cells
-  // recalibrated"). j=0 keeps the 131,072 hand-over threshold; exact
-  // integer thresholds AND cells mirrored into the oracle's `sprm` CASE.
+  // thresholds are GEOMETRICALLY CENTERED on c* (r18, second
+  // measurement): cells = 256·2^j for n ≥ 65,536·4^j, so c* is hit
+  // exactly at each rung's geometric center 131,072·4^j
+  // ((256·2^j)² = 131,072·4^j / 2) and the cells/c* ratio stays within
+  // [1/√2, √2] — cost within (√2 + 1/√2)/2 ≈ 1.06× of optimal
+  // everywhere. The first r18 attempt pinned c* to rung FLOORS
+  // (thresholds 131,072·4^j), which under-provisions mid-rung by up to
+  // 2×: measured at 2M vectors (same session, same corpus), the
+  // floor-pinned 512-cell arm took 1110 s vs 732 s for 1024 cells —
+  // the geometric rule picks 1024 there. 200k sweeps (two sessions,
+  // trained centroids, Lloyd included) bracket the 256/512 arms within
+  // host noise — s1: 256→18.2, 512→20.6; s2: 256→21.0, 512→17.1 —
+  // both near c*(200k) ≈ 316 and both ~2-3× under the old 2048-cell
+  // schedule's 61.8 s, so the rule picks by the cost model inside the
+  // noise band. BASELINE.md "one-shot cells recalibrated" (r18) has
+  // the full tables. semPlan still hands over at [[SemTrainedMinRows]];
+  // exact integer thresholds AND cells are generated into the oracle's
+  // `sprm` CASE so the engines cannot drift.
   private[graft] val SemOneShotCells = 256
   private[graft] val SemOneShotSteps: Seq[(Long, Int)] =
     (0 until AnnLadderRungs - 2).map { j =>
-      (SemTrainedMinRows << (2 * j), SemOneShotCells << j)
+      ((SemTrainedMinRows >> 1) << (2 * j), SemOneShotCells << j)
     }
   // At-rest (the streaming [[graft.streaming.SemDedupStream]] index):
   // assignment is paid ONCE and amortized across every micro-batch

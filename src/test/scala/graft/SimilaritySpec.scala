@@ -317,17 +317,21 @@ class SimilaritySpec extends AnyFunSuite {
     // semKmCte mirror).
     //
     // r18 ONE-SHOT schedule (the registered query's, VERDICT r17 #1):
-    // trained cells sit on the measured assignment/pair balance point
-    // c* = √(n/2) at every rung floor (256·2^j at 131072·4^j — exact:
-    // 131072·4^j / 2 = (256·2^j)²); the 200k sweep measured 256 cells
-    // as the wall minimum (18.2 s vs 61.8 s at the old 2048), oracle
-    // sprm CASE mirror.
+    // trained cells ride the measured assignment/pair balance point
+    // c* = √(n/2) with thresholds GEOMETRICALLY CENTERED on it
+    // (256·2^j at 65536·4^j — c* is exact at each rung's geometric
+    // center 131072·4^j, and cells/c* stays in [1/√2, √2]). The first
+    // floor-pinned attempt measured 1.5× over the 1024-cell optimum at
+    // 2M (1110 vs 732 s, same session); the geometric rule picks 1024
+    // there. Oracle sprm CASE mirror.
     assert(operators.Similarity.semPlan(131071L) === ((1024, false)))
     assert(operators.Similarity.semPlan(131072L) === ((256, true)))
-    assert(operators.Similarity.semPlan(524287L) === ((256, true)))
-    assert(operators.Similarity.semPlan(524288L) === ((512, true)))
-    assert(operators.Similarity.semPlan(2097152L) === ((1024, true)))
-    assert(operators.Similarity.semPlan(8388608L) === ((2048, true)))
+    assert(operators.Similarity.semPlan(262143L) === ((256, true)))
+    assert(operators.Similarity.semPlan(262144L) === ((512, true)))
+    assert(operators.Similarity.semPlan(1048575L) === ((512, true)))
+    assert(operators.Similarity.semPlan(1048576L) === ((1024, true)))
+    assert(operators.Similarity.semPlan(2000000L) === ((1024, true)))
+    assert(operators.Similarity.semPlan(4194304L) === ((2048, true)))
     assert(operators.Similarity.semPlan(10000000L) === ((2048, true)))
     // r18 AT-REST schedule (SemDedupStream.corpusIndex): keeps the r17
     // cells-double-per-×4 rule (2048·2^j) — assignment is amortized
