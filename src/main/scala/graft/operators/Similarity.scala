@@ -188,24 +188,28 @@ object Similarity extends QueryModule {
   // pairs in one wall): the r17 2M-vector crossover run refuted the r16
   // pair-term-only break-even — the n × cells assignment scan dominates,
   // and total cost n·c + n²/(2c) is minimized at c* = √(n/2). The rung
-  // thresholds are GEOMETRICALLY CENTERED on c* (r18, second
-  // measurement): cells = 256·2^j for n ≥ 65,536·4^j, so c* is hit
-  // exactly at each rung's geometric center 131,072·4^j
-  // ((256·2^j)² = 131,072·4^j / 2) and the cells/c* ratio stays within
-  // [1/√2, √2] — cost within (√2 + 1/√2)/2 ≈ 1.06× of optimal
-  // everywhere. The first r18 attempt pinned c* to rung FLOORS
-  // (thresholds 131,072·4^j), which under-provisions mid-rung by up to
-  // 2×: measured at 2M vectors (same session, same corpus), the
-  // floor-pinned 512-cell arm took 1110 s vs 732 s for 1024 cells —
-  // the geometric rule picks 1024 there. 200k sweeps (two sessions,
-  // trained centroids, Lloyd included) bracket the 256/512 arms within
-  // host noise — s1: 256→18.2, 512→20.6; s2: 256→21.0, 512→17.1 —
-  // both near c*(200k) ≈ 316 and both ~2-3× under the old 2048-cell
-  // schedule's 61.8 s, so the rule picks by the cost model inside the
-  // noise band. BASELINE.md "one-shot cells recalibrated" (r18) has
-  // the full tables. semPlan still hands over at [[SemTrainedMinRows]];
-  // exact integer thresholds AND cells are generated into the oracle's
-  // `sprm` CASE so the engines cannot drift.
+  // thresholds are GEOMETRICALLY CENTERED on c* (r18): cells = 256·2^j
+  // for n ≥ 65,536·4^j, so c* is hit exactly at each rung's geometric
+  // center 131,072·4^j ((256·2^j)² = 131,072·4^j / 2) and the cells/c*
+  // ratio stays within [1/√2, √2] — cost within (√2 + 1/√2)/2 ≈ 1.06×
+  // of the model optimum everywhere, vs 1.25× worst-case for a
+  // floor-pinned rule. The centering choice is MODEL-driven inside the
+  // measured noise band, not wall-proven: 2M single-shot walls carry a
+  // measured 1.7× session spread (the identical first-n arm timed
+  // 732/459/437 s across three runs — BASELINE.md r18), which swamps
+  // the ≤1.2× delta the model predicts between the two rules. What IS
+  // measured above noise: the old 2048-cell schedule's 61.8 s at 200k
+  // vs 17-21 s at the 256-512-cell optimum (two independent sweeps,
+  // trained centroids, Lloyd included), and — via the r18 symmetric
+  // interleaved A/B — that at equal cells the trained arm's pair phase
+  // is within 1.14× of first-n with the 63-s TrainCap-Lloyd premium
+  // timed separately, so the registered one-shot no longer over-pays
+  // for cells and its remaining premium over first-n seeds is the
+  // training cost (kept: the trained max-cell bound is the
+  // distributed-skew contract). semPlan still hands over at
+  // [[SemTrainedMinRows]]; exact integer thresholds AND cells are
+  // generated into the oracle's `sprm` CASE so the engines cannot
+  // drift.
   private[graft] val SemOneShotCells = 256
   private[graft] val SemOneShotSteps: Seq[(Long, Int)] =
     (0 until AnnLadderRungs - 2).map { j =>

@@ -317,13 +317,15 @@ class SimilaritySpec extends AnyFunSuite {
     // semKmCte mirror).
     //
     // r18 ONE-SHOT schedule (the registered query's, VERDICT r17 #1):
-    // trained cells ride the measured assignment/pair balance point
-    // c* = √(n/2) with thresholds GEOMETRICALLY CENTERED on it
-    // (256·2^j at 65536·4^j — c* is exact at each rung's geometric
-    // center 131072·4^j, and cells/c* stays in [1/√2, √2]). The first
-    // floor-pinned attempt measured 1.5× over the 1024-cell optimum at
-    // 2M (1110 vs 732 s, same session); the geometric rule picks 1024
-    // there. Oracle sprm CASE mirror.
+    // trained cells ride the assignment/pair balance point c* = √(n/2)
+    // with thresholds GEOMETRICALLY CENTERED on it (256·2^j at
+    // 65536·4^j — c* is exact at each rung's geometric center
+    // 131072·4^j, and cells/c* stays in [1/√2, √2], cost ≤1.06× of the
+    // model optimum vs 1.25× floor-pinned). Centering is model-driven
+    // within the measured 2M session-noise band; the above-noise
+    // refutation is of the old 2048-cell schedule (61.8 s vs 17-21 s
+    // at 200k) — BASELINE.md r18 "one-shot cells recalibrated".
+    // Oracle sprm CASE mirror.
     assert(operators.Similarity.semPlan(131071L) === ((1024, false)))
     assert(operators.Similarity.semPlan(131072L) === ((256, true)))
     assert(operators.Similarity.semPlan(262143L) === ((256, true)))
