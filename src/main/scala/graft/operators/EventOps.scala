@@ -4,7 +4,7 @@ import graft.{QueryModule, Tables}
 import graft.functions.ConstVectorDot
 import graft.functions.PointInPolygon.classifyHq
 import graft.geo.Geo
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -409,9 +409,16 @@ object EventOps extends QueryModule {
   private[graft] val ProfTopK = 20
   private[graft] val ProfTwinKeep = ProfTopK + 1
 
+  /** The exact pair distance over `va`/`vb` — ONE shared expression so
+    * the fused scored path ([[tsScored]]) and the brute twin fold the
+    * identical double sequence (same zip order, same sequential
+    * aggregate, same round-at-6) and the oracle keeps matching both. */
+  private def pairDistCol: Column =
+    round(sqrt(expr(
+      "aggregate(zip_with(va, vb, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)")), 6)
+
   private def pairDist(df: DataFrame): DataFrame =
-    df.withColumn("dist", round(sqrt(expr(
-        "aggregate(zip_with(va, vb, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)")), 6))
+    df.withColumn("dist", pairDistCol)
       .select(col("user_a"), col("user_b"), col("dist"))
       .orderBy(col("dist").asc, col("user_a").asc, col("user_b").asc)
       .limit(ProfTopK)
@@ -500,9 +507,8 @@ object EventOps extends QueryModule {
     // step, above the ×1.33 recall floor). These rungs are the RULE's
     // prediction, to be re-calibrated the way r14's CapSweep calibrated
     // the 11×80 rung when a corpus actually reaches them; EvRungProbe
-    // (tools/) measures candidate volume at a chosen rung — its first
-    // run is the r18 ~490k-user row in BASELINE.md ("E2LSH extension
-    // rung measured").
+    // (tools/) measures candidate volume at a chosen rung — measured
+    // rows live in BASELINE.md ("E2LSH extension rungs", r19).
     Iterator.iterate((78125L, 11, 80)) { case (thr, pk, pt) =>
       (thr * 5 / 2, pk + 1, math.round(pt * 1.45).toInt)
     }.drop(1).take(3).toSeq
@@ -553,11 +559,8 @@ object EventOps extends QueryModule {
     * calibration sweep can time alternatives; registered queries pass the
     * [[profParams]] ladder rung for the corpus user count. Planes come
     * from the prefix-stable shared pool whenever the rung fits in it. */
-  private[graft] def tsCandidates(vecs: DataFrame,
-                                  pt: Int = ProfTables,
-                                  pk: Int = ProfProj,
-                                  pw: Double = ProfWidth,
-                                  cap: Option[Long] = None): DataFrame = {
+  private def tsBuckets(vecs: DataFrame, pt: Int, pk: Int, pw: Double,
+                        cap: Option[Long], withVec: Boolean): DataFrame = {
     val planes =
       if (pt * pk <= profPlanes.length) profPlanes
       else Similarity.planeIntMatrix(pt * pk, 24).map(_.map(_ / 1000.0))
@@ -574,23 +577,64 @@ object EventOps extends QueryModule {
     // at the (53, 8) rung that one whole-stage method crossed HotSpot's
     // 8000-byte JIT limit (CodegenBudgetSpec caught it) — slice inside
     // posexplode generates a constant-size loop at any rung.
+    val keep = if (withVec) Seq(col("user_id"), col("vec")) else Seq(col("user_id"))
     val buckets0 = vecs.withColumn("q", qCols)
-      .select(col("user_id"), posexplode(
+      .select(keep :+ posexplode(
         transform(sequence(lit(0), lit(pt - 1)),
-          t => slice(col("q"), t * lit(pk) + lit(1), lit(pk)))))
-      .select(col("user_id"), col("pos").cast("int").as("tbl"), col("col").as("qs"))
-    val joinKeys = Seq("tbl", "qs")
+          t => slice(col("q"), t * lit(pk) + lit(1), lit(pk)))): _*)
+      .select(keep ++ Seq(col("pos").cast("int").as("tbl"), col("col").as("qs")): _*)
     // Pairs form within a bucket QUADRATICALLY in its size, so the
     // skew-tail cap applies to BOTH sides of the self-join (unlike the
     // asymmetric query/corpus ANN form): within a truncated bucket only
     // the deterministic sample pairs up.
-    val buckets = Similarity.capPostings(buckets0, cap,
-      idCol = "user_id", keyCols = joinKeys)
-    buckets.as("ba")
-      .join(buckets.as("bb"), joinKeys, "inner")
+    Similarity.capPostings(buckets0, cap,
+      idCol = "user_id", keyCols = Seq("tbl", "qs"))
+  }
+
+  private[graft] def tsCandidates(vecs: DataFrame,
+                                  pt: Int = ProfTables,
+                                  pk: Int = ProfProj,
+                                  pw: Double = ProfWidth,
+                                  cap: Option[Long] = None,
+                                  dedup: Boolean = true): DataFrame = {
+    val buckets = tsBuckets(vecs, pt, pk, pw, cap, withVec = false)
+    val pairs = buckets.as("ba")
+      .join(buckets.as("bb"), Seq("tbl", "qs"), "inner")
       .where(col("ba.user_id") < col("bb.user_id"))
       .select(col("ba.user_id").as("user_a"), col("bb.user_id").as("user_b"))
-      .distinct()
+    if (dedup) pairs.distinct() else pairs
+  }
+
+  /** Fused candidate-and-verify stream: the 24-dim profile RIDES IN the
+    * bucket relation, so the exact distance is computed inside the
+    * bucket self-join's output pipeline and only `(user_a, user_b,
+    * dist)` — 24 bytes — ever leaves the join. This is the r19 slim-top
+    * reshape of the r18 scale-killer: the previous plan materialized the
+    * 10⁹⁺-row pre-distinct pair stream through a `.distinct()`
+    * re-shuffle and then re-shuffled the distinct relation twice more to
+    * re-attach vectors (sort-merge above the 500k-user broadcast bound)
+    * — at ~1M users those stacked shuffle files exhausted ~230 GB of
+    * disk on one host (BASELINE.md r18). Here the ONLY shuffle is the
+    * bucket self-join's input exchange — n·pt rows × ~330 B, LINEAR in
+    * corpus size — because downstream the scored stream feeds straight
+    * into [[tsTopPairs]]'s per-partition top-N heap with no exchange.
+    * The ×pt vector replication fattens the join input ~2.5× vs the slim
+    * bucket rows; it buys the removal of every pair-stream shuffle,
+    * whose volume grows with candidate count (superlinear in n between
+    * ladder rungs) rather than n·pt. */
+  private[graft] def tsScored(vecs: DataFrame,
+                              pt: Int = ProfTables,
+                              pk: Int = ProfProj,
+                              pw: Double = ProfWidth,
+                              cap: Option[Long] = None): DataFrame = {
+    val buckets = tsBuckets(vecs, pt, pk, pw, cap, withVec = true)
+    buckets.as("ba")
+      .join(buckets.as("bb"), Seq("tbl", "qs"), "inner")
+      .where(col("ba.user_id") < col("bb.user_id"))
+      .select(col("ba.user_id").as("user_a"), col("bb.user_id").as("user_b"),
+        col("ba.vec").as("va"), col("bb.vec").as("vb"))
+      .withColumn("dist", pairDistCol)
+      .select(col("user_a"), col("user_b"), col("dist"))
   }
 
   /** Time-series similarity search (the distributed top-k pattern of the
@@ -613,9 +657,11 @@ object EventOps extends QueryModule {
     * Scale: profiles are one groupBy; each user hashes into PT
     * (table, floor(v·p/w)…) bucket keys (per-row map over codegen'd
     * [[graft.functions.ConstVectorDot]] projections), candidates are an
-    * equi-join on the bucket key, and only candidates pay the exact
-    * distance — no BroadcastNestedLoopJoin anywhere in the plan
-    * (asserted in PlanSpec). At 100 TB this is the same posting-key
+    * equi-join on the bucket key, the exact distance is paid inside the
+    * join pipeline ([[tsScored]]), and the top-20 is cut by a
+    * per-partition heap with NO pair-stream exchange — no
+    * BroadcastNestedLoopJoin anywhere in the plan (asserted in
+    * PlanSpec). At 100 TB this is the same posting-key
     * equi-join shape as the dedup family — and amplification is
     * CORPUS-ADAPTIVE: the [[profParams]] ladder raises concatenation
     * with the user count so candidate selectivity FALLS as n grows
@@ -642,40 +688,40 @@ object EventOps extends QueryModule {
                                 capOverride: Option[Option[Long]],
                                 rungOverride: Option[(Int, Int)] = None): DataFrame = {
     import s.implicits._
-    val vecs = profileVecs(s, dir).persist() // bucket derivation + both distance sides
+    val vecs = profileVecs(s, dir).persist() // counted once for the rung pick
     val nUsers = vecs.count()
     val (pt, pk) = rungOverride.getOrElse(profParams(nUsers))
     val cap = capOverride.getOrElse(profCap(nUsers))
-    // Verify-join shape (r14, found by the sf10 probe): the candidate
-    // relation is the BIG side (candidates/user × users — 10⁸⁺ slim pairs
-    // one decade above the top rung), while the profile relation is
-    // |users| × ~230 B. Between 10 MB and autoBroadcast's ceiling Spark
-    // picks sort-merge: the measured sf10 plan shuffled + sorted the
-    // whole candidate relation TWICE (once per vector re-attach join) —
-    // 345 s wall, executor page-allocation thrash. Profiles at ≤500k
-    // users are ≤ ~120 MB — well inside executor memory at any sane
-    // config — so broadcast them explicitly and the verify becomes a
-    // map-only pipeline into the TakeOrdered(20) heap. Above the bound
-    // (profiles genuinely too big to ship) the sort-merge join IS the
-    // right 100 TB shape: candidates partition by user key and the
-    // profile side co-shuffles once per join. Plan-only switch on the
-    // already-computed exact count — results, oracle, hashes unchanged.
-    val fits = nUsers <= BroadcastProfileMaxUsers
-    def side(col: String, as: String) = {
-      val p = vecs.select($"user_id".as(col), $"vec".as(as))
-      if (fits) broadcast(p) else p
-    }
-    val withVecs = tsCandidates(vecs, pt, pk, cap = cap)
-      .join(side("user_a", "va"), "user_a")
-      .join(side("user_b", "vb"), "user_b")
-    pairDist(withVecs)
+    // Slim-top shape (r19; replaces the r14 distinct + broadcast/SMJ
+    // verify that blew the disk at ~1M users — see [[tsScored]]): the
+    // scored stream feeds a TakeOrdered heap of size ProfTopK·pt, the
+    // tiny survivor set is deduplicated, and the global top-20 is cut.
+    //
+    // WHY ProfTopK·pt IS EXACT (not approximate): a candidate pair
+    // occurs once per table whose bucket both users share, so ≤ pt
+    // occurrences, and every occurrence carries the IDENTICAL
+    // deterministic `dist` (same fold, same rounding). Under the total
+    // order (dist, user_a, user_b), the rows strictly ahead of any
+    // occurrence of the rank-r (r ≤ 20) distinct pair are occurrences of
+    // the r−1 ≤ 19 distinct pairs ranked ahead of it — at most 19·pt
+    // rows — so after its own ≤ pt duplicate rows, some occurrence of
+    // every top-20 pair sits within the first 20·pt rows. Dedup of that
+    // ≤ 20·pt-row set (min over identical values = the value) and a
+    // final top-20 therefore reproduce the pre-r19 `distinct → verify →
+    // top-20` result bit-for-bit: oracle SQL and hashes unchanged.
+    //
+    // Plan shape: TakeOrderedAndProject keeps a 20·pt-row heap PER
+    // PARTITION of the join output (≤ 4,880 rows at the widest ladder
+    // rung — far under topKSortFallbackThreshold), merges once, and the
+    // dedup aggregate + final top-20 run over that single tiny set. No
+    // exchange ever sees a pair-stream row. PlanSpec pins this.
+    tsScored(vecs, pt, pk, cap = cap)
+      .orderBy($"dist".asc, $"user_a".asc, $"user_b".asc)
+      .limit(ProfTopK * pt)
+      .groupBy($"user_a", $"user_b").agg(min($"dist").as("dist"))
+      .orderBy($"dist".asc, $"user_a".asc, $"user_b".asc)
+      .limit(ProfTopK)
   }
-
-  /** Max user count whose 24-dim profile relation we'll broadcast to the
-    * verify joins (~230 B/row → ~120 MB at the bound; the driver-side
-    * collect a broadcast implies is bounded the same way the dedup
-    * family's broadcast relations are). */
-  private[graft] val BroadcastProfileMaxUsers = 500000L
 
   /** Keyed first-event extraction (streaming dedup-by-key analog):
     * earliest event per (user_id, event_type), ties broken by event_id. */

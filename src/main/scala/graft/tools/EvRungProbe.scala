@@ -55,16 +55,35 @@ object EvRungProbe {
     val vecs = EventOps.profileVecs(spark, dir).persist()
     val users = vecs.count()
     val (pt, pk) = EventOps.profParams(users)
+    // Candidate volume: by default the distinct-pair count is HLL++
+    // (rsd 0.5%) over the PRE-distinct stream plus an exact raw-pair
+    // count, both in ONE aggregate that pipelines straight out of the
+    // bucket join — no pair-stream shuffle, so the probe itself scales
+    // like the r19 slim-top query shape. SPARK_GRAFT_EV_RUNG_EXACT=1
+    // restores the exact distinct count (a full pair-stream shuffle —
+    // only affordable well below the ~1M-user rung on one host).
+    val exact = sys.env.get("SPARK_GRAFT_EV_RUNG_EXACT").contains("1")
+    val raw = EventOps.tsCandidates(vecs, pt, pk,
+      cap = EventOps.profCap(users), dedup = false)
     val t0 = System.nanoTime()
-    val cands = EventOps.tsCandidates(vecs, pt, pk,
-      cap = EventOps.profCap(users)).count()
+    val (cands, rawPairs) =
+      if (exact) {
+        val c = EventOps.tsCandidates(vecs, pt, pk,
+          cap = EventOps.profCap(users)).count()
+        (c, raw.count())
+      } else {
+        val row = raw.agg(
+          approx_count_distinct(struct(col("user_a"), col("user_b")), 0.005),
+          count(lit(1))).head()
+        (row.getLong(0), row.getLong(1))
+      }
     val candSec = (System.nanoTime() - t0) / 1e9
     val allPairs = users * (users - 1) / 2
     val t1 = System.nanoTime()
     EventOps.tsSimilarity(spark, dir).count()
     val fullSec = (System.nanoTime() - t1) / 1e9
     spark.catalog.clearCache()
-    println(s"""{"probe":"ev_rung","k":$k,"users":$users,"pk":$pk,"pt":$pt,"candidates":$cands,"cands_per_user":${r3(cands.toDouble / users)},"selectivity":${r3(cands.toDouble / allPairs)},"cand_sec":${r3(candSec)},"full_sec":${r3(fullSec)}}""")
+    println(s"""{"probe":"ev_rung","k":$k,"users":$users,"pk":$pk,"pt":$pt,"candidates":$cands,"cand_count_mode":"${if (exact) "exact" else "hll_rsd005"}","raw_pairs":$rawPairs,"cands_per_user":${r3(cands.toDouble / users)},"selectivity":${r3(cands.toDouble / allPairs)},"cand_sec":${r3(candSec)},"full_sec":${r3(fullSec)}}""")
     spark.stop()
   }
 }

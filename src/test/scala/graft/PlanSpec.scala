@@ -63,18 +63,32 @@ class PlanSpec extends AnyFunSuite {
     // one e2lsh_keys per row replaced the per-projection dotConst array,
     // which fell off the whole-stage JIT cliff at wide ladder rungs)
     assert(p.contains("e2lsh_keys"), p)
-    // r14: the exact-verify joins BROADCAST the ≤500k-user profile
-    // relation — at 150k users the profile side sat just above the
-    // 10 MB autoBroadcast threshold and Spark sort-merged the 10⁸-pair
-    // candidate relation twice (sf10 probe: 345 s → 159 s). The
-    // physical plan can't distinguish our hint from AQE's small-SF
-    // auto-broadcast here, so pin the HINTS in the analyzed logical
-    // plan: one per verify side (corpus-size-independent, unlike AQE).
-    assert(p.contains("BroadcastHashJoin"), p)
-    val logical = graft.SparkEntry.queries("ev_ts_similarity")(spark, TestSpark.sf)
-      .queryExecution.analyzed.toString
-    assert("(?s)ResolvedHint.*ResolvedHint".r.findFirstIn(logical).isDefined,
-      s"expected two broadcast hints on the profile verify joins:\n$logical")
+    // r19 slim-top contract (replaces the r14 broadcast-verify pins —
+    // the distinct + vector re-attach joins are GONE): the distance is
+    // computed inside the bucket self-join and the pair stream feeds a
+    // per-partition TakeOrdered heap directly, so no exchange ever
+    // carries a candidate-pair row. Pin (a) the heap operator exists,
+    // (b) the pair dedup aggregate sits ABOVE it (runs on the ≤ 20·pt
+    // survivor set, not the pair stream) — in the top-down plan string
+    // the dedup HashAggregate on (user_a, user_b) must print BEFORE the
+    // first TakeOrderedAndProject, and no aggregate on those keys may
+    // print after it (that would be the old full-stream distinct).
+    // The top-down plan string prints: outer top-20 heap, dedup
+    // aggregate (partial+final over ≤ 20·pt rows), inner 20·pt heap,
+    // then the join — so every pair-keyed aggregate must print BEFORE
+    // the LAST (inner) TakeOrderedAndProject. An aggregate after it
+    // would be the old full-stream distinct.
+    val lines = p.linesIterator.toVector
+    val heaps = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("TakeOrderedAndProject") => i
+    }
+    val pairAggs = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("HashAggregate") &&
+        l.contains("user_a") && l.contains("user_b") => i
+    }
+    assert(heaps.size >= 2, s"expected inner+outer TakeOrdered heaps:\n$p")
+    assert(pairAggs.nonEmpty && pairAggs.forall(_ < heaps.last),
+      s"pair dedup must run above the inner TakeOrdered heap, not on the stream:\n$p")
   }
 
   test("ranked multiprobe: native margins expression, bucket equi-join, no all-pairs") {
