@@ -605,37 +605,60 @@ object EventOps extends QueryModule {
     if (dedup) pairs.distinct() else pairs
   }
 
-  /** Fused candidate-and-verify stream: the 24-dim profile RIDES IN the
-    * bucket relation, so the exact distance is computed inside the
-    * bucket self-join's output pipeline and only `(user_a, user_b,
-    * dist)` — 24 bytes — ever leaves the join. This is the r19 slim-top
-    * reshape of the r18 scale-killer: the previous plan materialized the
-    * 10⁹⁺-row pre-distinct pair stream through a `.distinct()`
-    * re-shuffle and then re-shuffled the distinct relation twice more to
-    * re-attach vectors (sort-merge above the 500k-user broadcast bound)
-    * — at ~1M users those stacked shuffle files exhausted ~230 GB of
-    * disk on one host (BASELINE.md r18). Here the ONLY shuffle is the
-    * bucket self-join's input exchange — n·pt rows × ~330 B, LINEAR in
-    * corpus size — because downstream the scored stream feeds straight
-    * into [[tsTopPairs]]'s per-partition top-N heap with no exchange.
-    * The ×pt vector replication fattens the join input ~2.5× vs the slim
-    * bucket rows; it buys the removal of every pair-stream shuffle,
-    * whose volume grows with candidate count (superlinear in n between
-    * ladder rungs) rather than n·pt. */
+  /** Fused candidate-and-verify stream: the exact distance is computed
+    * in the bucket self-join's OUTPUT PIPELINE, so only `(user_a,
+    * user_b, dist)` — 24 bytes — ever reaches [[tsTopPairs]]'s heap and
+    * the candidate pair stream is never materialized to an exchange.
+    * This is the r19 slim-top reshape of the r18 scale-killer: the
+    * previous plan pushed the 10⁹⁺-row pre-distinct pair stream through
+    * a `.distinct()` re-shuffle and then re-shuffled the distinct
+    * relation twice more to re-attach vectors (sort-merge above the
+    * 500k-user broadcast bound) — at ~1M users those stacked shuffle
+    * files exhausted ~230 GB of disk on one host (BASELINE.md r18).
+    *
+    * Two vector-attach regimes, both pair-exchange-free:
+    *   - `broadcastAttach` (n ≤ [[BroadcastProfileMaxUsers]]): buckets
+    *     stay SLIM (~130 B/row); the join's merged output streams
+    *     through two broadcast-hash vector attaches (profile relation ≤
+    *     ~460 MB at the bound) straight into the heap. Disk cost = the
+    *     slim bucket exchange + its join sorts only.
+    *   - fat form (above the bound, where the profile relation is
+    *     genuinely too big to ship): the 24-dim profile RIDES IN the
+    *     bucket relation (~330 B/row, ~2.5× the slim exchange) and the
+    *     distance is computed from the join's own columns — shuffle
+    *     stays n·pt rows, LINEAR in corpus size, with no broadcast and
+    *     no pair-stream exchange at any n.
+    * Identical results either way (same fold, same rounding — the
+    * attach is a plan choice, as AQE would make). */
   private[graft] def tsScored(vecs: DataFrame,
                               pt: Int = ProfTables,
                               pk: Int = ProfProj,
                               pw: Double = ProfWidth,
-                              cap: Option[Long] = None): DataFrame = {
-    val buckets = tsBuckets(vecs, pt, pk, pw, cap, withVec = true)
-    buckets.as("ba")
+                              cap: Option[Long] = None,
+                              broadcastAttach: Boolean = true): DataFrame = {
+    val buckets = tsBuckets(vecs, pt, pk, pw, cap, withVec = !broadcastAttach)
+    val joined = buckets.as("ba")
       .join(buckets.as("bb"), Seq("tbl", "qs"), "inner")
       .where(col("ba.user_id") < col("bb.user_id"))
-      .select(col("ba.user_id").as("user_a"), col("bb.user_id").as("user_b"),
-        col("ba.vec").as("va"), col("bb.vec").as("vb"))
+    val withVecs =
+      if (broadcastAttach)
+        joined
+          .select(col("ba.user_id").as("user_a"), col("bb.user_id").as("user_b"))
+          .join(broadcast(vecs.select(col("user_id").as("user_a"), col("vec").as("va"))), "user_a")
+          .join(broadcast(vecs.select(col("user_id").as("user_b"), col("vec").as("vb"))), "user_b")
+      else
+        joined.select(col("ba.user_id").as("user_a"), col("bb.user_id").as("user_b"),
+          col("ba.vec").as("va"), col("bb.vec").as("vb"))
+    withVecs
       .withColumn("dist", pairDistCol)
       .select(col("user_a"), col("user_b"), col("dist"))
   }
+
+  /** Max user count whose 24-dim profile relation ships as a broadcast
+    * to [[tsScored]]'s vector attaches (~230 B/row → ~460 MB at the
+    * bound — heavy but routine for a per-executor hash relation; above
+    * it the fat-bucket form keeps the plan linear with no broadcast). */
+  private[graft] val BroadcastProfileMaxUsers = 2000000L
 
   /** Time-series similarity search (the distributed top-k pattern of the
     * EDBT'19/ICDE'21 similarity-search literature, sized to this corpus):
@@ -715,7 +738,8 @@ object EventOps extends QueryModule {
     // rung — far under topKSortFallbackThreshold), merges once, and the
     // dedup aggregate + final top-20 run over that single tiny set. No
     // exchange ever sees a pair-stream row. PlanSpec pins this.
-    tsScored(vecs, pt, pk, cap = cap)
+    tsScored(vecs, pt, pk, cap = cap,
+        broadcastAttach = nUsers <= BroadcastProfileMaxUsers)
       .orderBy($"dist".asc, $"user_a".asc, $"user_b".asc)
       .limit(ProfTopK * pt)
       .groupBy($"user_a", $"user_b").agg(min($"dist").as("dist"))
