@@ -47,6 +47,35 @@ class EventOpsSpec extends AnyFunSuite {
     assert(recall >= 0.75, s"recall $recall; brute=$brute lsh=$lsh")
   }
 
+  /** The two [[EventOps.tsScored]] vector-attach regimes (slim buckets +
+    * broadcast attach vs profile-in-bucket fat form) are a PLAN choice
+    * switched on corpus size at 2M users — the gate corpora never reach
+    * the fat regime, so without this pin a fat-path divergence would
+    * only surface at million-user probe scale. Assert both regimes
+    * produce the identical top-20 through the full tsTopPairs tail
+    * (heap → dedup → final cut) at sf0.01. */
+  test("tsScored broadcast and fat attach regimes agree end-to-end") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val vecs = EventOps.profileVecs(spark, dir).persist()
+    val nUsers = vecs.count()
+    val (pt, pk) = EventOps.profParams(nUsers)
+    def top(broadcastAttach: Boolean): Seq[org.apache.spark.sql.Row] =
+      EventOps.tsScored(vecs, pt, pk, cap = EventOps.profCap(nUsers),
+          broadcastAttach = broadcastAttach)
+        .orderBy($"dist".asc, $"user_a".asc, $"user_b".asc)
+        .limit(EventOps.ProfTopK * pt)
+        .groupBy($"user_a", $"user_b").agg(min($"dist").as("dist"))
+        .orderBy($"dist".asc, $"user_a".asc, $"user_b".asc)
+        .limit(EventOps.ProfTopK)
+        .collect().toSeq
+    val viaBroadcast = top(broadcastAttach = true)
+    val viaFat = top(broadcastAttach = false)
+    vecs.unpersist()
+    assert(viaBroadcast === viaFat)
+    assert(viaBroadcast.size === EventOps.ProfTopK)
+  }
+
   test("trend join and trend lag agree (same semantics, two plans)") {
     val a = EventOps.trendJoin(spark, TestSpark.sf).collect().toSeq
     val b = EventOps.trendLag(spark, TestSpark.sf).collect().toSeq
