@@ -1183,7 +1183,31 @@ object Similarity extends QueryModule {
 
   private[graft] val IvfPqCells = 64 // ≈ √n cells, the production IVF sizing
   private[graft] val IvfPqProbe = 24 // cells probed per query (37.5% of cells)
-  private val IvfPqShortlist = 300 // ADC shortlist before exact rerank
+  private val IvfPqShortlist = 300 // base-rung ADC shortlist before exact rerank
+
+  // ---- Exact-rerank shortlist ladder (r19, VERDICT r18 #4). The r18
+  // sweep found recall@5 falling 0.79 → 0.344 → 0.201 across 2k → 132k →
+  // 1M vectors with R pinned at 300 while every other constant rode a
+  // ladder. The r19 R-sweep (BASELINE.md, "IVF×PQ rerank shortlist")
+  // measured recall vs R at the 132k rung (0.344/0.438/0.527/0.597/0.637
+  // at R = 300/600/1200/2400/4800) and the 1M rung
+  // (0.201/0.276/0.359/0.438/0.514) with serve wall FLAT in R at both —
+  // the ADC scan, not the R×queries exact rerank, dominates the serve
+  // cost, so doubling R per corpus quadrupling is close to free. Rungs
+  // share [[IvfPqSteps]]' thresholds (8192·4^i) with R = 300·2^(i+1):
+  // 132k lands on R=2400 (the measured knee: +73% recall at ~equal
+  // wall), 1M on R=4800 (2.56× the pinned-300 recall). Integer
+  // thresholds on the exact corpus count, mirrored in the oracle's iprm
+  // CASE; every driver SF is below the first rung, so gated hashes are
+  // unchanged. Scale shape: R rows/query × ~16 B through the rerank
+  // join — at R=4800 and 20k queries that is ~10⁸ slim rows, the same
+  // order as one probe's ADC stream.
+  private[graft] val IvfPqRSteps: Seq[(Long, Int)] =
+    (0 until AnnLadderRungs).map { i => (8192L << (2 * i), 300 << (i + 1)) }
+  private[graft] def ivfPqShortlistFor(n: Long): Int =
+    IvfPqRSteps.foldLeft(IvfPqShortlist) {
+      case (acc, (thr, r)) => if (n >= thr) r else acc
+    }
 
   // ---- Corpus-adaptive IVF cell-count ladder (round 14) — the semCells /
   // lshParams pattern applied to the recommended-at-scale ANN route. At
@@ -1305,7 +1329,7 @@ object Similarity extends QueryModule {
     val e = vecs(s, dir)
     val idx = ivfPqIndex(e)
     ivfPqServe(queriesOf(e), e, idx.cent, idx.assign, idx.cbk, idx.codes,
-      nprobe = idx.nprobe, excludeSelf = true)
+      nprobe = idx.nprobe, excludeSelf = true, shortlist = idx.shortlist)
   }
 
   // ---- Index-build / serve split (VERDICT r10 next-round #4). In
@@ -1379,7 +1403,8 @@ object Similarity extends QueryModule {
     // the ladder rung for the LIVE corpus count: the index path folds in
     // `cells`, so a stored index can only ever be served with the probe
     // count its rung was built for
-    val (cells, nprobe) = ivfPqParams(e.count())
+    val n = e.count()
+    val (cells, nprobe) = ivfPqParams(n)
     val p = ivfPqIndexPath(dir, cells)
     if (!ivfPqIndexReady(p)) writeIvfPqIndex(s, dir)
     val cent = broadcast(s.read.parquet(s"$p/cent"))
@@ -1387,7 +1412,7 @@ object Similarity extends QueryModule {
     val cbk = broadcast(s.read.parquet(s"$p/cbk"))
     val codes = s.read.parquet(s"$p/codes")
     ivfPqServe(queriesOf(e), e, cent, assign, cbk, codes,
-      nprobe = nprobe, excludeSelf = true)
+      nprobe = nprobe, excludeSelf = true, shortlist = ivfPqShortlistFor(n))
   }
 
   /** The four relations of a prebuilt IVF-PQ serving index over a
@@ -1403,20 +1428,22 @@ object Similarity extends QueryModule {
     * were trained for. */
   private[graft] final case class IvfPqRelations(
     cent: DataFrame, assign: DataFrame, cbk: DataFrame, codes: DataFrame,
-    cells: Int, nprobe: Int)
+    cells: Int, nprobe: Int, shortlist: Int)
 
   private[graft] def ivfPqIndex(e: DataFrame): IvfPqRelations = {
     // count() is one metadata-cheap job on the persisted vecs relation;
     // the ladder keeps the per-query scan FRACTION falling as the corpus
     // grows (see [[IvfPqSteps]])
-    val (cells, nprobe) = ivfPqParams(e.count())
+    val n = e.count()
+    val (cells, nprobe) = ivfPqParams(n)
     val cent = ivfPqCentroids(e, cells)
     val assign = cellAssignment(e, cent)
     val cbk = pqCodebook(e)
     val codes = pqAssign(e, cbk).select(
       col("vec_id").as("neighbor_id") +:
         (0 until PqBlocks).map(b => col(s"m$b.c").as(s"code$b")): _*)
-    IvfPqRelations(cent, assign, cbk, codes, cells, nprobe)
+    IvfPqRelations(cent, assign, cbk, codes, cells, nprobe,
+      ivfPqShortlistFor(n))
   }
 
   /** Serve `(query_id, qv, qnorm)` queries from a prebuilt
@@ -1698,8 +1725,11 @@ object Similarity extends QueryModule {
       s"WHEN count(*) >= $thr THEN $c" }.mkString(" ")
     val pCases = IvfPqSteps.reverse.map { case (thr, _, p) =>
       s"WHEN count(*) >= $thr THEN $p" }.mkString(" ")
+    val rCases = IvfPqRSteps.reverse.map { case (thr, r) =>
+      s"WHEN count(*) >= $thr THEN $r" }.mkString(" ")
     s"""iprm AS (SELECT CASE $cCases ELSE $IvfPqCells END AS cells,
-       |              CASE $pCases ELSE $IvfPqProbe END AS nprobe FROM e)""".stripMargin
+       |              CASE $pCases ELSE $IvfPqProbe END AS nprobe,
+       |              CASE $rCases ELSE $IvfPqShortlist END AS shortlist FROM e)""".stripMargin
   }
 
   /** SQL mirror of [[ivfPqCentroids]]: ladder-rung seed cells
@@ -1818,7 +1848,7 @@ object Similarity extends QueryModule {
        |    SELECT query_id, neighbor_id,
        |           row_number() OVER (PARTITION BY query_id
        |               ORDER BY adc ASC, neighbor_id ASC) AS srnk
-       |    FROM cand) WHERE srnk <= $IvfPqShortlist
+       |    FROM cand) WHERE srnk <= (SELECT shortlist FROM iprm)
        |)
        |SELECT query_id, neighbor_id, rnk, score FROM (
        |  SELECT s.query_id, s.neighbor_id,

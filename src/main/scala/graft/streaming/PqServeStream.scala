@@ -35,7 +35,7 @@ object PqServeStream {
     * assignment, PQ codebook, PQ codes. */
   final case class PqIndex(vecs: DataFrame, cent: DataFrame,
                            assign: DataFrame, cbk: DataFrame,
-                           codes: DataFrame, nprobe: Int,
+                           codes: DataFrame, nprobe: Int, shortlist: Int,
                            training: Similarity.TrainingScope) {
     def unpersist(): Unit = {
       vecs.unpersist(); assign.unpersist(); codes.unpersist()
@@ -54,10 +54,12 @@ object PqServeStream {
     val e = SemDedupStream.prepVecs(corpus).persist()
     val (idx, scope) =
       Similarity.withTrainingScope(Similarity.ivfPqIndex(e))
-    // the ladder rung ([[Similarity.ivfPqParams]]) travels with the index:
-    // serving must probe with the cell count the index was trained for
+    // the ladder rungs ([[Similarity.ivfPqParams]] probe count and the
+    // r19 [[Similarity.ivfPqShortlistFor]] rerank shortlist) travel with
+    // the index: serving must probe and rerank at the rungs the index
+    // was trained for
     PqIndex(e, idx.cent, idx.assign.persist(), idx.cbk, idx.codes.persist(),
-      idx.nprobe, scope)
+      idx.nprobe, idx.shortlist, scope)
   }
 
   /** Answer one batch of `(vec_id, embedding)` query vectors from the
@@ -68,7 +70,8 @@ object PqServeStream {
     val q = SemDedupStream.prepVecs(queries).select(
       col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
     Similarity.ivfPqServe(q, idx.vecs, idx.cent, idx.assign, idx.cbk,
-      idx.codes, k, nprobe = idx.nprobe, excludeSelf = false)
+      idx.codes, k, nprobe = idx.nprobe, excludeSelf = false,
+      shortlist = idx.shortlist)
   }
 
   /** foreachBatch driver answering each micro-batch of `queries` (a

@@ -212,6 +212,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivfPqParams(524288L) === (1024, 80))
     assert(ivfPqParams(2097152L) === (2048, 96))
     assert(ivfPqParams(8388608L) === (4096, 112))
+    // r19 rerank-shortlist ladder (R = 300·2^(i+1) at the same
+    // thresholds; measured knees at 132k → 2400 and 1M → 4800,
+    // BASELINE.md R-sweep) — gate SFs stay on the base R=300
+    import operators.Similarity.ivfPqShortlistFor
+    assert(ivfPqShortlistFor(2000L) === 300)
+    assert(ivfPqShortlistFor(8191L) === 300)
+    assert(ivfPqShortlistFor(8192L) === 600)
+    assert(ivfPqShortlistFor(132000L) === 2400)
+    assert(ivfPqShortlistFor(1000000L) === 4800)
+    assert(ivfPqShortlistFor(8388608L) === 19200)
     // the point of the ladder: the per-query code-scan FRACTION
     // (nprobe/cells) strictly falls across rungs, while cells rise
     val rungs = Seq(1L, 8192L, 32768L, 131072L, 524288L, 2097152L,
