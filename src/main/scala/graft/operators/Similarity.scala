@@ -537,14 +537,20 @@ object Similarity extends QueryModule {
     * and re-attaches vectors once per SURVIVING pair, with AQE free to
     * broadcast the small query relation). */
   private[graft] def lshCandidates(e: DataFrame, buckets: DataFrame,
-                                   corpusBuckets: DataFrame): DataFrame = {
+                                   corpusBuckets: DataFrame,
+                                   dedup: Boolean = true): DataFrame = {
     val qb = buckets.join(queriesOf(e), col("vec_id") === col("query_id"))
       .select(col("query_id"), col("tbl"), col("bucket"))
-    qb.join(corpusBuckets.select(col("vec_id").as("neighbor_id"), col("tbl"), col("bucket")),
+    val pairs = qb
+      .join(corpusBuckets.select(col("vec_id").as("neighbor_id"), col("tbl"), col("bucket")),
         Seq("tbl", "bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"))
-      .distinct()
+    // dedup=false exposes the pre-distinct stream so volume probes can
+    // HLL-count it with NO pair-stream shuffle (the EvRungProbe r19
+    // treatment; the exact .distinct() count at the 4M rung was its own
+    // ~10⁹-row shuffle and half of that probe's disk exhaustion)
+    if (dedup) pairs.distinct() else pairs
   }
 
   /** Corpus-side bucket postings for the registered LSH queries: twin

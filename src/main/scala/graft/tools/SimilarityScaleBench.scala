@@ -41,6 +41,12 @@ object SimilarityScaleBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // r19 (4M-rung post-mortem): shuffle files of FINISHED jobs
+      // persist until their ShuffleDependency objects are GC'd — on a
+      // 64 GB driver heap no GC ever ran, so successive probe waves
+      // stacked ~50 GB each on disk. Aggressive periodic GC lets the
+      // ContextCleaner release finished waves between blocks.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -293,7 +299,12 @@ object SimilarityScaleBench {
         val buckets = Similarity.lshBuckets(e, tables = pt, bits = pb).persist()
         // the registered query's corpus side: hot-bucket-capped (r14)
         val corpus = Similarity.capPostings(buckets, Similarity.lshPostingsCap(nVec, pb))
-        val candidates = Similarity.lshCandidates(e, buckets, corpus).count()
+        // HLL (rsd 0.5%) over the pre-distinct stream — pipelines out of
+        // the bucket join with NO pair-stream shuffle (r19: the exact
+        // .distinct() count was half the 4M rung's disk exhaustion)
+        val candidates = Similarity.lshCandidates(e, buckets, corpus, dedup = false)
+          .agg(approx_count_distinct(struct($"query_id", $"neighbor_id"), 0.005))
+          .head().getLong(0)
         val scanned = nQueries * (nVec - 1) // brute force would score this many
         val t0 = System.nanoTime()
         Similarity.topkLsh(spark, dir).count()
