@@ -2064,15 +2064,26 @@ object Similarity extends QueryModule {
          |  FROM buckets qb JOIN cb n ON qb.tbl = n.tbl AND qb.bucket = n.bucket
          |  WHERE qb.vec_id % 50 = 0 AND n.vec_id <> qb.vec_id
          |)
-         |SELECT query_id, neighbor_id, rnk, score FROM (
+         |-- score once in a slim derived table and rank on the ALIAS
+         |-- (r19, same disease as the r16 argmin reshape): with the
+         |-- round(list_dot_product(..)) expression repeated in the window
+         |-- ORDER BY, DuckDB materializes the window input WITH both
+         |-- 64-double vectors — ~1 KB/row × 1.6×10⁸ candidate pairs at
+         |-- the 1M rung blew the 96 GB memory budget + 46 GB spill cap;
+         |-- the slim (query_id, neighbor_id, score) input sorts in ~4 GB.
+         |-- Scores, rounding, ordering, ties: unchanged.
+         |, cscore AS (
          |  SELECT c.query_id, c.neighbor_id,
-         |         round(list_dot_product(q.v, n.v) / (q.nrm * n.nrm), 6) AS score,
-         |         row_number() OVER (PARTITION BY c.query_id
-         |             ORDER BY round(list_dot_product(q.v, n.v) / (q.nrm * n.nrm), 6) DESC,
-         |                      c.neighbor_id ASC) AS rnk
+         |         round(list_dot_product(q.v, n.v) / (q.nrm * n.nrm), 6) AS score
          |  FROM cand c
          |  JOIN e q ON q.vec_id = c.query_id
          |  JOIN e n ON n.vec_id = c.neighbor_id
+         |)
+         |SELECT query_id, neighbor_id, rnk, score FROM (
+         |  SELECT query_id, neighbor_id, score,
+         |         row_number() OVER (PARTITION BY query_id
+         |             ORDER BY score DESC, neighbor_id ASC) AS rnk
+         |  FROM cscore
          |)
          |WHERE rnk <= $K
          |ORDER BY query_id, rnk""".stripMargin,
@@ -2108,15 +2119,26 @@ object Similarity extends QueryModule {
          |  FROM qprobes q JOIN cb n ON q.tbl = n.tbl AND q.bucket = n.bucket
          |  WHERE n.vec_id <> q.vec_id
          |)
-         |SELECT query_id, neighbor_id, rnk, score FROM (
+         |-- score once in a slim derived table and rank on the ALIAS
+         |-- (r19, same disease as the r16 argmin reshape): with the
+         |-- round(list_dot_product(..)) expression repeated in the window
+         |-- ORDER BY, DuckDB materializes the window input WITH both
+         |-- 64-double vectors — ~1 KB/row × 1.6×10⁸ candidate pairs at
+         |-- the 1M rung blew the 96 GB memory budget + 46 GB spill cap;
+         |-- the slim (query_id, neighbor_id, score) input sorts in ~4 GB.
+         |-- Scores, rounding, ordering, ties: unchanged.
+         |, cscore AS (
          |  SELECT c.query_id, c.neighbor_id,
-         |         round(list_dot_product(q.v, n.v) / (q.nrm * n.nrm), 6) AS score,
-         |         row_number() OVER (PARTITION BY c.query_id
-         |             ORDER BY round(list_dot_product(q.v, n.v) / (q.nrm * n.nrm), 6) DESC,
-         |                      c.neighbor_id ASC) AS rnk
+         |         round(list_dot_product(q.v, n.v) / (q.nrm * n.nrm), 6) AS score
          |  FROM cand c
          |  JOIN e q ON q.vec_id = c.query_id
          |  JOIN e n ON n.vec_id = c.neighbor_id
+         |)
+         |SELECT query_id, neighbor_id, rnk, score FROM (
+         |  SELECT query_id, neighbor_id, score,
+         |         row_number() OVER (PARTITION BY query_id
+         |             ORDER BY score DESC, neighbor_id ASC) AS rnk
+         |  FROM cscore
          |)
          |WHERE rnk <= $K
          |ORDER BY query_id, rnk""".stripMargin,
@@ -2165,15 +2187,26 @@ object Similarity extends QueryModule {
          |  FROM qprobes q JOIN cb n ON q.tbl = n.tbl AND q.bucket = n.bucket
          |  WHERE n.vec_id <> q.vec_id
          |)
-         |SELECT query_id, neighbor_id, rnk, score FROM (
+         |-- score once in a slim derived table and rank on the ALIAS
+         |-- (r19, same disease as the r16 argmin reshape): with the
+         |-- round(list_dot_product(..)) expression repeated in the window
+         |-- ORDER BY, DuckDB materializes the window input WITH both
+         |-- 64-double vectors — ~1 KB/row × 1.6×10⁸ candidate pairs at
+         |-- the 1M rung blew the 96 GB memory budget + 46 GB spill cap;
+         |-- the slim (query_id, neighbor_id, score) input sorts in ~4 GB.
+         |-- Scores, rounding, ordering, ties: unchanged.
+         |, cscore AS (
          |  SELECT c.query_id, c.neighbor_id,
-         |         round(list_dot_product(q.v, n.v) / (q.nrm * n.nrm), 6) AS score,
-         |         row_number() OVER (PARTITION BY c.query_id
-         |             ORDER BY round(list_dot_product(q.v, n.v) / (q.nrm * n.nrm), 6) DESC,
-         |                      c.neighbor_id ASC) AS rnk
+         |         round(list_dot_product(q.v, n.v) / (q.nrm * n.nrm), 6) AS score
          |  FROM cand c
          |  JOIN e q ON q.vec_id = c.query_id
          |  JOIN e n ON n.vec_id = c.neighbor_id
+         |)
+         |SELECT query_id, neighbor_id, rnk, score FROM (
+         |  SELECT query_id, neighbor_id, score,
+         |         row_number() OVER (PARTITION BY query_id
+         |             ORDER BY score DESC, neighbor_id ASC) AS rnk
+         |  FROM cscore
          |)
          |WHERE rnk <= $K
          |ORDER BY query_id, rnk""".stripMargin,

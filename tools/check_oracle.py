@@ -35,7 +35,7 @@ def main(sf_dir, out_dir):
     # The driver's gate runs at sf0.01 where this is irrelevant; for
     # local rung-activation checks give it a spill dir + the host's RAM.
     con.sql("SET temp_directory='/tmp/duckdb_spill'")
-    con.sql("SET memory_limit='96GB'")
+    con.sql(f"SET memory_limit='{os.environ.get('ORACLE_MEM', '96GB')}'")
     # Bound the spill (r16): the 132k trained-Lloyd chain spilled past
     # the host's 79 GB free disk and took / to 100% — a capped spill
     # fails THAT query with a clean error instead of wedging the host.
