@@ -2238,16 +2238,24 @@ object Similarity extends QueryModule {
          |    SELECT vec_id, min(struct_pack(d := 1.0 - sc, c := cid)) AS m
          |    FROM ascore GROUP BY vec_id)
          |),
-         |cpair AS (
-         |  SELECT a.cid AS cell, a.vec_id AS keep_id, b.vec_id AS drop_id
-         |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |-- attach vectors BEFORE pairing (r19): the slim-pairs-then-
+         |-- attach form estimated the cell self-join's output at n rows
+         |-- (EXPLAIN showed EC: 526000 against a real ~2.7×10⁸ at 526k
+         |-- vectors, the n²/cells blowup), so DuckDB BUILT the vector-
+         |-- attach hash joins on the pair stream — a ~150 GB hash table
+         |-- that OOM-killed the 1M and 526k rung checks twice each. With
+         |-- vectors pre-attached, the only build side is av (n rows,
+         |-- estimate exact) and the vector-carrying pair stream pipelines
+         |-- straight into the score filter, never materialized. Pairs,
+         |-- score arithmetic, threshold, ordering: unchanged.
+         |av AS (
+         |  SELECT a.cid AS cell, e.vec_id, e.v, e.nrm
+         |  FROM assign a JOIN e ON e.vec_id = a.vec_id
          |)
          |SELECT cell, keep_id, drop_id, score FROM (
-         |  SELECT cp.cell, cp.keep_id, cp.drop_id,
+         |  SELECT x.cell, x.vec_id AS keep_id, y.vec_id AS drop_id,
          |         round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS score
-         |  FROM cpair cp
-         |  JOIN e x ON x.vec_id = cp.keep_id
-         |  JOIN e y ON y.vec_id = cp.drop_id
+         |  FROM av x JOIN av y ON x.cell = y.cell AND x.vec_id < y.vec_id
          |)
          |WHERE score >= $SemThreshold
          |ORDER BY keep_id, drop_id""".stripMargin,
