@@ -31,6 +31,13 @@ object ScaleVecs {
   /** Largest per-row embedding dim the sign tables cover. */
   val MaxDim = 512
 
+  /** Identifies the transform construction. Bump when [[replicaTransform]]
+    * changes shape — corpus-reuse manifests ([[SimilarityScaleBench]]) key
+    * on this, so a cached corpus built by an OLDER construction is
+    * rebuilt instead of silently measured as if it were current
+    * (ADVICE r19: a bare `_SUCCESS` check cannot tell the two apart). */
+  val TransformVersion = "rot7xsigndiag-v1"
+
   /** splitmix64 — full-avalanche 64-bit mixer (public domain, Steele et
     * al. 2014); bit 37 of the mix of (replica, coordinate) is the sign. */
   private def mix64(z0: Long): Long = {

@@ -215,14 +215,34 @@ object SimilarityScaleBench {
 
     def buildEmbCorpus(k: Int): String = {
       val dir = s"/tmp/sim_scale/emb_x$k"
+      val manifestPath = java.nio.file.Paths.get(s"$dir/manifest.json")
+      def manifestJson(rows: Long): String =
+        s"""{"k":$k,"transform":"${ScaleVecs.TransformVersion}","rows":$rows}"""
       // SPARK_GRAFT_SIM_REUSE: skip the rebuild when a completed corpus
-      // already sits at $dir (parquet _SUCCESS marker). The 2000-replica
-      // build alone is ~35 min of 2000-branch union; a probe retry must
-      // not re-pay it. Default remains rebuild-always (artifact runs).
+      // already sits at $dir. The 2000-replica build alone is ~35 min of
+      // 2000-branch union; a probe retry must not re-pay it. Default
+      // remains rebuild-always (artifact runs). Reuse requires the
+      // manifest written at build time to match (k, transform version,
+      // row count) — a bare `_SUCCESS` cannot detect a stale corpus
+      // built by an older replicaTransform, which would silently change
+      // what a "reused-corpus" row measured (ADVICE r19). assertDistinct
+      // stays on the reuse path too: it guards the CURRENT k, not the
+      // build.
       if (sys.env.contains("SPARK_GRAFT_SIM_REUSE") &&
           new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").exists()) {
-        System.err.println(s"[sim-scale] reusing existing corpus at $dir")
-        return dir
+        ScaleVecs.assertDistinct(k)
+        val found =
+          if (java.nio.file.Files.exists(manifestPath))
+            new String(java.nio.file.Files.readAllBytes(manifestPath),
+              java.nio.charset.StandardCharsets.UTF_8).trim
+          else "<missing>"
+        val rows = spark.read.parquet(s"$dir/embeddings.parquet").count()
+        if (found == manifestJson(rows)) {
+          System.err.println(s"[sim-scale] reusing corpus at $dir (manifest verified: $found)")
+          return dir
+        }
+        System.err.println(s"[sim-scale] manifest mismatch at $dir — " +
+          s"found $found, want ${manifestJson(rows)}; REBUILDING")
       }
       // rotation ∘ per-replica sign diagonal ([[ScaleVecs]]) — same
       // construction as MakeScale: orthogonal, distinct for ANY k (the
@@ -236,6 +256,9 @@ object SimilarityScaleBench {
           $"label")
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val rows = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      java.nio.file.Files.write(manifestPath,
+        manifestJson(rows).getBytes(java.nio.charset.StandardCharsets.UTF_8))
       dir
     }
 
@@ -305,8 +328,9 @@ object SimilarityScaleBench {
         spark.catalog.clearCache(); r
       }
       // SPARK_GRAFT_SIM_NO_RECALL: selectivity/wall-only probe. At the
-      // 4M rung even the SAMPLED truth set scores ~1,700 queries × 4M
-      // corpus ≈ 7×10⁹ slim rows through rankTopK's per-query window —
+      // 4M rung even the SAMPLED truth set scores ~1,600 queries (80,000
+      // standard queries / 50) × 4M corpus ≈ 6.4×10⁹ slim rows through
+      // rankTopK's per-query window —
       // a ~190 GB shuffle on its own, past this host's 78 GB free disk
       // (the r19 4M post-mortem's third wave, after the HLL count and
       // periodicGC fixes removed the first two). The rung's VERDICT ask
@@ -318,6 +342,16 @@ object SimilarityScaleBench {
       if (skipRecall)
         System.err.println("[sim-scale] WARNING: SPARK_GRAFT_SIM_NO_RECALL" +
           " — recall-vs-brute skipped; JSON recall fields will be null")
+      // Fail fast (ADVICE r19): the ranked/R sweeps exist ONLY to measure
+      // recall — combining them with NO_RECALL would still force the
+      // brute-truth shuffle through bf/inTruth, defeating the flag's
+      // purpose. Refuse the combination instead of silently paying it.
+      val recallSweeps = Seq("SPARK_GRAFT_SIM_RANKED_SWEEP",
+        "SPARK_GRAFT_SIM_R_SWEEP").filter(sys.env.contains)
+      if (skipRecall && recallSweeps.nonEmpty)
+        sys.error(s"SPARK_GRAFT_SIM_NO_RECALL is incompatible with " +
+          s"${recallSweeps.mkString(",")} — these sweeps measure recall " +
+          "and would force the brute-truth shuffle the flag exists to avoid")
       if (blockOn("lsh")) {
         val buckets = Similarity.lshBuckets(e, tables = pt, bits = pb).persist()
         // the registered query's corpus side: hot-bucket-capped (r14)
@@ -368,10 +402,16 @@ object SimilarityScaleBench {
         }
         val rsec = samples.map(_._1).min
         val msec = samples.map(_._2).min
-        val rkNbrs = nbrSet(Similarity.topkLshMultiprobeRanked(spark, dir))
-        spark.catalog.clearCache()
-        val rkRec = rkNbrs.filter(inTruth).intersect(bf).size.toDouble / bf.size
-        println(s"""{"bench":"ann_ranked_scale","k":$k,"vectors":$nVec,"tables":$pt,"bits":$pb,"probes_per_query":${pt * (1 + Similarity.LshRankedProbeMult)},"allflips_probes":${pt * (1 + pb)},"recall":${r3(rkRec)},"recall_allflips":${r3(mpRec)},"sec":${r3(rsec)},"sec_allflips":${r3(msec)}}""")
+        // NO_RECALL gates this consumer too (ADVICE r19): the ranked
+        // block previously forced the truth set via bf/inTruth even on a
+        // wall-only probe.
+        val rkRecS = if (skipRecall) "null" else {
+          val rkNbrs = nbrSet(Similarity.topkLshMultiprobeRanked(spark, dir))
+          spark.catalog.clearCache()
+          r3(rkNbrs.filter(inTruth).intersect(bf).size.toDouble / bf.size)
+        }
+        val mpRecRankedS = if (skipRecall) "null" else r3(mpRec)
+        println(s"""{"bench":"ann_ranked_scale","k":$k,"vectors":$nVec,"tables":$pt,"bits":$pb,"probes_per_query":${pt * (1 + Similarity.LshRankedProbeMult)},"allflips_probes":${pt * (1 + pb)},"recall":$rkRecS,"recall_allflips":$mpRecRankedS,"sec":${r3(rsec)},"sec_allflips":${r3(msec)}}""")
       }
 
       // Ranked probe-budget calibration sweep (r15): recall/wall at
@@ -397,12 +437,16 @@ object SimilarityScaleBench {
       // recall@5 vs the same brute twin.
       if (blockOn("ivfpq")) {
         val t1 = System.nanoTime()
-        val ivfpqRec = nbrSet(Similarity.topkIvfPq(spark, dir))
-          .filter(inTruth).intersect(bf).size.toDouble / bf.size
+        // wall is measured either way; recall only when the truth set is
+        // affordable (NO_RECALL gating — ADVICE r19)
+        val ivfpqRecS = if (skipRecall) {
+          Similarity.topkIvfPq(spark, dir).count(); "null"
+        } else r3(nbrSet(Similarity.topkIvfPq(spark, dir))
+          .filter(inTruth).intersect(bf).size.toDouble / bf.size)
         val isec = (System.nanoTime() - t1) / 1e9
         spark.catalog.clearCache()
         val (_, cells, nprobe, frac) = ivfPqScanFraction(dir)
-        println(s"""{"bench":"ann_ivfpq_scale","k":$k,"vectors":$nVec,"cells":$cells,"nprobe":$nprobe,"scan_fraction":${r3(frac)},"recall":${r3(ivfpqRec)},"sec":${r3(isec)}}""")
+        println(s"""{"bench":"ann_ivfpq_scale","k":$k,"vectors":$nVec,"cells":$cells,"nprobe":$nprobe,"scan_fraction":${r3(frac)},"recall":$ivfpqRecS,"sec":${r3(isec)}}""")
       }
 
       // IVF×PQ exact-rerank shortlist sweep (round 18, VERDICT r17 #3):
@@ -438,8 +482,10 @@ object SimilarityScaleBench {
       // (16, 4)) while recall@5 is recorded per rung.
       if (blockOn("ivf")) {
         val t1 = System.nanoTime()
-        val ivfRec = nbrSet(Similarity.topkIvf(spark, dir))
-          .filter(inTruth).intersect(bf).size.toDouble / bf.size
+        val ivfRecS = if (skipRecall) {
+          Similarity.topkIvf(spark, dir).count(); "null"
+        } else r3(nbrSet(Similarity.topkIvf(spark, dir))
+          .filter(inTruth).intersect(bf).size.toDouble / bf.size)
         val isec = (System.nanoTime() - t1) / 1e9
         val (icells, inprobe) = Similarity.ivfParams(nVec)
         // MEASURED scanned fraction (cell sizes are uneven with first-n
@@ -462,7 +508,7 @@ object SimilarityScaleBench {
           .groupBy($"query_id").agg(sum($"csz").as("scanned"))
           .agg(avg($"scanned")).head().getDouble(0) / nVec
         spark.catalog.clearCache()
-        println(s"""{"bench":"ann_ivf_scale","k":$k,"vectors":$nVec,"cells":$icells,"nprobe":$inprobe,"scan_fraction":${r3(ifrac)},"recall":${r3(ivfRec)},"sec":${r3(isec)}}""")
+        println(s"""{"bench":"ann_ivf_scale","k":$k,"vectors":$nVec,"cells":$icells,"nprobe":$inprobe,"scan_fraction":${r3(ifrac)},"recall":$ivfRecS,"sec":${r3(isec)}}""")
       }
 
       // per-trigger serving cost at THIS corpus size (r13): the serve

@@ -35,7 +35,16 @@ def main(sf_dir, out_dir):
     # The driver's gate runs at sf0.01 where this is irrelevant; for
     # local rung-activation checks give it a spill dir + the host's RAM.
     con.sql("SET temp_directory='/tmp/duckdb_spill'")
-    con.sql(f"SET memory_limit='{os.environ.get('ORACLE_MEM', '96GB')}'")
+    # ORACLE_MEM is interpolated into SQL — validate its shape so a typo
+    # ('96 GB') or stray text yields a clear fallback, not a confusing
+    # DuckDB parse error (ADVICE r19).
+    import re
+    mem = os.environ.get('ORACLE_MEM', '96GB')
+    if not re.fullmatch(r'\d+(\.\d+)?(GiB|GB|MiB|MB)', mem):
+        print(f"WARN  ORACLE_MEM={mem!r} malformed (want e.g. '96GB'); using 96GB",
+              file=sys.stderr)
+        mem = '96GB'
+    con.sql(f"SET memory_limit='{mem}'")
     # Bound the spill (r16): the 132k trained-Lloyd chain spilled past
     # the host's 79 GB free disk and took / to 100% — a capped spill
     # fails THAT query with a clean error instead of wedging the host.
