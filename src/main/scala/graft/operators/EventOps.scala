@@ -715,6 +715,15 @@ object EventOps extends QueryModule {
     val nUsers = vecs.count()
     val (pt, pk) = rungOverride.getOrElse(profParams(nUsers))
     val cap = capOverride.getOrElse(profCap(nUsers))
+    // Probe-only regime override (VERDICT r19 #5): the fat-bucket attach
+    // branch (> [[BroadcastProfileMaxUsers]]) needs its linear-shuffle /
+    // bounded-disk claims measured at a corpus the host can actually
+    // hold, so the probe lowers the bound via env and A/Bs the two
+    // regimes on the SAME corpus+rung — results are identical by
+    // construction (the attach is a plan choice; [[tsScored]] scaladoc),
+    // which the A/B also confirms. Driver/bench runs never set this.
+    val bcastMax = sys.env.get("SPARK_GRAFT_EV_BCAST_MAX").map(_.toLong)
+      .getOrElse(BroadcastProfileMaxUsers)
     // Slim-top shape (r19; replaces the r14 distinct + broadcast/SMJ
     // verify that blew the disk at ~1M users — see [[tsScored]]): the
     // scored stream feeds a TakeOrdered heap of size ProfTopK·pt, the
@@ -739,7 +748,7 @@ object EventOps extends QueryModule {
     // dedup aggregate + final top-20 run over that single tiny set. No
     // exchange ever sees a pair-stream row. PlanSpec pins this.
     tsScored(vecs, pt, pk, cap = cap,
-        broadcastAttach = nUsers <= BroadcastProfileMaxUsers)
+        broadcastAttach = nUsers <= bcastMax)
       .orderBy($"dist".asc, $"user_a".asc, $"user_b".asc)
       .limit(ProfTopK * pt)
       .groupBy($"user_a", $"user_b").agg(min($"dist").as("dist"))

@@ -1013,7 +1013,7 @@ object Similarity extends QueryModule {
     * reshuffles. Per-iteration codebooks persist() (harness-managed
     * lifecycle, see [[Dedup]]) so the 2-4 downstream consumers reuse the
     * 128-row result instead of replaying the training lineage. */
-  private[graft] def pqCodebook(e: DataFrame): DataFrame = {
+  private[graft] def pqCodebook(e: DataFrame, ncent: Int = NCENT): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
     def slices(src: DataFrame, name: String) = src.select($"vec_id", explode(
@@ -1021,7 +1021,7 @@ object Similarity extends QueryModule {
         struct(lit(b).as("b"), slice($"v", b * PqSub + 1, PqSub).as(name))): _*)).as("t"))
     val xb = persistTraining(slices(trainSample(e), "xb")
       .select($"vec_id", $"t.b".as("b"), $"t.xb".as("xb")))
-    var cb: DataFrame = slices(e.filter($"vec_id" < NCENT), "cb")
+    var cb: DataFrame = slices(e.filter($"vec_id" < ncent), "cb")
       .select($"t.b".as("b"), $"vec_id".as("cid"), $"t.cb".as("cb"))
     for (_ <- 1 to PqLloydIters) {
       // xb rides inside the struct-min (cid is unique, so the comparison
@@ -1450,6 +1450,27 @@ object Similarity extends QueryModule {
         (0 until PqBlocks).map(b => col(s"m$b.c").as(s"code$b")): _*)
     IvfPqRelations(cent, assign, cbk, codes, cells, nprobe,
       ivfPqShortlistFor(n))
+  }
+
+  /** Dial-sweep serve ([[graft.tools.SimilarityScaleBench]] only): serve
+    * from `idx` with an overridden nprobe and/or a PQ half retrained at
+    * sub-codebook size `ks` — the coarse quantizer (cent/assign) is
+    * PQ-independent and reused, so a ks point costs one codebook train +
+    * one encode, not a full index build. Everything downstream
+    * (cid-keyed LUT maps, ADC, shortlist, rerank) is size-agnostic. */
+  private[graft] def ivfPqServeDial(queries: DataFrame, e: DataFrame,
+      idx: IvfPqRelations, ks: Option[Int], nprobe: Int,
+      shortlist: Int): DataFrame = {
+    val (cbk, codes) = ks match {
+      case Some(n) =>
+        val c = pqCodebook(e, n)
+        (c, pqAssign(e, c).select(
+          col("vec_id").as("neighbor_id") +:
+            (0 until PqBlocks).map(b => col(s"m$b.c").as(s"code$b")): _*))
+      case None => (idx.cbk, idx.codes)
+    }
+    ivfPqServe(queries, e, idx.cent, idx.assign, cbk, codes,
+      nprobe = nprobe, excludeSelf = true, shortlist = shortlist)
   }
 
   /** Serve `(query_id, qv, qnorm)` queries from a prebuilt

@@ -47,6 +47,12 @@ object SimilarityScaleBench {
       // stacked ~50 GB each on disk. Aggressive periodic GC lets the
       // ContextCleaner release finished waves between blocks.
       .config("spark.cleaner.periodicGC.interval", "1min")
+      // r20: the sampled-truth computation aggregates ~1,600 query
+      // groups per task through the bounded TopKByScore heap; the
+      // default 128-group ObjectHashAggregate fallback would re-sort
+      // the unaggregated 6.4e9-row scored stream per partition —
+      // exactly the cost the heap form removes.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -285,8 +291,15 @@ object SimilarityScaleBench {
         val q = e.filter($"vec_id" % 50 === 0 &&
             ($"vec_id" % 1000003L) * 2654435761L % 1000003L % 50 === 0)
           .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"))
-        val byQuery = org.apache.spark.sql.expressions.Window
-          .partitionBy($"query_id").orderBy($"score".desc, $"neighbor_id".asc)
+        // Bounded-heap top-5 per query (r20, VERDICT r19 #4): the former
+        // row_number window EXCHANGED the full scored stream by query —
+        // ~6.4e9 slim rows / ~190 GB at the 4M rung, past the probe
+        // host's disk, which is why the 4M row shipped recall-null. The
+        // TopKByScore aggregate reduces each map task to <=queries x 5
+        // entries before the (tiny) shuffle; the scored stream itself is
+        // never exchanged. Same (score DESC, neighbor ASC) total order,
+        // same set (TopKByScoreSpec pins agg == window).
+        val top5 = graft.functions.TopKByScore.topK(5)
         val truth = broadcast(q)
           .join(Similarity.collapseTwins(e)
                   .select($"vec_id".as("neighbor_id"), $"v".as("nv"), $"norm".as("nnorm")),
@@ -294,9 +307,9 @@ object SimilarityScaleBench {
           .withColumn("score",
             round(graft.functions.VectorDot.vectorDot($"qv", $"nv")
               / ($"qnorm" * $"nnorm"), 6))
-          .withColumn("rnk", row_number().over(byQuery))
-          .where($"rnk" <= 5)
-          .select($"query_id", $"neighbor_id")
+          .groupBy($"query_id")
+          .agg(top5($"score", $"neighbor_id").as("top"))
+          .select($"query_id", explode($"top.id").as("neighbor_id"))
         val set = nbrSet(truth)
         spark.catalog.clearCache()
         println(s"""{"check":"brute_truth_sampled","vectors":$nVec,"sampled_queries":${set.map(_._1).size},"truth_pairs":${set.size}}""")
@@ -347,7 +360,8 @@ object SimilarityScaleBench {
       // brute-truth shuffle through bf/inTruth, defeating the flag's
       // purpose. Refuse the combination instead of silently paying it.
       val recallSweeps = Seq("SPARK_GRAFT_SIM_RANKED_SWEEP",
-        "SPARK_GRAFT_SIM_R_SWEEP").filter(sys.env.contains)
+        "SPARK_GRAFT_SIM_R_SWEEP", "SPARK_GRAFT_SIM_NPROBE_SWEEP",
+        "SPARK_GRAFT_SIM_KS_SWEEP").filter(sys.env.contains)
       if (skipRecall && recallSweeps.nonEmpty)
         sys.error(s"SPARK_GRAFT_SIM_NO_RECALL is incompatible with " +
           s"${recallSweeps.mkString(",")} — these sweeps measure recall " +
@@ -474,6 +488,47 @@ object SimilarityScaleBench {
           }
           spark.catalog.clearCache()
         case _ => ()
+      }
+
+      // IVF×PQ dial sweep past R (round 20, VERDICT r19 #3): the r19
+      // R-sweep proved recall does NOT plateau in the rerank shortlist
+      // (0.514 at 1M, R=4800), so the next dials are measured here on
+      // the SAME built index and truth set:
+      //   SPARK_GRAFT_SIM_NPROBE_SWEEP="64,96,128" — more probed cells
+      //     (coarse-quantizer miss recovery; candidate volume rises
+      //     linearly in nprobe);
+      //   SPARK_GRAFT_SIM_KS_SWEEP="16,64,256" — PQ sub-codebook size
+      //     (ADC distortion is the shortlist's ranking noise; ks is the
+      //     codebook resolution — 16 entries = 4-bit codes today). A ks
+      //     point retrains ONLY the PQ half; cent/assign are reused.
+      val npSweep = sys.env.get("SPARK_GRAFT_SIM_NPROBE_SWEEP")
+        .map(_.split(",").filter(_.nonEmpty).map(_.trim.toInt).toSeq)
+        .getOrElse(Seq.empty)
+      val ksSweep = sys.env.get("SPARK_GRAFT_SIM_KS_SWEEP")
+        .map(_.split(",").filter(_.nonEmpty).map(_.trim.toInt).toSeq)
+        .getOrElse(Seq.empty)
+      if (npSweep.nonEmpty || ksSweep.nonEmpty) {
+        val idx = Similarity.ivfPqIndex(e)
+        val queries = e.where($"vec_id" % 50 === 0)
+          .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"))
+        npSweep.foreach { np =>
+          val t1 = System.nanoTime()
+          val got = nbrSet(Similarity.ivfPqServeDial(queries, e, idx,
+            ks = None, nprobe = np, shortlist = idx.shortlist))
+          val ssec = (System.nanoTime() - t1) / 1e9
+          spark.catalog.clearCache()
+          val rec = got.filter(inTruth).intersect(bf).size.toDouble / bf.size
+          println(s"""{"bench":"ann_ivfpq_nprobe_sweep","k":$k,"vectors":$nVec,"cells":${idx.cells},"nprobe":$np,"shortlist":${idx.shortlist},"recall":${r3(rec)},"sec":${r3(ssec)}}""")
+        }
+        ksSweep.foreach { ks =>
+          val t1 = System.nanoTime()
+          val got = nbrSet(Similarity.ivfPqServeDial(queries, e, idx,
+            ks = Some(ks), nprobe = idx.nprobe, shortlist = idx.shortlist))
+          val ssec = (System.nanoTime() - t1) / 1e9
+          spark.catalog.clearCache()
+          val rec = got.filter(inTruth).intersect(bf).size.toDouble / bf.size
+          println(s"""{"bench":"ann_ivfpq_ks_sweep","k":$k,"vectors":$nVec,"cells":${idx.cells},"nprobe":${idx.nprobe},"ks":$ks,"shortlist":${idx.shortlist},"recall":${r3(rec)},"sec":${r3(ssec)}}""")
+        }
       }
 
       // Plain IVF at THIS corpus size (r14, sf10-probe follow-up): the
