@@ -1128,7 +1128,8 @@ object Similarity extends QueryModule {
     // (a vector that IS a centroid) can round to -0.0 in one engine and
     // +0.0 in the other — value-equal but byte-different, which fails
     // the driver's row hash.
-    pqAssign(e, pqCodebook(e)).join(e.select($"vec_id", $"v"), "vec_id")
+    pqAssign(e, pqCodebook(e, pqKsFor(e.count())))
+      .join(e.select($"vec_id", $"v"), "vec_id")
       .select($"vec_id" +: codeCols :+ (round(err, 6) + lit(0.0)).as("err_sq"): _*)
       .orderBy($"vec_id")
   }
@@ -1160,7 +1161,8 @@ object Similarity extends QueryModule {
   def topkPqAdc(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = vecs(s, dir)
-    val cbk = pqCodebook(e)
+    // ks rides the corpus ladder (one count job over the persisted vecs)
+    val cbk = pqCodebook(e, pqKsFor(e.count()))
     val codes = pqAssign(e, cbk).select(
       col("vec_id").as("neighbor_id") +:
         (0 until PqBlocks).map(b => col(s"m$b.c").as(s"code$b")): _*)
@@ -1235,14 +1237,37 @@ object Similarity extends QueryModule {
   // relations), not expression fan-out, so the LshBucketIds JIT-cliff
   // class does not apply by construction.
   // Closed form (r17, the [[LshSteps]] treatment): threshold 8192·4^i,
-  // cells = 128·2^i (~√n), nprobe = 32 + 16i — rungs i=0..2 reproduce
-  // the shipped table exactly; the code-scan fraction keeps falling
-  // along the generated extension (0.125 → 0.078 → 0.047 → 0.027).
-  private[graft] val IvfPqSteps: Seq[(Long, Int, Int)] =
+  // cells = 128·2^i (~√n). nprobe originally grew 32 + 16i; the r20
+  // dial sweep (BASELINE.md "IVF×PQ dials past R") measured that rung
+  // recall was COARSE-QUANTIZER-limited — at the 132k rung widening the
+  // probe list 64 → 96/128/192 bought recall 0.597 → 0.664/0.696/0.720
+  // where quadrupling codebook resolution bought +0.05, and at 1M the
+  // 80 → 172 widening plus the ks=64 codebook lifted recall@5 0.514 →
+  // 0.734. nprobe now rides ~32·1.75^i (exact integer table — the
+  // ladder discipline bans libm at rung definitions): the scan
+  // FRACTION nprobe/cells still FALLS along the rungs (0.25 → 0.219 →
+  // 0.191 → 0.168 → 0.146 → 0.128), so the per-query scan stays
+  // sublinear in the corpus while the probe list grows enough to keep
+  // the true neighbor's cell in it.
+  private val IvfPqNprobeTable = Seq(32, 56, 98, 172, 300, 525)
+  private[graft] val IvfPqSteps: Seq[(Long, Int, Int)] = {
+    require(IvfPqNprobeTable.size == AnnLadderRungs)
     (0 until AnnLadderRungs).map { i =>
       // (min corpus rows, cells, nprobe)
-      (8192L << (2 * i), 128 << i, 32 + 16 * i)
+      (8192L << (2 * i), 128 << i, IvfPqNprobeTable(i))
     }
+  }
+
+  // PQ sub-codebook size ladder (r20, same sweep): 16 entries (4-bit
+  // codes) below the trained-scale threshold — every driver SF, hashes
+  // unchanged — and 64 entries (6-bit codes) at ≥131,072 vectors, where
+  // ADC distortion starts to dominate the shortlist's ranking noise.
+  // 256 was measured and NOT taken: +0.007 recall over 64 at the 132k
+  // rung — an 8-dim block exhausts its structure near 64 entries.
+  // Mirrored in the oracle's kb0 donor CASE ([[pqKsCaseSql]]).
+  private[graft] val PqKsSteps: Seq[(Long, Int)] = Seq((131072L, 64))
+  private[graft] def pqKsFor(n: Long): Int =
+    PqKsSteps.foldLeft(NCENT) { case (acc, (thr, ks)) => if (n >= thr) ks else acc }
   private[graft] def ivfPqParams(n: Long): (Int, Int) =
     IvfPqSteps.foldLeft((IvfPqCells, IvfPqProbe)) {
       case (acc, (thr, c, p)) => if (n >= thr) (c, p) else acc
@@ -1444,7 +1469,7 @@ object Similarity extends QueryModule {
     val (cells, nprobe) = ivfPqParams(n)
     val cent = ivfPqCentroids(e, cells)
     val assign = cellAssignment(e, cent)
-    val cbk = pqCodebook(e)
+    val cbk = pqCodebook(e, pqKsFor(n))
     val codes = pqAssign(e, cbk).select(
       col("vec_id").as("neighbor_id") +:
         (0 until PqBlocks).map(b => col(s"m$b.c").as(s"code$b")): _*)
@@ -1620,6 +1645,15 @@ object Similarity extends QueryModule {
   /** [[PqScale]] as an exact SQL literal. */
   private val PqScaleSql: String = PqScale.toLong.toString + ".0"
 
+  /** The [[pqKsFor]] ladder as a scalar SQL subquery over `e` —
+    * generated from [[PqKsSteps]] so the two engines cannot drift on
+    * the sub-codebook size (the `iprm` pattern, r20). */
+  private def pqKsCaseSql: String = {
+    val cases = PqKsSteps.reverse.map { case (thr, ks) =>
+      s"WHEN count(*) >= $thr THEN $ks" }.mkString(" ")
+    s"(SELECT CASE $cases ELSE $NCENT END FROM e)"
+  }
+
   /** SQL mirror of [[pqCodebook]] — retrains the refined sub-codebooks
     * from the table: kb0 seeds (block slices of the first NCENT
     * vectors), then per Lloyd step the rounded-score argmin assignment
@@ -1665,7 +1699,7 @@ object Similarity extends QueryModule {
        |  SELECT t.b, e.vec_id AS cid,
        |         list_slice(e.v, t.b*$PqSub+1, t.b*$PqSub+$PqSub) AS cb
        |  FROM e CROSS JOIN generate_series(0, ${PqBlocks - 1}) t(b)
-       |  WHERE e.vec_id < $NCENT
+       |  WHERE e.vec_id < $pqKsCaseSql
        |),
        |$iters,
        |cent AS (SELECT cid, flatten(list(cb ORDER BY b)) AS cv

@@ -206,12 +206,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivfPqParams(2000L) === (64, 24))
     assert(ivfPqParams(8191L) === (64, 24))
     assert(ivfPqParams(8192L) === (128, 32))
-    assert(ivfPqParams(32768L) === (256, 48))
-    assert(ivfPqParams(131072L) === (512, 64))
-    // r17 closed-form rungs (cells 128·2^i, nprobe 32+16i at 8192·4^i)
-    assert(ivfPqParams(524288L) === (1024, 80))
-    assert(ivfPqParams(2097152L) === (2048, 96))
-    assert(ivfPqParams(8388608L) === (4096, 112))
+    // r20 nprobe table (~32·1.75^i): the dial sweep measured rung
+    // recall coarse-quantizer-limited — 132k 0.597 → 0.696 at nprobe
+    // 128, 1M 0.514 → 0.734 with nprobe 172 + ks 64 (BASELINE.md
+    // "IVF×PQ dials past R"); scan fraction still falls per rung
+    assert(ivfPqParams(32768L) === (256, 56))
+    assert(ivfPqParams(131072L) === (512, 98))
+    assert(ivfPqParams(524288L) === (1024, 172))
+    assert(ivfPqParams(2097152L) === (2048, 300))
+    assert(ivfPqParams(8388608L) === (4096, 525))
+    // r20 PQ sub-codebook ladder: 16 entries below 131,072 vectors
+    // (every gate SF — hashes unchanged), 64 at/above (6-bit codes;
+    // 256 measured +0.007 over 64 and not taken)
+    import operators.Similarity.pqKsFor
+    assert(pqKsFor(500L) === 16)
+    assert(pqKsFor(2000L) === 16)
+    assert(pqKsFor(131071L) === 16)
+    assert(pqKsFor(131072L) === 64)
+    assert(pqKsFor(4000000L) === 64)
     // r19 rerank-shortlist ladder (R = 300·2^(i+1) at the same
     // thresholds; measured knees at 132k → 2400 and 1M → 4800,
     // BASELINE.md R-sweep) — gate SFs stay on the base R=300
