@@ -53,6 +53,12 @@ object SimilarityScaleBench {
       // the unaggregated 6.4e9-row scored stream per partition —
       // exactly the cost the heap form removes.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      // r20 (4M rung): a full-heap GC pause at the 64g driver tripped
+      // the 10s executor heartbeat; in local mode the uncaught
+      // RpcTimeout takes down the whole JVM (SparkUncaughtExceptionHandler
+      // exits). Probe-scale sessions tolerate slow heartbeats.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "800s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -381,7 +387,13 @@ object SimilarityScaleBench {
         Similarity.topkLsh(spark, dir).count()
         val sec = (System.nanoTime() - t0) / 1e9
         val lshRecS = if (skipRecall) "null" else r3(recallVsBf(Similarity.topkLsh(spark, dir)))
-        val mpRecS = if (skipRecall) "null" else r3(mpRec)
+        // SPARK_GRAFT_SIM_SKIP_MP (r20): at the 4M rung the all-flips
+        // multiprobe's pre-distinct pair stream is ~(1+bits)x the lsh
+        // stream and its .distinct() alone is an ~80-130 GB shuffle —
+        // past this host's disk. The flag nulls ONLY the multiprobe
+        // recall so the lsh row can carry a measured recall at 4M.
+        val skipMp = sys.env.contains("SPARK_GRAFT_SIM_SKIP_MP")
+        val mpRecS = if (skipRecall || skipMp) "null" else r3(mpRec)
         buckets.unpersist()
         spark.catalog.clearCache()
         println(s"""{"bench":"ann_lsh","k":$k,"vectors":$nVec,"tables":$pt,"bits":$pb,"queries":$nQueries,"candidates":$candidates,"brute_scored":$scanned,"selectivity":${r3(candidates.toDouble / scanned)},"recall_lsh":$lshRecS,"recall_multiprobe":$mpRecS,"sec":${r3(sec)}}""")
