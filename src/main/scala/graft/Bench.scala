@@ -78,6 +78,17 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // ObjectHashAggregate (collect_list/collect_set paths: the dedup
+      // rarity index, PQ LUT maps, …) falls back to SORT-based
+      // aggregation past 128 distinct groups per task — a default so
+      // conservative the fallback fired on EVERY task at sf0.1
+      // (numTasksFallBacked=32; measured r21: dedup_cand_pairs -37%
+      // CPU, dedup_source_overlap -17% with the fallback lifted).
+      // 8192 groups × doc-sized lists is a few MB per task at any
+      // scale; the fallback (graceful, per-task) still guards the
+      // pathological case. Parameterized for cluster tuning.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK", "8192"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Host load at bench start: a contaminated run (concurrent host load)

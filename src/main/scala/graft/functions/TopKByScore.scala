@@ -38,9 +38,19 @@ object TopKByScore {
 
   case class Entry(score: Double, id: Long)
 
-  /** `true` iff a ranks strictly ahead of b (score DESC, id ASC). */
-  private def ahead(a: Entry, b: Entry): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  /** `true` iff a ranks strictly ahead of b (score DESC, id ASC).
+    * NaN ranks as the GREATEST score — Spark's sort order for double
+    * DESC — so a NaN cosine (zero-norm vector: qnorm·nnorm = 0) keeps
+    * this heap bit-identical to the row_number window form it is
+    * spec-pinned against (ADVICE r20: plain `>` treated NaN as
+    * never-ahead, silently diverging on that edge). Total order:
+    * NaN first (ties on id), then finite/infinite scores DESC. */
+  private def ahead(a: Entry, b: Entry): Boolean = {
+    val an = a.score.isNaN
+    val bn = b.score.isNaN
+    if (an || bn) (an && !bn) || (an && bn && a.id < b.id)
+    else a.score > b.score || (a.score == b.score && a.id < b.id)
+  }
 
   def aggregator(k: Int): Aggregator[Entry, Seq[Entry], Seq[Entry]] =
     new Aggregator[Entry, Seq[Entry], Seq[Entry]] {

@@ -944,8 +944,9 @@ object Similarity extends QueryModule {
   private def trainSample(e: DataFrame): DataFrame =
     e.filter(col("vec_id") < TrainCap)
 
-  /** Per-iteration relations persisted INSIDE quantizer training (the
-    * xb slices, each Lloyd step's codebook). Batch queries rely on the
+  /** Relations persisted INSIDE quantizer training (the xb block
+    * slices; per-step codebooks are driver-local since r21 and no
+    * longer cached). Batch queries rely on the
     * harness clearCache-per-query lifecycle (see [[graft.operators.Dedup]]),
     * but a long-running serving job rebuilds indexes inside ONE session.
     * Each index build therefore collects its caches into its OWN
@@ -1007,12 +1008,13 @@ object Similarity extends QueryModule {
     * production pipeline runs exactly this as an offline DataFrame job
     * over a sample and ships the result as this tiny broadcast relation.
     *
-    * Scale: each Lloyd step is one corpus scan against the 128-row
+    * Scale: each Lloyd step is one corpus scan against the ≤512-row
     * broadcast codebook and one (block, cid)-keyed partial-agg shuffle
     * carrying 8 exact longs + a count per group; the corpus never
-    * reshuffles. Per-iteration codebooks persist() (harness-managed
-    * lifecycle, see [[Dedup]]) so the 2-4 downstream consumers reuse the
-    * 128-row result instead of replaying the training lineage. */
+    * reshuffles. The codebook itself lives on the driver between steps
+    * (the Spark-ML KMeans convention — a ladder-bounded ≤512-row
+    * collect per step, r21), so downstream consumers get a local
+    * broadcast relation instead of replaying training lineage. */
   private[graft] def pqCodebook(e: DataFrame, ncent: Int = NCENT): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
@@ -1021,34 +1023,63 @@ object Similarity extends QueryModule {
         struct(lit(b).as("b"), slice($"v", b * PqSub + 1, PqSub).as(name))): _*)).as("t"))
     val xb = persistTraining(slices(trainSample(e), "xb")
       .select($"vec_id", $"t.b".as("b"), $"t.xb".as("xb")))
-    var cb: DataFrame = slices(e.filter($"vec_id" < ncent), "cb")
-      .select($"t.b".as("b"), $"vec_id".as("cid"), $"t.cb".as("cb"))
+    // r21 (optimization): the codebook UPDATE is driver-local — the
+    // Spark-ML KMeans shape (assignment + per-cluster sums stay a
+    // distributed map-side-combined aggregation; the ≤ PqBlocks × ks ≤
+    // 512-row sums relation is collected and the means computed on the
+    // driver, bounded by the LADDER, never the corpus). Identical
+    // numbers by construction: the same floor(x·2³⁰) longs arrive via
+    // collect, and (S/2³⁰)/n is the same IEEE divide whichever JVM runs
+    // it ([[PqScale]]). What it buys: the former per-iteration
+    // broadcast-join + left-join + persist chain cost 3-4 sequential
+    // 1-task stages per Lloyd step at the bench SF (measured: the PQ
+    // family ran 23-55 one-task stages per query, wall 2-4× its task
+    // CPU); now each step is ONE distributed job. Seeds are the same
+    // first-ncent block slices, collected once (≤ 512 rows).
+    var cb: Array[(Int, Long, Array[Double])] =
+      slices(e.filter($"vec_id" < ncent), "cb")
+        .select($"t.b".as("b"), $"vec_id".as("cid"), $"t.cb".as("cb"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+        .sortBy(t => (t._1, t._2))
     for (_ <- 1 to PqLloydIters) {
+      val cbDf = broadcast(
+        s.createDataset(cb.toSeq.map(t => (t._1, t._2, t._3.toSeq)))
+          .toDF("b", "cid", "cb"))
       // xb rides inside the struct-min (cid is unique, so the comparison
       // never reaches it): the argmin and the member slice come out of
       // ONE map-side-combined aggregation — no corpus-sized re-join.
-      val assigned = xb.join(broadcast(cb), "b")
+      val sums = xb.join(cbDf, "b")
         .withColumn("sc",
           round(vectorDot($"cb", $"cb") - lit(2.0) * vectorDot($"xb", $"cb"), 6))
         .groupBy($"vec_id", $"b")
         .agg(min(struct($"sc".as("sc"), $"cid".as("c"), $"xb".as("xb"))).as("m"))
-        .select($"vec_id", $"b", $"m.c".as("cid"), $"m.xb".as("xb"))
-      val sums = assigned
+        .select($"b", $"m.c".as("cid"), $"m.xb".as("xb"))
         .groupBy($"b", $"cid")
         .agg(count(lit(1)).as("n"),
           (0 until PqSub).map(j =>
             sum(floor(element_at($"xb", j + 1) * PqScale).cast("long")).as(s"s$j")): _*)
-      cb = cb.select($"b", $"cid", $"cb".as("cb0"))
-        .join(broadcast(sums), Seq("b", "cid"), "left")
-        .withColumn("cb", when($"n".isNull, $"cb0").otherwise(
-          array((0 until PqSub).map(j =>
-            (col(s"s$j").cast("double") / PqScale) / $"n".cast("double")): _*)))
-        .select($"b", $"cid", $"cb")
-      cb = persistTraining(cb)
+        .collect()
+      val byKey = sums.map(r => (r.getInt(0), r.getLong(1)) -> r).toMap
+      cb = cb.map { case (b, cid, prev) =>
+        byKey.get((b, cid)) match {
+          case Some(r) =>
+            // the exact scaled-integer mean: (S/2³⁰)/n, the identical
+            // IEEE sequence the former in-plan expression evaluated
+            val n = r.getLong(2).toDouble
+            (b, cid, Array.tabulate(PqSub)(j =>
+              (r.getLong(3 + j).toDouble / PqScale) / n))
+          case None => (b, cid, prev) // empty cluster keeps its centroid
+        }
+      }
     }
-    broadcast(cb.groupBy($"cid")
-      .agg(flatten(transform(array_sort(collect_list(struct($"b".as("b"), $"cb".as("cb")))),
-        x => x("cb"))).as("cv")))
+    // final shape: (cid, cv) with the 8 block slices concatenated in
+    // block order — the former sort_array(collect_list(struct(b, cb)))
+    // flatten, now a local groupBy of ≤ 512 rows
+    val rows = cb.groupBy(_._2).toSeq.sortBy(_._1).map { case (cid, blocks) =>
+      (cid, blocks.sortBy(_._1).flatMap(_._3).toSeq)
+    }
+    broadcast(s.createDataset(rows).toDF("cid", "cv"))
   }
 
   /** Adds the 8 per-block scores `s_b = ‖c_b‖² − 2·(x_b · c_b)` to a
@@ -1307,34 +1338,72 @@ object Similarity extends QueryModule {
     // so the NaN branch is unreachable in either engine, rather than
     // relying on Spark's struct-min and DuckDB's NaN-sorts-greatest
     // agreeing on an edge they in fact order differently.
-    var cb: DataFrame = e.filter($"vec_id" < cells && $"norm" > 0)
-      .select($"vec_id".as("cid"), $"v".as("cv"), $"norm".as("cnorm"))
+    // r21 (optimization): driver-local codebook UPDATE, the
+    // [[pqCodebook]] treatment — assignment + per-cell sums stay the
+    // distributed map-side-combined aggregation over [[trainSample]];
+    // the ≤ cells ≤ 4,096-row sums relation (a LADDER bound, never the
+    // corpus) is collected and the means computed locally with the
+    // identical IEEE sequence ((S/2³⁰)/n per component, sequential
+    // dot + Math.sqrt for cnorm — [[graft.functions.VectorDot]] is the
+    // same left-to-right loop). Cuts 3-4 sequential 1-task stages per
+    // Lloyd step (the former broadcast-join + left-join + persist
+    // chain) down to ONE distributed job per step.
+    var cb: Array[(Long, Array[Double], Double)] =
+      e.filter($"vec_id" < cells && $"norm" > 0)
+        .select($"vec_id".as("cid"), $"v".as("cv"), $"norm".as("cnorm"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+        .sortBy(_._1)
+    def seqDot(a: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * a(i); i += 1 }
+      acc
+    }
     for (_ <- 1 to PqLloydIters) {
-      // training runs on the bounded [[trainSample]] via the slim
-      // [[semAssign]] argmin (at the semdedup trained rung each Lloyd
-      // assignment is TrainCap × 2,048 cells = 1.3×10⁸ score rows);
-      // encoding stays full-corpus
-      val assigned = semAssign(trainSample(e), broadcast(cb))
-        .join(trainSample(e).select($"vec_id", $"v"), "vec_id")
-        .select($"cid", $"v")
-      val sums = assigned.groupBy($"cid")
+      val cbDf = broadcast(
+        s.createDataset(cb.toSeq.map(t => (t._1, t._2.toSeq, t._3)))
+          .toDF("cid", "cv", "cnorm"))
+      // training runs on the bounded [[trainSample]] via the
+      // [[semAssign]] argmin with the member vector riding INSIDE the
+      // struct-min (the [[cellAssignment]] payload trick, r21 — the
+      // former slim-assign + re-join-for-v shape cost one extra join
+      // stage per Lloyd step; the riding payload is TrainCap-bounded:
+      // ≤65,536 × 512 B ≈ 32 MB through the map-side-combined shuffle
+      // at ANY corpus size). At the semdedup trained rung each Lloyd
+      // assignment is TrainCap × 2,048 cells = 1.3×10⁸ score rows;
+      // encoding stays full-corpus.
+      val sums = trainSample(e).join(cbDf)
+        .withColumn("ccos",
+          when($"norm" * $"cnorm" === 0, lit(Double.NaN)).otherwise(
+            round(vectorDot($"v", $"cv") / ($"norm" * $"cnorm"), 6)))
+        .withColumn("ccos", nanvl($"ccos", lit(1.0)))
+        .groupBy($"vec_id")
+        .agg(min(struct((lit(1.0) - $"ccos").as("d"), $"cid".as("c"),
+          $"v".as("v"))).as("m"))
+        .select($"m.c".as("cid"), $"m.v".as("v"))
+        .groupBy($"cid")
         .agg(count(lit(1)).as("n"),
           (0 until DIM).map(j =>
             sum(floor(element_at($"v", j + 1) * PqScale).cast("long")).as(s"s$j")): _*)
-      cb = cb.select($"cid", $"cv".as("cv0"))
-        .join(broadcast(sums), Seq("cid"), "left")
-        .withColumn("cvm", when($"n".isNull, $"cv0").otherwise(
-          array((0 until DIM).map(j =>
-            (col(s"s$j").cast("double") / PqScale) / $"n".cast("double")): _*)))
-        // a mean that cancels to exactly zero keeps the previous
-        // (nonzero by induction) centroid — see the seed-guard note
-        .withColumn("cv",
-          when(vectorDot($"cvm", $"cvm") === 0, $"cv0").otherwise($"cvm"))
-        .withColumn("cnorm", sqrt(vectorDot($"cv", $"cv")))
-        .select($"cid", $"cv", $"cnorm")
-      cb = persistTraining(cb)
+        .collect()
+      val byCid = sums.map(r => r.getLong(0) -> r).toMap
+      cb = cb.map { case (cid, prev, pnorm) =>
+        byCid.get(cid) match {
+          case Some(r) =>
+            val n = r.getLong(1).toDouble
+            val cvm = Array.tabulate(DIM)(j =>
+              (r.getLong(2 + j).toDouble / PqScale) / n)
+            // a mean that cancels to exactly zero keeps the previous
+            // (nonzero by induction) centroid — see the seed-guard note
+            val d = seqDot(cvm)
+            if (d == 0.0) (cid, prev, pnorm)
+            else (cid, cvm, math.sqrt(d))
+          case None => (cid, prev, pnorm) // empty cell keeps its centroid
+        }
+      }
     }
-    broadcast(cb)
+    broadcast(s.createDataset(cb.toSeq.map(t => (t._1, t._2.toSeq, t._3)))
+      .toDF("cid", "cv", "cnorm"))
   }
 
   /** IVF × PQ — the composed billion-vector serving architecture
@@ -1380,11 +1449,15 @@ object Similarity extends QueryModule {
     * ladder's cell count, so an index built before a rung change (or by
     * an older library version with a different ladder) is unreachable
     * rather than served with mismatched probe parameters. */
-  private def ivfPqIndexPath(dir: String, cells: Int): String = {
+  private def ivfPqIndexPath(dir: String, cells: Int, ks: Int): String = {
     val src = new java.io.File(dir, "embeddings.parquet")
     val safe = new java.io.File(dir).getCanonicalPath
       .replaceAll("[^A-Za-z0-9._-]", "_")
-    s"/tmp/graft_ivfpq_index/${safe}_${src.lastModified()}_${src.length()}_c$cells"
+    // ks is part of the tag (ADVICE r20, medium): the r20 PqKsSteps
+    // ladder changed the sub-codebook size at ≥131,072 vectors, and an
+    // index cached before a codebook-ladder change must be unreachable,
+    // not served with a mismatched cbk/codes pair.
+    s"/tmp/graft_ivfpq_index/${safe}_${src.lastModified()}_${src.length()}_c${cells}_k$ks"
   }
 
   private val IndexParts = Seq("cent", "assign", "cbk", "codes")
@@ -1394,15 +1467,29 @@ object Similarity extends QueryModule {
 
   /** Train both quantizers over the corpus and write the four index
     * relations under [[ivfPqIndexPath]]. Always retrains (the build
-    * query MEASURES training; staleness is handled by the path tag). */
+    * query MEASURES training; staleness is handled by the path tag).
+    * The two quantizer chains are independent (coarse: cent→assign;
+    * PQ: cbk→codes), so their writes run as two CONCURRENT driver
+    * threads (guide §2.6 — actions are only sequential because the
+    * driver calls them sequentially): the tail of one chain's job
+    * back-fills cores the other frees. Measured at sf0.1: the four
+    * serial writes left the 4-job tail fully sequential. */
   private def writeIvfPqIndex(s: SparkSession, dir: String): String = {
     val e = vecs(s, dir)
     val idx = ivfPqIndex(e)
-    val p = ivfPqIndexPath(dir, idx.cells)
-    idx.cent.write.mode("overwrite").parquet(s"$p/cent")
-    idx.assign.write.mode("overwrite").parquet(s"$p/assign")
-    idx.cbk.write.mode("overwrite").parquet(s"$p/cbk")
-    idx.codes.write.mode("overwrite").parquet(s"$p/codes")
+    val p = ivfPqIndexPath(dir, idx.cells, idx.ks)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val coarse = Future {
+      idx.cent.write.mode("overwrite").parquet(s"$p/cent")
+      idx.assign.write.mode("overwrite").parquet(s"$p/assign")
+    }
+    val pq = Future {
+      idx.cbk.write.mode("overwrite").parquet(s"$p/cbk")
+      idx.codes.write.mode("overwrite").parquet(s"$p/codes")
+    }
+    Await.result(coarse, scala.concurrent.duration.Duration.Inf)
+    Await.result(pq, scala.concurrent.duration.Duration.Inf)
     p
   }
 
@@ -1436,7 +1523,7 @@ object Similarity extends QueryModule {
     // count its rung was built for
     val n = e.count()
     val (cells, nprobe) = ivfPqParams(n)
-    val p = ivfPqIndexPath(dir, cells)
+    val p = ivfPqIndexPath(dir, cells, pqKsFor(n))
     if (!ivfPqIndexReady(p)) writeIvfPqIndex(s, dir)
     val cent = broadcast(s.read.parquet(s"$p/cent"))
     val assign = s.read.parquet(s"$p/assign")
@@ -1459,7 +1546,7 @@ object Similarity extends QueryModule {
     * were trained for. */
   private[graft] final case class IvfPqRelations(
     cent: DataFrame, assign: DataFrame, cbk: DataFrame, codes: DataFrame,
-    cells: Int, nprobe: Int, shortlist: Int)
+    cells: Int, nprobe: Int, shortlist: Int, ks: Int)
 
   private[graft] def ivfPqIndex(e: DataFrame): IvfPqRelations = {
     // count() is one metadata-cheap job on the persisted vecs relation;
@@ -1467,14 +1554,30 @@ object Similarity extends QueryModule {
     // grows (see [[IvfPqSteps]])
     val n = e.count()
     val (cells, nprobe) = ivfPqParams(n)
-    val cent = ivfPqCentroids(e, cells)
+    // The two quantizer trainings are independent and each now runs
+    // driver-blocking Lloyd collects, so they train CONCURRENTLY
+    // (guide §2.6 — FIFO scheduling back-fills one chain's job tail
+    // with the other's). The training-cache scope is a thread-local
+    // DynamicVariable; re-install the caller's scope inside each future
+    // so a scoped index build (PqIndex) still owns its caches.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val scope = currentTrainingScope.value
+    val centF = Future {
+      currentTrainingScope.withValue(scope)(ivfPqCentroids(e, cells))
+    }
+    val cbkF = Future {
+      currentTrainingScope.withValue(scope)(pqCodebook(e, pqKsFor(n)))
+    }
+    val cent = Await.result(centF, Duration.Inf)
+    val cbk = Await.result(cbkF, Duration.Inf)
     val assign = cellAssignment(e, cent)
-    val cbk = pqCodebook(e, pqKsFor(n))
     val codes = pqAssign(e, cbk).select(
       col("vec_id").as("neighbor_id") +:
         (0 until PqBlocks).map(b => col(s"m$b.c").as(s"code$b")): _*)
     IvfPqRelations(cent, assign, cbk, codes, cells, nprobe,
-      ivfPqShortlistFor(n))
+      ivfPqShortlistFor(n), pqKsFor(n))
   }
 
   /** Dial-sweep serve ([[graft.tools.SimilarityScaleBench]] only): serve

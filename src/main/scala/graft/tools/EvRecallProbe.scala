@@ -37,9 +37,17 @@ import org.apache.spark.sql.functions._
   *     corpus grows like K independent copies of the same problem, and
   *     candidate volume reflects realistic far-pair collision rates.
   *
-  * GROUND TRUTH is planted and per-pair-exact: the base corpus's brute
-  * top-20 pairs ([[EventOps.tsSimilarityBrute]], distances 276-330 at
-  * sf0.1) recur once per replica at their exact base distances. Each of
+  * GROUND TRUTH is planted and per-pair-exact UP TO PROFILE ROUNDING
+  * (ADVICE r20, low): the integer delta is added inside profileVecs'
+  * round(sum(value), 2), so FP accumulation order plus half-way
+  * rounding of S+delta vs S can perturb a coordinate by at most 0.01 —
+  * within-replica pair distances match the base distances to that
+  * epsilon rather than bit-exactly, and top-20 membership could in
+  * principle shift at an exact distance tie (none observed at the
+  * measured rungs; base top-20 distances are separated by >> 0.01).
+  * The base corpus's brute top-20 pairs
+  * ([[EventOps.tsSimilarityBrute]], distances 276-330 at
+  * sf0.1) recur once per replica at those base distances. Each of
   * the K copies is an independent amplification trial of the rung —
   * recall over the K·20 planted pairs measures
   * 1-(1-p1^pk)^pt at the top-20 distance scale directly, with ~K trials

@@ -422,12 +422,20 @@ object SimilarityScaleBench {
           spark.catalog.clearCache()
           s
         }
+        // SPARK_GRAFT_SIM_SKIP_MP gates the ranked block's all-flips
+        // consumers too (ADVICE r20, low): recall_allflips forces the
+        // lazy mpRec and the sec_allflips arm times the all-flips serve
+        // — both pay the pre-distinct multiprobe shuffle the flag was
+        // added to avoid at the 4M rung. With the flag set, only the
+        // ranked arm runs; the all-flips fields emit null.
+        val skipMpRanked = sys.env.contains("SPARK_GRAFT_SIM_SKIP_MP")
         val samples = (1 to 3).map { _ =>
           (timed(Similarity.topkLshMultiprobeRanked(spark, dir).count()),
-           timed(Similarity.topkLshMultiprobe(spark, dir).count()))
+           if (skipMpRanked) -1.0
+           else timed(Similarity.topkLshMultiprobe(spark, dir).count()))
         }
         val rsec = samples.map(_._1).min
-        val msec = samples.map(_._2).min
+        val msecS = if (skipMpRanked) "null" else r3(samples.map(_._2).min)
         // NO_RECALL gates this consumer too (ADVICE r19): the ranked
         // block previously forced the truth set via bf/inTruth even on a
         // wall-only probe.
@@ -436,8 +444,8 @@ object SimilarityScaleBench {
           spark.catalog.clearCache()
           r3(rkNbrs.filter(inTruth).intersect(bf).size.toDouble / bf.size)
         }
-        val mpRecRankedS = if (skipRecall) "null" else r3(mpRec)
-        println(s"""{"bench":"ann_ranked_scale","k":$k,"vectors":$nVec,"tables":$pt,"bits":$pb,"probes_per_query":${pt * (1 + Similarity.LshRankedProbeMult)},"allflips_probes":${pt * (1 + pb)},"recall":$rkRecS,"recall_allflips":$mpRecRankedS,"sec":${r3(rsec)},"sec_allflips":${r3(msec)}}""")
+        val mpRecRankedS = if (skipRecall || skipMpRanked) "null" else r3(mpRec)
+        println(s"""{"bench":"ann_ranked_scale","k":$k,"vectors":$nVec,"tables":$pt,"bits":$pb,"probes_per_query":${pt * (1 + Similarity.LshRankedProbeMult)},"allflips_probes":${pt * (1 + pb)},"recall":$rkRecS,"recall_allflips":$mpRecRankedS,"sec":${r3(rsec)},"sec_allflips":$msecS}""")
       }
 
       // Ranked probe-budget calibration sweep (r15): recall/wall at

@@ -46,6 +46,31 @@ class TopKByScoreSpec extends AnyFunSuite {
     assert(agg.size == 40 * 5)
   }
 
+  test("NaN scores rank greatest, matching the window's double DESC order (ADVICE r20)") {
+    import spark.implicits._
+    // a NaN cosine arises from a zero-norm vector (qnorm*nnorm = 0);
+    // Spark sorts NaN as the LARGEST double, so under score DESC the
+    // NaN rows must occupy the top ranks (ties on id ASC)
+    val rows = Seq(
+      (1L, 10L, 0.9), (1L, 11L, Double.NaN), (1L, 12L, 0.7),
+      (1L, 13L, Double.NaN), (1L, 14L, 0.5), (1L, 15L, 0.3), (1L, 16L, 0.1)
+    ).toDF("query_id", "neighbor_id", "score")
+
+    val top5 = TopKByScore.topK(5)
+    val agg = rows.groupBy($"query_id")
+      .agg(top5($"score", $"neighbor_id").as("top"))
+      .select($"query_id", posexplode($"top.id"))
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq.sortBy(_._1).map(_._2)
+
+    val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"neighbor_id".asc)
+    val win = rows.withColumn("rnk", row_number().over(w)).where($"rnk" <= 5)
+      .orderBy($"rnk").select($"neighbor_id")
+      .collect().map(_.getLong(0)).toSeq
+
+    assert(agg == win)
+    assert(agg == Seq(11L, 13L, 10L, 12L, 14L)) // NaN first (id ties), then DESC
+  }
+
   test("groups smaller than k return all members, best first") {
     import spark.implicits._
     val rows = Seq((1L, 10L, 3.0), (1L, 11L, 7.0), (2L, 20L, 1.0))
