@@ -849,24 +849,34 @@ object Dedup extends QueryModule {
     * cross join of the TINY aggregated size relation with itself, S²
     * rows — never the corpus).
     *
-    * Scale: the unit of work is the DISTINCT (source, shingle) relation
-    * — one shuffle — and the self-join on shingle has BOUNDED fan-out:
-    * a shingle present in k of the S sources yields C(k,2) ≤ C(S,2)
-    * pair rows (S is tiny — 20 here), so no shingle can explode the
-    * join regardless of how many documents contain it. Set sizes ride
-    * in as a broadcast; integer arithmetic until the one Jaccard
-    * division. */
+    * Scale: ONE corpus-sized shuffle. The exploded (source, shingle)
+    * rows aggregate straight to `sh → sorted set of sources` (map-side
+    * partial collect_set dedups before the exchange, so the shuffle
+    * carries ≤ one row per distinct shingle per map task — strictly
+    * less than the old distinct() + self-join shape, which re-shuffled
+    * the distinct relation twice more to key the join on sh). Pair
+    * expansion is then a per-row array transform with BOUNDED fan-out:
+    * a shingle held by k of the S sources yields C(k,2) ≤ C(S,2) pair
+    * rows (S is tiny — 20 here), and both the pair counts and the
+    * per-source set sizes reduce through partial aggregation to
+    * S²-sized relations. Set sizes ride in as a broadcast; integer
+    * arithmetic until the one Jaccard division. */
   def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val srcSh = Tables.documents(s, dir)
+    val bySh = Tables.documents(s, dir)
       .withColumn("shingles", graft.functions.ShingleArray.shingleArray($"text"))
       .select($"source", explode($"shingles").as("sh"))
-      .distinct()
+      .groupBy($"sh")
+      .agg(sort_array(collect_set($"source")).as("srcs"))
       .persist()
-    val sizes = srcSh.groupBy($"source").agg(count(lit(1)).as("n_sh"))
-    val overlaps = srcSh.as("a").join(srcSh.as("b"), Seq("sh"))
-      .where($"a.source" < $"b.source")
-      .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
+    val sizes = bySh.select(explode($"srcs").as("source"))
+      .groupBy($"source").agg(count(lit(1)).as("n_sh"))
+    val overlaps = bySh
+      .where(size($"srcs") >= 2)
+      .select(explode(flatten(transform($"srcs", (a, i) =>
+        transform(slice($"srcs", i + lit(2), size($"srcs")), b =>
+          struct(a.as("src_a"), b.as("src_b")))))).as("p"))
+      .groupBy($"p.src_a".as("src_a"), $"p.src_b".as("src_b"))
       .agg(count(lit(1)).as("n_common"))
     val skeleton = sizes.select($"source".as("src_a"), $"n_sh".as("n_a"))
       .crossJoin(sizes.select($"source".as("src_b"), $"n_sh".as("n_b")))
