@@ -89,6 +89,13 @@ object Bench {
       // pathological case. Parameterized for cluster tuning.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK", "8192"))
+      // spark.sql.join.preferSortMergeJoin deliberately stays at its
+      // default: an r21 sequential A/B showed apparent 25-46% wins that
+      // a null test (conf set to its own default) reproduced — pure JIT
+      // order bias. The honest interleaved A/B (tools/Scratch, r21)
+      // measured SMJ vs shuffled-hash within +-10% noise at sf0.1, with
+      // only rel_salted_join's plan changing at all. See
+      // OPTIMIZATION_r21.md "O4 (negative result)".
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Host load at bench start: a contaminated run (concurrent host load)

@@ -3,8 +3,15 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Throwaway measurement probes for the optimization round (r21):
-  * A/B a single SQL conf over a set of registered queries (noop sink,
-  * warm run then 2 timed, min reported). */
+  * A/B a single SQL conf over a set of registered queries (noop sink).
+  *
+  * INTERLEAVED since the r21 order-bias discovery: the original
+  * base×3-then-alt×3 shape let the JVM's C2 JIT warm across the base
+  * reps, so the alt arm inherited a hot JIT and "won" even in a
+  * null test (conf set to its default: dedup_cand_pairs task CPU
+  * 9.31 → 4.61 s between arms with IDENTICAL config). Reps now run
+  * as alternating base/alt pairs after one discarded warm rep of
+  * each, so both arms share the same JIT temperature; min of 3. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val names = args(0).split(",").toSeq
@@ -25,25 +32,28 @@ object Scratch {
         if (t.taskMetrics != null) cpuNs.addAndGet(t.taskMetrics.executorCpuTime)
     })
 
-    def run(name: String): (Double, Double) = {
+    def once(name: String): (Double, Double) = {
       val fn = graft.SparkEntry.queries(name)
-      val ts = (1 to 3).map { _ =>
-        Thread.sleep(200); cpuNs.set(0L)
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        val t = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        Thread.sleep(200)
-        (t, cpuNs.get / 1e9)
-      }
-      val best = ts.drop(1).minBy(_._1) // skip cold sample
-      (best._1, ts.drop(1).map(_._2).min)
+      Thread.sleep(200); cpuNs.set(0L)
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      Thread.sleep(200)
+      (t, cpuNs.get / 1e9)
     }
+    def setBase(): Unit = if (confKey != null) spark.conf.unset(confKey)
+    def setAlt(): Unit = if (confKey != null) spark.conf.set(confKey, confVal)
     for (name <- names) {
-      if (confKey != null) spark.conf.unset(confKey)
-      val (bw, bc) = run(name)
-      if (confKey != null) spark.conf.set(confKey, confVal)
-      val (aw, ac) = if (confKey != null) run(name) else (-1.0, -1.0)
+      setBase(); once(name) // discarded warm rep, base
+      if (confKey != null) { setAlt(); once(name) } // discarded warm rep, alt
+      val pairs = (1 to 3).map { _ =>
+        setBase(); val b = once(name)
+        val a = if (confKey != null) { setAlt(); once(name) } else ((-1.0, -1.0))
+        (b, a)
+      }
+      val (bw, bc) = (pairs.map(_._1._1).min, pairs.map(_._1._2).min)
+      val (aw, ac) = (pairs.map(_._2._1).min, pairs.map(_._2._2).min)
       println(f"AB $name base=$bw%.3f cpu=$bc%.2f alt=$aw%.3f altcpu=$ac%.2f")
     }
     spark.stop()
