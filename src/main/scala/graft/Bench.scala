@@ -78,6 +78,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // shuffle/spill files on the fastest local storage — see
+      // [[graft.Sessions.localDir]] (tmpfs here; NVMe on a cluster)
+      .config("spark.local.dir", Sessions.localDir)
       // ObjectHashAggregate (collect_list/collect_set paths: the dedup
       // rarity index, PQ LUT maps, …) falls back to SORT-based
       // aggregation past 128 distinct groups per task — a default so

@@ -13,6 +13,9 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // shuffle/spill files on the fastest local storage — see
+      // [[graft.Sessions.localDir]] (tmpfs here; NVMe on a cluster)
+      .config("spark.local.dir", Sessions.localDir)
       // see the Bench scaladoc: lift the 128-group ObjectHashAggregate
       // sort fallback that fired on every collect_list task at sf0.1
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",

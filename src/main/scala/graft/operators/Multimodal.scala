@@ -112,7 +112,7 @@ object Multimodal extends QueryModule {
     * column exactly as it would from a parquet blob column. */
   def pngDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pngs = Tables.documents(s, dir)
+    val pngs = Tables.fanOutScan(Tables.documents(s, dir))
       .withColumn("payload", encode($"text", "UTF-8"))
       .select($"doc_id", $"payload")
       .as[(Long, Array[Byte])]

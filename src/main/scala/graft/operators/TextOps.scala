@@ -77,7 +77,7 @@ object TextOps extends QueryModule {
     * (en ≥ fr ≥ de on ties). */
   def langId(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
+    Tables.fanOutScan(Tables.documents(s, dir))
       .withColumn("en_hits", hits(enMarkers))
       .withColumn("fr_hits", hits(frMarkers))
       .withColumn("de_hits", hits(deMarkers))
@@ -131,7 +131,7 @@ object TextOps extends QueryModule {
     * family, extracted so the three operators (and their oracles) cannot
     * silently diverge on tokenization. */
   private def tokenized(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.fanOutScan(Tables.documents(s, dir))
       .withColumn("toks", tok)
       .withColumn("n_tokens", size(col("toks")))
       .where(col("n_tokens") >= 3)
@@ -366,7 +366,7 @@ object TextOps extends QueryModule {
     // without the filter Spark keeps the row with NULL n_tokens/sum_c2 while
     // the oracle's inner JOIN drops it (unnest(NULL) yields no rows) — a
     // row-count mismatch the moment the corpus contains a NULL document.
-    Tables.documents(s, dir)
+    Tables.fanOutScan(Tables.documents(s, dir))
       .where($"text".isNotNull)
       .withColumn("toks", tok)
       .withColumn("n_tokens", size($"toks").cast("long"))

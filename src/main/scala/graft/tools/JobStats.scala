@@ -21,6 +21,9 @@ object JobStats {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // shuffle/spill files on the fastest local storage — see
+      // [[graft.Sessions.localDir]] (tmpfs here; NVMe on a cluster)
+      .config("spark.local.dir", graft.Sessions.localDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val jobs = new AtomicInteger(0)

@@ -20,6 +20,9 @@ object QueryBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // shuffle/spill files on the fastest local storage — see
+      // [[graft.Sessions.localDir]] (tmpfs here; NVMe on a cluster)
+      .config("spark.local.dir", graft.Sessions.localDir)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK", "8192"))
       .getOrCreate()

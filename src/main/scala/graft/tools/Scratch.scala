@@ -24,6 +24,12 @@ object Scratch {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // shuffle/spill files on the fastest local storage — see
+      // [[graft.Sessions.localDir]] (tmpfs here; NVMe on a cluster)
+      .config("spark.local.dir", graft.Sessions.localDir)
+      // match Bench's session confs so the A/B measures what the bench runs
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK", "8192"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -47,10 +53,15 @@ object Scratch {
     for (name <- names) {
       setBase(); once(name) // discarded warm rep, base
       if (confKey != null) { setAlt(); once(name) } // discarded warm rep, alt
-      val pairs = (1 to 3).map { _ =>
-        setBase(); val b = once(name)
-        val a = if (confKey != null) { setAlt(); once(name) } else ((-1.0, -1.0))
-        (b, a)
+      // ABBA ordering (ADVICE r21, low): alternate which arm runs first
+      // per pair so neither arm systematically sits later in JIT warm-up.
+      val pairs = (1 to 3).map { i =>
+        if (confKey == null) (once(name), (-1.0, -1.0))
+        else if (i % 2 == 1) {
+          setBase(); val b = once(name); setAlt(); val a = once(name); (b, a)
+        } else {
+          setAlt(); val a = once(name); setBase(); val b = once(name); (b, a)
+        }
       }
       val (bw, bc) = (pairs.map(_._1._1).min, pairs.map(_._1._2).min)
       val (aw, ac) = (pairs.map(_._2._1).min, pairs.map(_._2._2).min)
