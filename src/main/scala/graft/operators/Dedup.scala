@@ -71,6 +71,16 @@ object Dedup extends QueryModule {
     * shingle UDF runs ONCE per query instead of once per branch. */
   private def explodedShingles(s: SparkSession, dir: String, key: String): DataFrame = {
     import s.implicits._
+    // r22 audit (OPTIMIZATION_r22.md): the df branch of [[rarityDocsOf]]
+    // does NOT reuse this pinned exchange — its pushed isnotnull(sh)
+    // filter de-canonicalizes the subtree, so the scan + shingle UDF +
+    // repartition run twice per rarityDocs build (dedup_incremental
+    // after-plan, nodes 3-8 vs 9-13). Persisting this exploded relation
+    // to deduplicate the pass was MEASURED AND REJECTED: interleaved A/B
+    // put the cache arm 5-15 % slower on every consumer but minhash
+    // (cand_pairs 1.84 → 1.92 s, incremental 1.48 → 1.68 s,
+    // span_coverage 0.93 → 1.07 s) — materializing the exploded corpus
+    // into the block store costs more than the saved single-task scan.
     shingled(s, dir)
       .select($"doc_id", $"n_sh", explode($"shingles").as("sh"))
       .repartition(col(key))
@@ -863,6 +873,17 @@ object Dedup extends QueryModule {
     * arithmetic until the one Jaccard division. */
   def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // persist()ed because THREE consumers (sizes, overlaps, and the
+    // skeleton's second sizes branch) re-key expression ids, which
+    // defeats ReuseExchange — measured r22: without the cache the plan
+    // triplicates the scan + shingle UDF + corpus agg subtree (no
+    // ReusedExchange node appears). Lifecycle (ADVICE r21, low): like
+    // [[rarityDocs]], the cache is released by the harness's
+    // clearCache-per-query (Bench/Verify/QueryBench); a long-running
+    // session embedding this query should wrap it in its own
+    // release scope the way [[graft.operators.Similarity]] index builds
+    // do. The pinned relation is one row per distinct shingle — corpus-
+    // vocabulary-sized, not corpus-sized.
     val bySh = Tables.documents(s, dir)
       .withColumn("shingles", graft.functions.ShingleArray.shingleArray($"text"))
       .select($"source", explode($"shingles").as("sh"))

@@ -1023,6 +1023,13 @@ object Similarity extends QueryModule {
         struct(lit(b).as("b"), slice($"v", b * PqSub + 1, PqSub).as(name))): _*)).as("t"))
     val xb = persistTraining(slices(trainSample(e), "xb")
       .select($"vec_id", $"t.b".as("b"), $"t.xb".as("xb")))
+    // r22 (guide §2.6): materialize the xb training cache CONCURRENTLY
+    // with the seeds collect below — the two actions are independent
+    // (seeds read the first ncent corpus rows; xb slices the TrainCap
+    // sample), and the former lazy materialization sat serially inside
+    // the first Lloyd step's job instead.
+    val xbWarm = scala.concurrent.Future(xb.count())(
+      scala.concurrent.ExecutionContext.Implicits.global)
     // r21 (optimization): the codebook UPDATE is driver-local — the
     // Spark-ML KMeans shape (assignment + per-cluster sums stay a
     // distributed map-side-combined aggregation; the ≤ PqBlocks × ks ≤
@@ -1042,6 +1049,8 @@ object Similarity extends QueryModule {
         .collect()
         .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
         .sortBy(t => (t._1, t._2))
+    scala.concurrent.Await.result(xbWarm,
+      scala.concurrent.duration.Duration.Inf)
     for (_ <- 1 to PqLloydIters) {
       val cbDf = broadcast(
         s.createDataset(cb.toSeq.map(t => (t._1, t._2, t._3.toSeq)))
@@ -1126,12 +1135,19 @@ object Similarity extends QueryModule {
     * struct-min combines map-side, so only one row per vector reaches
     * the shuffle, and ties break to the lowest cid in both engines.
     * Takes the codebook as a parameter so callers that also need it for
-    * the query LUT ([[topkPqAdc]], [[topkIvfPq]]) train it ONCE. */
-  private def pqAssign(e: DataFrame, cbk: DataFrame): DataFrame = {
+    * the query LUT ([[topkPqAdc]], [[topkIvfPq]]) train it ONCE.
+    *
+    * `extra` aggregates ride in the SAME groupBy (r22): a per-vector
+    * column constant within the group (e.g. ‖v‖², identical on every
+    * crossJoin copy of the row) comes out of the one assignment
+    * aggregation via `min`, instead of a corpus-keyed re-join with the
+    * vectors relation afterwards — one corpus shuffle instead of two. */
+  private def pqAssign(e: DataFrame, cbk: DataFrame,
+                       extra: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     val scored = pqScores(e.crossJoin(cbk), "v")
     val aggs = (0 until PqBlocks).map { b =>
       min(struct(col(s"s$b").as("sc"), col("cid").as("c"))).as(s"m$b")
-    }
+    } ++ extra
     scored.groupBy(col("vec_id")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -1152,15 +1168,23 @@ object Similarity extends QueryModule {
     import s.implicits._
     val e = vecs(s, dir)
     val codeCols = (0 until PqBlocks).map(b => col(s"m$b.c").as(s"code$b"))
-    val err = (0 until PqBlocks).foldLeft(vectorDot($"v", $"v")) {
+    // ‖v‖² rides through the assignment aggregation itself (r22): it is
+    // computed once per corpus row BELOW the codebook crossJoin (constant
+    // across a vector's ks copies, so min() returns the identical IEEE
+    // double the former post-join projection evaluated) — which deletes
+    // the corpus-keyed re-join with e that existed only to fetch v back.
+    // Plan diff: BroadcastHashJoin + BroadcastExchange over the corpus
+    // gone; one corpus-sized aggregation shuffle remains.
+    val err = (0 until PqBlocks).foldLeft(col("vv")) {
       (acc, b) => acc + col(s"m$b.sc")
     }
     // + 0.0 canonicalizes the zero sign: exactly-reconstructed vectors
     // (a vector that IS a centroid) can round to -0.0 in one engine and
     // +0.0 in the other — value-equal but byte-different, which fails
     // the driver's row hash.
-    pqAssign(e, pqCodebook(e, pqKsFor(e.count())))
-      .join(e.select($"vec_id", $"v"), "vec_id")
+    pqAssign(e.withColumn("vv", vectorDot($"v", $"v")),
+        pqCodebook(e, pqKsFor(e.count())),
+        extra = Seq(min($"vv").as("vv")))
       .select($"vec_id" +: codeCols :+ (round(err, 6) + lit(0.0)).as("err_sq"): _*)
       .orderBy($"vec_id")
   }
@@ -1480,16 +1504,17 @@ object Similarity extends QueryModule {
     val p = ivfPqIndexPath(dir, idx.cells, idx.ks)
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
-    val coarse = Future {
-      idx.cent.write.mode("overwrite").parquet(s"$p/cent")
-      idx.assign.write.mode("overwrite").parquet(s"$p/assign")
-    }
-    val pq = Future {
-      idx.cbk.write.mode("overwrite").parquet(s"$p/cbk")
-      idx.codes.write.mode("overwrite").parquet(s"$p/codes")
-    }
-    Await.result(coarse, scala.concurrent.duration.Duration.Inf)
-    Await.result(pq, scala.concurrent.duration.Duration.Inf)
+    // All four writes are independent jobs once training finished (cent
+    // and cbk are driver-local broadcast relations; assign and codes are
+    // separate corpus scans), so they overlap as FOUR concurrent actions
+    // (r22; guide §2.6) — the two tiny metadata writes no longer sit
+    // serially ahead of the corpus-sized assign/codes scans.
+    val writes = Seq(
+      Future { idx.cent.write.mode("overwrite").parquet(s"$p/cent") },
+      Future { idx.assign.write.mode("overwrite").parquet(s"$p/assign") },
+      Future { idx.cbk.write.mode("overwrite").parquet(s"$p/cbk") },
+      Future { idx.codes.write.mode("overwrite").parquet(s"$p/codes") })
+    writes.foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
     p
   }
 

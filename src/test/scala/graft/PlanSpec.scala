@@ -325,6 +325,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("pq_codes: err_sq rides the assignment agg — no corpus re-join (r22)") {
+    val p = formatted("sim_pq_codes")
+    // the codebook crossJoin (BroadcastNestedLoopJoin over the <=512-row
+    // local codebook) is the only join left; the former corpus-keyed
+    // BroadcastHashJoin that re-fetched v for the error column is gone
+    assert(!p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("scan fan-out: per-row text queries re-spread the 1-row-group scan (r22)") {
+    val p = formatted("text_repetition")
+    assert(p.contains("RoundRobinPartitioning"), p)
+    // and it is toggleable off (the A/B affordance the win was measured with)
+    spark.conf.set("graft.scan.fanout", "false")
+    try {
+      val off = formatted("text_repetition")
+      assert(!off.contains("RoundRobinPartitioning"), off)
+    } finally spark.conf.unset("graft.scan.fanout")
+  }
+
   test("block pruning reads only (l_orderkey, l_shipdate) and partial-aggregates") {
     val f = formatted("sketch_block_pruning")
     val readSchema = f.linesIterator.find(_.contains("ReadSchema")).get
