@@ -817,7 +817,25 @@ object Dedup extends QueryModule {
     val s = docs.sparkSession
     import s.implicits._
     val byPos = Window.partitionBy($"doc_id").orderBy($"pos")
-    docs
+    // r22 (guide §2.5): pre-spread by doc_id to the session's parallelism
+    // when the source cannot supply it (the driver fixtures are 1-row-
+    // group scans). The window below requires hash(doc_id) clustering
+    // anyway, so this IS its exchange — just moved AHEAD of the
+    // posexplode (it ships one text row per doc instead of one row per
+    // word) and pinned at defaultParallelism so AQE's byte-based
+    // coalescing cannot serialize the md5-per-4-gram window compute
+    // (measured before: the whole query ran 7 tasks with 1.6 s of
+    // effectively single-task CPU; after: the window runs full-width —
+    // interleaved A/B in OPTIMIZATION_r22.md). No-op whenever the source
+    // already splits to >= the session's parallelism.
+    val p = s.sparkContext.defaultParallelism
+    val fanoutOn = s.conf.get("graft.scan.fanout",
+      sys.env.getOrElse("SPARK_GRAFT_FANOUT", "true")) != "false"
+    val spread =
+      if (fanoutOn && !docs.isStreaming && docs.rdd.getNumPartitions < p)
+        docs.repartition(p, $"doc_id")
+      else docs
+    spread
       .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
       .withColumn("g4", concat_ws(" ",
         lag($"w", 3).over(byPos), lag($"w", 2).over(byPos),

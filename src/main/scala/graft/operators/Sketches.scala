@@ -293,14 +293,21 @@ object Sketches extends QueryModule {
           shiftleft(shiftright($"vb", i).bitwiseAND(lit(1)), 2 * i))
         .reduce(_ + _))
       .persist()
-    def blockStats(blockCol: org.apache.spark.sql.Column, layout: String) =
-      bucketed.groupBy(blockCol.as("block"))
-        .agg(min($"ub").as("minu"), max($"ub").as("maxu"),
-             min($"vb").as("minv"), max($"vb").as("maxv"),
-             count(lit(1)).as("n_rows"))
-        .withColumn("layout", lit(layout))
-    val stats = blockStats($"ub", "linear")
-      .unionByName(blockStats(expr(s"z DIV $ZCellsPerBlock"), "zorder"))
+    // r22 (guide §2.3/§2.4): both layouts' block stats come out of ONE
+    // pass and ONE (block, layout)-keyed partial-agg shuffle — each row
+    // explodes into its two (layout, block) assignments — where the old
+    // union of two groupBys scanned the cached relation twice and
+    // shuffled twice. Row set identical (same groups, same aggregates).
+    val stats = bucketed
+      .select(explode(array(
+          struct(lit("linear").as("layout"), $"ub".cast("bigint").as("block")),
+          struct(lit("zorder").as("layout"),
+            expr(s"z DIV $ZCellsPerBlock").cast("bigint").as("block")))).as("lb"),
+        $"ub", $"vb")
+      .groupBy($"lb.block".as("block"), $"lb.layout".as("layout"))
+      .agg(min($"ub").as("minu"), max($"ub").as("maxu"),
+           min($"vb").as("minv"), max($"vb").as("maxv"),
+           count(lit(1)).as("n_rows"))
     val probes = broadcast(
       ZProbes.toDF("probe", "ulo", "uhi", "vlo", "vhi"))
     val hit = $"maxu" >= $"ulo" && $"minu" <= $"uhi" &&
