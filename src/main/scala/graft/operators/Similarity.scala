@@ -1452,7 +1452,7 @@ object Similarity extends QueryModule {
   def topkIvfPq(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
     val idx = ivfPqIndex(e)
-    ivfPqServe(queriesOf(e), e, idx.cent, idx.assign, idx.cbk, idx.codes,
+    ivfPqServe(queriesOf(e), e, idx.cent, idx.postings, idx.cbk,
       nprobe = idx.nprobe, excludeSelf = true, shortlist = idx.shortlist)
   }
 
@@ -1460,9 +1460,10 @@ object Similarity extends QueryModule {
   // production the quantizers train ONCE offline and serving reads the
   // stored index tables; [[topkIvfPq]] measures the composed
   // train-inside-the-query form, while the pair below benches the two
-  // halves separately: `sim_ivfpq_build` materializes the four index
-  // relations (coarse centroids, cell assignment = the corpus
-  // partitioning at rest, PQ codebook, PQ codes) and `sim_topk_ivfpq_serve`
+  // halves separately: `sim_ivfpq_build` materializes the three index
+  // relations (coarse centroids, PQ codebook, and the inverted-list
+  // postings — cell assignment WITH the member codes, the corpus
+  // partitioning at rest) and `sim_topk_ivfpq_serve`
   // answers the standard query set from the materialized index without
   // retraining — the batch twin of [[graft.streaming.PqServeStream]].
 
@@ -1484,7 +1485,7 @@ object Similarity extends QueryModule {
     s"/tmp/graft_ivfpq_index/${safe}_${src.lastModified()}_${src.length()}_c${cells}_k$ks"
   }
 
-  private val IndexParts = Seq("cent", "assign", "cbk", "codes")
+  private val IndexParts = Seq("cent", "cbk", "postings")
 
   private def ivfPqIndexReady(path: String): Boolean =
     IndexParts.forall(p => new java.io.File(s"$path/$p/_SUCCESS").exists())
@@ -1511,9 +1512,8 @@ object Similarity extends QueryModule {
     // serially ahead of the corpus-sized assign/codes scans.
     val writes = Seq(
       Future { idx.cent.write.mode("overwrite").parquet(s"$p/cent") },
-      Future { idx.assign.write.mode("overwrite").parquet(s"$p/assign") },
       Future { idx.cbk.write.mode("overwrite").parquet(s"$p/cbk") },
-      Future { idx.codes.write.mode("overwrite").parquet(s"$p/codes") })
+      Future { idx.postings.write.mode("overwrite").parquet(s"$p/postings") })
     writes.foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
     p
   }
@@ -1526,8 +1526,8 @@ object Similarity extends QueryModule {
   def ivfPqBuild(s: SparkSession, dir: String): DataFrame = {
     val p = writeIvfPqIndex(s, dir)
     val cent = s.read.parquet(s"$p/cent")
-    val assign = s.read.parquet(s"$p/assign")
-    assign.groupBy(col("cid"))
+    val postings = s.read.parquet(s"$p/postings")
+    postings.groupBy(col("cid"))
       .agg(count(lit(1)).as("n_vectors"))
       .join(broadcast(cent.select(col("cid"), round(col("cnorm"), 6).as("cnorm"))), "cid")
       .select(col("cid"), col("n_vectors"), col("cnorm"))
@@ -1551,10 +1551,9 @@ object Similarity extends QueryModule {
     val p = ivfPqIndexPath(dir, cells, pqKsFor(n))
     if (!ivfPqIndexReady(p)) writeIvfPqIndex(s, dir)
     val cent = broadcast(s.read.parquet(s"$p/cent"))
-    val assign = s.read.parquet(s"$p/assign")
     val cbk = broadcast(s.read.parquet(s"$p/cbk"))
-    val codes = s.read.parquet(s"$p/codes")
-    ivfPqServe(queriesOf(e), e, cent, assign, cbk, codes,
+    val postings = s.read.parquet(s"$p/postings")
+    ivfPqServe(queriesOf(e), e, cent, postings, cbk,
       nprobe = nprobe, excludeSelf = true, shortlist = ivfPqShortlistFor(n))
   }
 
@@ -1568,9 +1567,19 @@ object Similarity extends QueryModule {
   /** A built IVF-PQ index plus the ladder rung it was built at — the
     * rung travels with the index ([[graft.streaming.AnnServeStream]]
     * convention) so serving always probes with the parameters the cells
-    * were trained for. */
+    * were trained for.
+    *
+    * r22: the per-vector half of the index is ONE inverted-list
+    * relation `postings` = (vec_id, cid, code0..7) — the FAISS layout,
+    * where a cell's posting list carries the member codes — instead of
+    * the former separate `assign` (vec_id, cid) and `codes`
+    * (vec_id, code0..7) relations. The vec_id-keyed merge now happens
+    * ONCE at index construction; the serve path's per-query-batch
+    * `codes` join (a corpus-keyed shuffle at cluster scale, paid on
+    * every trigger by [[graft.streaming.PqServeStream]]) is gone —
+    * probing the postings relation yields candidates WITH their codes. */
   private[graft] final case class IvfPqRelations(
-    cent: DataFrame, assign: DataFrame, cbk: DataFrame, codes: DataFrame,
+    cent: DataFrame, postings: DataFrame, cbk: DataFrame,
     cells: Int, nprobe: Int, shortlist: Int, ks: Int)
 
   private[graft] def ivfPqIndex(e: DataFrame): IvfPqRelations = {
@@ -1597,12 +1606,22 @@ object Similarity extends QueryModule {
     }
     val cent = Await.result(centF, Duration.Inf)
     val cbk = Await.result(cbkF, Duration.Inf)
-    val assign = cellAssignment(e, cent)
-    val codes = pqAssign(e, cbk).select(
-      col("vec_id").as("neighbor_id") +:
-        (0 until PqBlocks).map(b => col(s"m$b.c").as(s"code$b")): _*)
-    IvfPqRelations(cent, assign, cbk, codes, cells, nprobe,
+    IvfPqRelations(cent, ivfPqPostings(e, cent, cbk), cbk, cells, nprobe,
       ivfPqShortlistFor(n), pqKsFor(n))
+  }
+
+  /** The inverted-list relation `(vec_id, cid, code0..7)`: cell
+    * assignment merged with the PQ codes, built once per index (see
+    * [[IvfPqRelations]]). Exposed separately so the dial sweep can
+    * re-derive postings for a retrained PQ half against the same coarse
+    * quantizer. */
+  private[graft] def ivfPqPostings(e: DataFrame, cent: DataFrame,
+                                   cbk: DataFrame): DataFrame = {
+    val codes = pqAssign(e, cbk).select(
+      col("vec_id") +:
+        (0 until PqBlocks).map(b => col(s"m$b.c").as(s"code$b")): _*)
+    cellAssignment(e, cent).select(col("vec_id"), col("cid"))
+      .join(codes, "vec_id")
   }
 
   /** Dial-sweep serve ([[graft.tools.SimilarityScaleBench]] only): serve
@@ -1614,15 +1633,15 @@ object Similarity extends QueryModule {
   private[graft] def ivfPqServeDial(queries: DataFrame, e: DataFrame,
       idx: IvfPqRelations, ks: Option[Int], nprobe: Int,
       shortlist: Int): DataFrame = {
-    val (cbk, codes) = ks match {
+    val (cbk, postings) = ks match {
       case Some(n) =>
+        // retrain the PQ half only; re-derive postings against the
+        // reused coarse quantizer (one codebook train + one merge)
         val c = pqCodebook(e, n)
-        (c, pqAssign(e, c).select(
-          col("vec_id").as("neighbor_id") +:
-            (0 until PqBlocks).map(b => col(s"m$b.c").as(s"code$b")): _*))
-      case None => (idx.cbk, idx.codes)
+        (c, ivfPqPostings(e, idx.cent, c))
+      case None => (idx.cbk, idx.postings)
     }
-    ivfPqServe(queries, e, idx.cent, idx.assign, cbk, codes,
+    ivfPqServe(queries, e, idx.cent, postings, cbk,
       nprobe = nprobe, excludeSelf = true, shortlist = shortlist)
   }
 
@@ -1635,7 +1654,7 @@ object Similarity extends QueryModule {
     * IS in the corpus honestly gets itself back at rank 1, the
     * [[graft.streaming.AnnServeStream]] convention). */
   private[graft] def ivfPqServe(queries0: DataFrame, e: DataFrame,
-      cent: DataFrame, assign: DataFrame, cbk: DataFrame, codes: DataFrame,
+      cent: DataFrame, postings: DataFrame, cbk: DataFrame,
       k: Int = K, nprobe: Int = IvfPqProbe,
       excludeSelf: Boolean = false,
       shortlist: Int = IvfPqShortlist): DataFrame = {
@@ -1649,11 +1668,14 @@ object Similarity extends QueryModule {
       .where($"prn" <= nprobe)
       .select($"query_id", $"cid")
     val qluts = pqLutArrays(q, cbk).join(q.select($"query_id", $"qq"), "query_id")
+    // r22: candidates come straight out of the inverted-list probe WITH
+    // their codes — the former per-serve `codes` join on neighbor_id (a
+    // corpus-keyed shuffle at cluster scale, per trigger in streaming
+    // serving) moved into the one-time index build ([[ivfPqPostings]]).
     val inCell = broadcast(probes)
-      .join(assign.select($"cid", $"vec_id".as("neighbor_id")), "cid")
+      .join(postings.withColumnRenamed("vec_id", "neighbor_id"), "cid")
     val cand = (if (excludeSelf) inCell.where($"neighbor_id" =!= $"query_id")
                 else inCell)
-      .join(codes, "neighbor_id")
       .join(broadcast(qluts), "query_id")
     val shortW = Window.partitionBy($"query_id")
       .orderBy($"adc".asc, $"neighbor_id".asc)

@@ -31,14 +31,16 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object PqServeStream {
 
   /** The persisted relations of a corpus-at-rest IVF-PQ index: prepared
-    * vectors (shortlist rerank only), refined coarse centroids, cell
-    * assignment, PQ codebook, PQ codes. */
+    * vectors (shortlist rerank only), refined coarse centroids, PQ
+    * codebook, and the inverted-list postings (cell assignment WITH the
+    * member PQ codes — r22: the vec_id-keyed assign-codes merge happens
+    * once here, so serving triggers never pay it). */
   final case class PqIndex(vecs: DataFrame, cent: DataFrame,
-                           assign: DataFrame, cbk: DataFrame,
-                           codes: DataFrame, nprobe: Int, shortlist: Int,
+                           postings: DataFrame, cbk: DataFrame,
+                           nprobe: Int, shortlist: Int,
                            training: Similarity.TrainingScope) {
     def unpersist(): Unit = {
-      vecs.unpersist(); assign.unpersist(); codes.unpersist()
+      vecs.unpersist(); postings.unpersist()
       // training-time caches (xb slices, per-Lloyd-step codebooks) are
       // persisted inside Similarity's training loops under THIS build's
       // scope — drain only ours, so a concurrent job's in-flight build
@@ -58,7 +60,7 @@ object PqServeStream {
     // r19 [[Similarity.ivfPqShortlistFor]] rerank shortlist) travel with
     // the index: serving must probe and rerank at the rungs the index
     // was trained for
-    PqIndex(e, idx.cent, idx.assign.persist(), idx.cbk, idx.codes.persist(),
+    PqIndex(e, idx.cent, idx.postings.persist(), idx.cbk,
       idx.nprobe, idx.shortlist, scope)
   }
 
@@ -69,8 +71,8 @@ object PqServeStream {
   def serveBatch(queries: DataFrame, idx: PqIndex, k: Int = 5): DataFrame = {
     val q = SemDedupStream.prepVecs(queries).select(
       col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
-    Similarity.ivfPqServe(q, idx.vecs, idx.cent, idx.assign, idx.cbk,
-      idx.codes, k, nprobe = idx.nprobe, excludeSelf = false,
+    Similarity.ivfPqServe(q, idx.vecs, idx.cent, idx.postings, idx.cbk,
+      k, nprobe = idx.nprobe, excludeSelf = false,
       shortlist = idx.shortlist)
   }
 

@@ -500,7 +500,7 @@ object SimilarityScaleBench {
           rs.foreach { r =>
             val t1 = System.nanoTime()
             val got = nbrSet(Similarity.ivfPqServe(queries, e, idx.cent,
-              idx.assign, idx.cbk, idx.codes, nprobe = idx.nprobe,
+              idx.postings, idx.cbk, nprobe = idx.nprobe,
               excludeSelf = true, shortlist = r))
             val ssec = (System.nanoTime() - t1) / 1e9
             val rec = got.filter(inTruth).intersect(bf).size.toDouble / bf.size

@@ -217,12 +217,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_min"),
       s"struct-min must combine map-side (one shuffled row per vector): $p")
     assert(!p.contains("CartesianProduct"), s"no unbroadcast all-pairs stage: $p")
-    // The ONE acceptable sort-merge join is cell-assignment ⋈ codes on
-    // vec_id — two corpus-sized per-vector relations, co-partitioned by
-    // the join key (in production a single stored index table). Anything
-    // beyond that single index-assembly join is a plan regression.
+    // The ONE acceptable sort-merge join is the index ASSEMBLY join —
+    // cell-assignment ⋈ codes on vec_id, two corpus-sized per-vector
+    // relations co-partitioned by the join key, merged ONCE into the
+    // inverted-list postings relation (r22: [[Similarity.ivfPqPostings]];
+    // in production a single stored index table). The serve path itself
+    // must carry NO corpus-keyed join: since r22 candidates come out of
+    // the postings probe with their codes attached. Anything beyond that
+    // single build-time join is a plan regression.
     val smjKeys = "SortMergeJoin \\[(\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSeq
-    assert(smjKeys.forall(_.startsWith("neighbor_id")),
+    assert(smjKeys.forall(_.startsWith("vec_id")),
       s"unexpected sort-merge join keys $smjKeys: $p")
   }
 
